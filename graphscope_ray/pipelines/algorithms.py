@@ -1,0 +1,180 @@
+"""Iterative graph algorithms as BSP superstep loops over GraphShard pools.
+
+The driver-side round loop is the Ray-native restatement of grape's
+worker ``Query`` loop (PEval + IncEval per superstep with MPI message
+exchange, SURVEY §3.1 step 3): each round is scatter (per-shard local
+combine) → object-store message exchange (refs routed shard→shard, the
+role of mirror sync ``SyncStateOnOuterVertex``) → apply (segment
+reduce + state update) → driver-side scalar allreduce (the role of
+``grape::Communicator::Sum``, pagerank_networkx.h:85,146).
+
+Each algorithm returns ``(state_dataset, metrics)`` where the dataset is
+``(vid, <col>)`` and metrics carries per-round message counts and
+timings (north-rule lineage metrics).
+"""
+
+from __future__ import annotations
+
+import time
+
+from graphscope_ray.state.checkpoint import CheckpointManager
+from graphscope_ray.state.graph import ShardedGraph
+
+
+def _metrics(rounds, n_edges):
+    total_s = sum(r["seconds"] for r in rounds)
+    return {
+        "rounds": len(rounds),
+        "seconds": total_s,
+        "edges_per_sec": (n_edges * len(rounds) / total_s) if total_s > 0 else 0.0,
+        "per_round": rounds,
+    }
+
+
+def pagerank(
+    graph: ShardedGraph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    ckpt_dir: str | None = None,
+    job: str = "pagerank",
+    ckpt_every: int = 0,
+):
+    """NetworkX-semantics PageRank with dangling-mass redistribution.
+
+    Exact update (apps/pagerank/pagerank_networkx.h:117-161):
+      rank'[v] = alpha*Σ_in rank[u]/outdeg[u] + (1-alpha)/N + alpha*dangling/N
+    where ``dangling`` is the summed rank of outdeg-0 vertices from the
+    *previous* round. Convergence: Σ|rank'-rank| < tol*N (":135-149").
+    ``tol=0`` forces exactly ``max_iter`` rounds (used by the SQL-unrolled
+    oracle). Undirected graphs (both arcs stored) match networkx.Graph.
+    """
+    n = graph.n_vertices
+    cfg = f"pagerank|a={alpha}|tol={tol}|P={graph.P}|V={n}|E={graph.n_edges}"
+    ck = CheckpointManager(ckpt_dir, job, cfg)
+    start_round = 0
+    dangling = None
+    m = ck.latest()
+    if m is not None:
+        start_round = ck.restore(graph, m) + 1
+        dangling = m["scalars"]["dangling"]
+    if dangling is None:
+        dangling = sum(graph.call_all("pagerank_init", n))
+    rounds = []
+    for it in range(start_round, max_iter):
+        t0 = time.perf_counter()
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        refs = graph.scatter_refs("pagerank_scatter")
+        parts = graph.apply_all("pagerank_apply", refs, base, alpha)
+        delta = sum(p[0] for p in parts)
+        dangling = sum(p[1] for p in parts)
+        rounds.append({"round": it, "delta": delta, "seconds": time.perf_counter() - t0})
+        if ckpt_every and (it + 1) % ckpt_every == 0:
+            ck.save(graph, it, {"dangling": dangling},
+                    {"delta": delta, "edges_processed": graph.n_edges * (it + 1)})
+        if tol > 0 and delta < tol * n:
+            break
+    return graph.state_dataset("pagerank"), _metrics(rounds, graph.n_edges)
+
+
+def wcc(
+    graph: ShardedGraph,
+    max_iter: int = 10**6,
+    ckpt_dir: str | None = None,
+    job: str = "wcc",
+    ckpt_every: int = 0,
+):
+    """Weakly connected components by hash-min label exchange
+    (apps/projected/wcc_projected.h:62-183): comp[v] starts as vid,
+    changed vertices push it to neighbors, receivers keep the min;
+    fixpoint when no vertex changes. Requires an undirected-arcs graph
+    (the reference's wcc is undirected-only, wcc.py:30)."""
+    cfg = f"wcc|P={graph.P}|V={graph.n_vertices}|E={graph.n_edges}"
+    ck = CheckpointManager(ckpt_dir, job, cfg)
+    start_round = 0
+    m = ck.latest()
+    if m is not None:
+        # frontier_all: safe over-approximation — re-activating every
+        # vertex converges to the same fixpoint (min is idempotent)
+        start_round = ck.restore(graph, m, frontier_all=True) + 1
+    else:
+        graph.call_all("minprop_init")
+    rounds = []
+    for it in range(start_round, max_iter):
+        t0 = time.perf_counter()
+        refs = graph.scatter_refs("minprop_scatter")
+        changed = sum(graph.apply_all("minprop_apply", refs))
+        rounds.append({"round": it, "changed": changed,
+                       "seconds": time.perf_counter() - t0})
+        if ckpt_every and (it + 1) % ckpt_every == 0:
+            ck.save(graph, it, {}, {"changed": changed})
+        if changed == 0:
+            break
+    return graph.state_dataset("component"), _metrics(rounds, graph.n_edges)
+
+
+def cdlp(
+    graph: ShardedGraph,
+    max_round: int = 10,
+    ckpt_dir: str | None = None,
+    job: str = "cdlp",
+    ckpt_every: int = 0,
+):
+    """Community detection by synchronous label propagation — LDBC CDLP
+    semantics (builtin ``lpa`` → grape::CDLP, .gs_conf.yaml:80-87; golden
+    file p2p-31-CDLP): label[v] init vid; each round every vertex adopts
+    the most frequent incoming label, ties broken by minimum label;
+    fixed ``max_round`` rounds (default 10, lpa.py:29-55), early-exit
+    when no label changes."""
+    cfg = f"cdlp|P={graph.P}|V={graph.n_vertices}|E={graph.n_edges}|r={max_round}"
+    ck = CheckpointManager(ckpt_dir, job, cfg)
+    start_round = 0
+    m = ck.latest()
+    if m is not None:
+        start_round = ck.restore(graph, m) + 1
+    else:
+        graph.call_all("cdlp_init")
+    rounds = []
+    for it in range(start_round, max_round):
+        t0 = time.perf_counter()
+        refs = graph.scatter_refs("cdlp_scatter")
+        changed = sum(graph.apply_all("cdlp_apply", refs))
+        rounds.append({"round": it, "changed": changed,
+                       "seconds": time.perf_counter() - t0})
+        if ckpt_every and (it + 1) % ckpt_every == 0:
+            ck.save(graph, it, {}, {"changed": changed})
+        if changed == 0:
+            break
+    return graph.state_dataset("label"), _metrics(rounds, graph.n_edges)
+
+
+def bfs(graph: ShardedGraph, source: int, max_iter: int = 10**6):
+    """BFS depth from ``source`` (apps/bfs/bfs_generic.h): frontier
+    expansion rounds with min-depth combine; unreached vertices get
+    +inf (dropped by callers that want reachable-only)."""
+    return _dist_loop(graph, [source], weighted=False, max_iter=max_iter,
+                      col="depth")
+
+
+def sssp(graph: ShardedGraph, source: int, max_iter: int = 10**6):
+    """Single-source shortest paths over double edge weights
+    (apps/projected/sssp_projected.h:181): Bellman-Ford-style frontier
+    relaxation with min-dist combine."""
+    return _dist_loop(graph, [source], weighted=True, max_iter=max_iter,
+                      col="distance")
+
+
+def _dist_loop(graph, sources, weighted, max_iter, col):
+    import numpy as np
+
+    graph.call_all("dist_init", np.asarray(sources, dtype=np.int64))
+    rounds = []
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        refs = graph.scatter_refs("dist_scatter", weighted)
+        changed = sum(graph.apply_all("dist_apply", refs))
+        rounds.append({"round": it, "changed": changed,
+                       "seconds": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return graph.state_dataset(col), _metrics(rounds, graph.n_edges)

@@ -1,0 +1,311 @@
+"""GraphShard — one hash-partition of the graph held in a Ray actor.
+
+The Ray-native analogue of the reference's per-MPI-rank
+``ArrowProjectedFragment`` (CSR over Arrow arrays,
+``analytical_engine/core/fragment/arrow_projected_fragment.h:992-1041``)
+plus its per-rank message buffers
+(``core/parallel/thread_local_property_message_buffer.h``): edges whose
+*src* hashes to this shard live here as sorted numpy arrays; per-round
+messages are combined locally per destination (the equivalent of
+grape's local combine before mirror sync) and shipped as one object per
+destination shard.
+
+Partition contract (mirrors ``core/utils/partitioner.h:43-54``):
+``fid(v) = splitmix64(v) % P``. Vertices are int64 vids (string oids are
+hashed to vids by state/vertex_map.py). Local vertex order is the
+sorted order of vids — fully deterministic regardless of ingest order,
+which pins float summation order (SURVEY §4 note 2).
+
+All hot paths are vectorized numpy over Arrow-backed arrays; there are
+no per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from graphscope_ray.functions.hashing import partition_of
+
+INF = np.float64(np.inf)
+
+
+def _concat_msgs(parts, dtypes):
+    """Concatenate per-source-shard message tuples in shard order
+    (deterministic), returning column arrays."""
+    cols = [[] for _ in dtypes]
+    for p in parts:
+        if p is None:
+            continue
+        for i, arr in enumerate(p):
+            cols[i].append(arr)
+    if not cols[0]:
+        return [np.empty(0, dtype=d) for d in dtypes]
+    return [np.concatenate(c) for c in cols]
+
+
+def _group_reduce(dst, val, op):
+    """Segment-reduce val by dst. dst need not be sorted; a stable sort
+    pins reduction order (determinism contract)."""
+    if len(dst) == 0:
+        return dst, val
+    order = np.argsort(dst, kind="stable")
+    dst, val = dst[order], val[order]
+    starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+    return dst[starts], op.reduceat(val, starts)
+
+
+@ray.remote
+class GraphShard:
+    """One graph partition: CSR + vertex state, alive across supersteps."""
+
+    def __init__(self, fid: int, num_partitions: int):
+        self.fid = fid
+        self.P = num_partitions
+        self._ebuf: list[pa.Table] = []
+        self._vbuf: list[np.ndarray] = []
+        self.local: np.ndarray | None = None  # sorted local vids
+        self.state: np.ndarray | None = None
+
+    # ------------------------------------------------------------- build
+    def ingest(self, edges: pa.Table | None, vertices: np.ndarray | None) -> int:
+        n = 0
+        if edges is not None and edges.num_rows:
+            self._ebuf.append(edges)
+            n += edges.num_rows
+        if vertices is not None and len(vertices):
+            self._vbuf.append(np.asarray(vertices, dtype=np.int64))
+        return n
+
+    def build(self) -> dict:
+        """Seal the shard: dedupe vertices, sort edges grouped by
+        (dst_fid, dst, src) for combined scatter, build out-degrees."""
+        if self._ebuf:
+            e = pa.concat_tables(self._ebuf)
+            src = e.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = e.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "weight" in e.column_names:
+                w = e.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            else:
+                w = np.ones(len(src), dtype=np.float64)
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.float64)
+        self._ebuf = []
+        verts = np.concatenate(self._vbuf) if self._vbuf else np.empty(0, np.int64)
+        self._vbuf = []
+        self.local = np.unique(np.concatenate([verts, src]))
+        self.n_local = len(self.local)
+
+        dst_fid = partition_of(dst, self.P)
+        perm = np.lexsort((src, dst, dst_fid))
+        src, dst, w, dst_fid = src[perm], dst[perm], w[perm], dst_fid[perm]
+        # duplicate-arc dedup is the caller's job (stages/derive dedups);
+        # shards keep arcs as given (multigraph semantics like the reference).
+        self.e_src_pos = np.searchsorted(self.local, src).astype(np.int64)
+        self.e_dst = dst
+        self.e_w = w
+        self.part_bounds = np.searchsorted(dst_fid, np.arange(self.P + 1))
+        self.out_deg = np.bincount(self.e_src_pos, minlength=self.n_local).astype(np.int64)
+        self.n_edges = len(dst)
+        return {"fid": self.fid, "vertices": self.n_local, "edges": self.n_edges}
+
+    def degree_table(self) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array(self.local, pa.int64()),
+             "out_degree": pa.array(self.out_deg, pa.int64())}
+        )
+
+    # ------------------------------------------- generic scatter helpers
+    def _emit_per_part(self, edge_mask, values, op):
+        """Combine `values[edge]` per (dst_fid, dst) and return one
+        (dst, val) tuple per destination shard (None when empty)."""
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            if edge_mask is None:
+                dsts, vals = self.e_dst[lo:hi], values[lo:hi]
+            else:
+                m = edge_mask[lo:hi]
+                dsts, vals = self.e_dst[lo:hi][m], values[lo:hi][m]
+            if len(dsts) == 0:
+                out.append(None)
+                continue
+            u, v = _group_reduce(dsts, vals, op)
+            out.append((u, v))
+        return out if self.P > 1 else out[0]
+
+    # ----------------------------------------------------------- PageRank
+    def pagerank_init(self, n_total: int) -> float:
+        """rank=1/N for all; returns this shard's dangling-rank partial
+        (semantics: apps/pagerank/pagerank_networkx.h:62-87)."""
+        self.n_total = n_total
+        self.state = np.full(self.n_local, 1.0 / n_total, dtype=np.float64)
+        self._dangling_mask = self.out_deg == 0
+        return float(self.state[self._dangling_mask].sum())
+
+    def pagerank_scatter(self):
+        """Emit rank/outdeg along out-edges, pre-summed per destination."""
+        contrib = np.zeros(self.n_local, dtype=np.float64)
+        nz = ~self._dangling_mask
+        contrib[nz] = self.state[nz] / self.out_deg[nz]
+        return self._emit_per_part(None, contrib[self.e_src_pos], np.add)
+
+    def pagerank_apply(self, base: float, alpha: float, *msg_parts):
+        """rank' = alpha*acc + base (base folds (1-alpha)/N and
+        alpha*dangling/N exactly as pagerank_networkx.h:117-133)."""
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.float64))
+        acc = np.zeros(self.n_local, dtype=np.float64)
+        if len(dst):
+            u, s = _group_reduce(dst, val, np.add)
+            acc[np.searchsorted(self.local, u)] = s
+        new = alpha * acc + base
+        delta = float(np.abs(new - self.state).sum())
+        self.state = new
+        dangling = float(new[self._dangling_mask].sum())
+        return delta, dangling
+
+    # ------------------------------------------- hash-min propagation (WCC)
+    def minprop_init(self):
+        """comp = own vid (wcc_projected.h:76-81); everyone active."""
+        self.state = self.local.copy()
+        self._frontier = np.ones(self.n_local, dtype=bool)
+        return int(self.n_local)
+
+    def minprop_scatter(self):
+        """Active vertices push their component id to out-neighbors
+        (undirected graphs are stored with both arcs, so push-only
+        covers both directions; wcc_projected.h:83-105)."""
+        mask = self._frontier[self.e_src_pos]
+        return self._emit_per_part(mask, self.state[self.e_src_pos], np.minimum)
+
+    def minprop_apply(self, *msg_parts) -> int:
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.int64))
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        if not len(dst):
+            return 0
+        u, m = _group_reduce(dst, val, np.minimum)
+        pos = np.searchsorted(self.local, u)
+        better = m < self.state[pos]
+        pos = pos[better]
+        self.state[pos] = m[better]
+        self._frontier[pos] = True
+        return int(better.sum())
+
+    # ---------------------------------------------------- CDLP (sync LPA)
+    def cdlp_init(self) -> int:
+        self.state = self.local.copy()
+        return int(self.n_local)
+
+    def cdlp_scatter(self):
+        """Emit (dst, label, count) partials, pre-counted per dest."""
+        labels = self.state[self.e_src_pos]
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            dsts, labs = self.e_dst[lo:hi], labels[lo:hi]
+            if len(dsts) == 0:
+                out.append(None)
+                continue
+            order = np.lexsort((labs, dsts))
+            dsts, labs = dsts[order], labs[order]
+            newseg = np.concatenate(
+                ([True], (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1]))
+            )
+            starts = np.flatnonzero(newseg)
+            counts = np.diff(np.append(starts, len(dsts))).astype(np.int64)
+            out.append((dsts[starts], labs[starts], counts))
+        # mirror _emit_per_part's P==1 convention (single object, not list)
+        return out if self.P > 1 else out[0]
+
+    def cdlp_apply(self, *msg_parts) -> int:
+        """label' = most frequent incoming label, ties -> min label
+        (LDBC CDLP; in-repo shape apps/flash/clustering/lpa.h:42-78)."""
+        dst, lab, cnt = _concat_msgs(msg_parts, (np.int64, np.int64, np.int64))
+        if not len(dst):
+            return 0
+        order = np.lexsort((lab, dst))
+        dst, lab, cnt = dst[order], lab[order], cnt[order]
+        newseg = np.concatenate(([True], (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])))
+        starts = np.flatnonzero(newseg)
+        udst, ulab = dst[starts], lab[starts]
+        ucnt = np.add.reduceat(cnt, starts)
+        # per dst: argmax count, tie-break min label. ulab ascending within
+        # dst already; stable selection via lexsort on (-count) then first.
+        sel = np.lexsort((ulab, -ucnt, udst))
+        udst2, ulab2 = udst[sel], ulab[sel]
+        first = np.flatnonzero(np.concatenate(([True], udst2[1:] != udst2[:-1])))
+        tgt, newlab = udst2[first], ulab2[first]
+        pos = np.searchsorted(self.local, tgt)
+        changed = int((self.state[pos] != newlab).sum())
+        self.state[pos] = newlab
+        return changed
+
+    # ------------------------------------------------ BFS / SSSP (min-dist)
+    def dist_init(self, roots: np.ndarray) -> int:
+        self.state = np.full(self.n_local, INF, dtype=np.float64)
+        pos = np.searchsorted(self.local, roots)
+        hit = (pos < self.n_local)
+        pos = pos[hit]
+        pos = pos[self.local[pos] == np.asarray(roots)[hit]]
+        self.state[pos] = 0.0
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        self._frontier[pos] = True
+        return int(len(pos))
+
+    def dist_scatter(self, weighted: bool):
+        mask = self._frontier[self.e_src_pos]
+        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        return self._emit_per_part(mask, vals, np.minimum)
+
+    def dist_apply(self, *msg_parts) -> int:
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.float64))
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        if not len(dst):
+            return 0
+        u, m = _group_reduce(dst, val, np.minimum)
+        pos = np.searchsorted(self.local, u)
+        better = m < self.state[pos]
+        pos = pos[better]
+        self.state[pos] = m[better]
+        self._frontier[pos] = True
+        return int(better.sum())
+
+    # ------------------------------------------------------ state export
+    def state_table(self, col: str = "value") -> pa.Table:
+        st = self.state
+        return pa.table({"vid": pa.array(self.local, pa.int64()), col: pa.array(st)})
+
+    def save_state(self, path: str, col: str = "value") -> int:
+        """Write this shard's vertex state to parquet (atomically) —
+        per-partition checkpoint written with locality, the role of the
+        reference's per-fragment vineyard persist (grape_instance.cc:302)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        tmp = path + f".tmp{self.fid}"
+        pq.write_table(self.state_table(col), tmp)
+        os.replace(tmp, path)
+        return self.n_local
+
+    def restore_state(self, path: str, frontier_all: bool = False) -> int:
+        import pyarrow.parquet as pq
+
+        return self.load_state(pq.read_table(path), frontier_all)
+
+    def load_state(self, table: pa.Table, frontier_all: bool = False):
+        """Restore vertex state from a checkpoint table (vid, value)."""
+        vid = table.column("vid").to_numpy(zero_copy_only=False)
+        val = table.column(table.column_names[1]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.local, vid)
+        st = np.empty(self.n_local, dtype=val.dtype)
+        st[pos] = val
+        self.state = st
+        self._frontier = np.ones(self.n_local, dtype=bool) if frontier_all else np.zeros(
+            self.n_local, dtype=bool
+        )
+        if not hasattr(self, "_dangling_mask"):
+            self._dangling_mask = self.out_deg == 0
+        return self.n_local

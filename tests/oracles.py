@@ -1,0 +1,127 @@
+"""Pure-python / networkx oracles (FIXTURES.md F4).
+
+These mirror the reference's test strategy (SURVEY §5): golden semantics
+come from networkx (whose PageRank the reference explicitly follows,
+docs/analytical_engine/builtin_algorithms.md § PageRank) and from
+30-line direct reimplementations for WCC/CDLP.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import networkx as nx
+
+
+def nx_graph(edges, directed):
+    g = nx.DiGraph() if directed else nx.Graph()
+    for s, d in edges:
+        g.add_edge(s, d)
+    return g
+
+
+def oracle_pagerank(edges, vertices, directed, alpha=0.85, max_iter=100, tol=1e-6):
+    """Pure-python replica of networkx._pagerank_python (scipy isn't
+    installed); the reference follows the same formula
+    (apps/pagerank/pagerank_networkx.h:117-161)."""
+    g = nx_graph(edges, directed)
+    g.add_nodes_from(vertices)
+    d = g.to_directed() if not directed else g
+    n = d.number_of_nodes()
+    outdeg = dict(d.out_degree())
+    x = {v: 1.0 / n for v in d}
+    p = {v: 1.0 / n for v in d}
+    dangling = [v for v in d if outdeg[v] == 0]
+    for _ in range(max_iter):
+        xlast = x
+        x = dict.fromkeys(xlast, 0.0)
+        danglesum = alpha * sum(xlast[v] for v in dangling)
+        for u in d:
+            if outdeg[u]:
+                share = alpha * xlast[u] / outdeg[u]
+                for _, nbr in d.out_edges(u):
+                    x[nbr] += share
+        for v in d:
+            x[v] += danglesum * p[v] + (1.0 - alpha) * p[v]
+        err = sum(abs(x[v] - xlast[v]) for v in x)
+        if err < n * tol:
+            return x
+    return x
+
+
+def oracle_wcc(edges, vertices):
+    """component id = min vertex id in component (exact)."""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comps = defaultdict(list)
+    for v in vertices:
+        comps[find(v)].append(v)
+    out = {}
+    for members in comps.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def oracle_cdlp(edges, vertices, directed, max_round=10):
+    """Sync LPA, most-frequent incoming label, min tie-break (LDBC CDLP).
+
+    Arc semantics match the engine: each arc delivers src's label to
+    dst; undirected graphs contribute both arcs."""
+    arcs = list(edges)
+    if not directed:
+        arcs += [(d, s) for s, d in edges]
+    in_nbrs = defaultdict(list)
+    for s, d in arcs:
+        in_nbrs[d].append(s)
+    label = {v: v for v in vertices}
+    for _ in range(max_round):
+        new = {}
+        changed = 0
+        for v in vertices:
+            nb = in_nbrs.get(v)
+            if not nb:
+                new[v] = label[v]
+                continue
+            cnt = Counter(label[u] for u in nb)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            # ties -> min label
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+            changed += new[v] != label[v]
+        label = new
+        if changed == 0:
+            break
+    return label
+
+
+def oracle_triangles(edges, vertices):
+    g = nx.Graph()
+    g.add_nodes_from(vertices)
+    g.add_edges_from(edges)
+    return nx.triangles(g)
+
+
+def oracle_bfs_depth(edges, vertices, source, directed):
+    g = nx_graph(edges, directed)
+    g.add_nodes_from(vertices)
+    return nx.single_source_shortest_path_length(g, source)
+
+
+def oracle_sssp(weighted_edges, vertices, source, directed):
+    g = nx.DiGraph() if directed else nx.Graph()
+    g.add_nodes_from(vertices)
+    for s, d, w in weighted_edges:
+        g.add_edge(s, d, weight=w)
+    return nx.single_source_dijkstra_path_length(g, source)
