@@ -89,6 +89,12 @@ def wcc(
     changed vertices push it to neighbors, receivers keep the min;
     fixpoint when no vertex changes. Requires an undirected-arcs graph
     (the reference's wcc is undirected-only, wcc.py:30)."""
+    if graph.directed:
+        raise ValueError(
+            "wcc requires an undirected graph: rebuild with directed=False "
+            "(the reference rejects directed graphs too, "
+            "python/graphscope/analytical/app/wcc.py:30)"
+        )
     cfg = f"wcc|P={graph.P}|V={graph.n_vertices}|E={graph.n_edges}"
     ck = CheckpointManager(ckpt_dir, job, cfg)
     start_round = 0

@@ -121,7 +121,7 @@ def _rows_for_repo(spec: CorpusSpec, i: int):
             base = provides_pool[h % len(provides_pool)]
         else:
             base = f"file_{i}_{f}.{lang}"
-        path = f"src/{base}"
+        path = f"src/d{f:03d}/{base}"  # unique path per file; dep key = basename
 
         # include lines = referenced dep keys
         includes: list[str] = []
