@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one numpy matmul against it; partial
+top-k per batch, exact merge at the end (tiny: k × #queries rows).
+
+Scale path: IVF-style bucketing — vectors are assigned to their nearest
+of C seeded centroids (one shuffle on the small centroid-id key);
+queries probe the ``nprobe`` nearest centroids only. Recall/probe
+trade-off is explicit, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _resolve(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row → DataFrame
+    (query_idx, vec_id, cosine), ranked. Deterministic ties: lower
+    vec_id first."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(Q)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = _resolve(qref)
+        V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        S = Qm @ V.T  # (nq, nb)
+        ids = batch[id_col].to_numpy()
+        out = []
+        kk = min(k, S.shape[1])
+        for qi in range(S.shape[0]):
+            # stable partial top-k: sort by (-cos, id)
+            idx = np.lexsort((ids, -S[qi]))[:kk]
+            out.append(pd.DataFrame(
+                {"query_idx": qi, id_col: ids[idx], "cosine": S[qi, idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_idx", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    return parts.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    num_centroids: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    seed: int = 42,
+):
+    """One-pass IVF 'training': sample vectors, pick C seeded sample
+    rows as centroids (k-means init without iterations — adequate for
+    bucketing), assign every vector to its nearest centroid.
+
+    Returns (assigned Dataset with a ``centroid`` column, centroids)."""
+    sample = ds.limit(sample_size).to_pandas()
+    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    C = V[rng.choice(len(V), size=min(num_centroids, len(V)), replace=False)]
+    cref = ray.put(C)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = _resolve(cref)
+        Vb = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        batch = batch.copy()
+        batch["centroid"] = (Vb @ Cm.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+    return ds.map_batches(assign, batch_format="pandas"), C
+
+
+def ivf_topk(
+    assigned: ray.data.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k: per query probe the ``nprobe`` nearest
+    centroid buckets (a broadcast semi-filter, no shuffle), then exact
+    cosine within the probed subset."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = np.unique(probe)
+    sub = _filter_centroids(assigned, wanted)
+    return brute_force_topk(sub, Q, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _filter_centroids(assigned: ray.data.Dataset, wanted: np.ndarray
+                      ) -> ray.data.Dataset:
+    wref = ray.put(np.asarray(wanted, dtype=np.int64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        w = _resolve(wref)
+        return batch[np.isin(batch["centroid"].to_numpy(), w)]
+
+    return assigned.map_batches(f, batch_format="pandas")

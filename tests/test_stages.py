@@ -1,0 +1,165 @@
+"""Stage-level tests: dedup family, similarity, text kernels, relational
+operators, multimodal plumbing — vs numpy/pandas/duckdb oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from graphscope_ray.functions.text import lang_id, quality_features, token_counts
+from graphscope_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_table,
+    verify_jaccard,
+)
+from graphscope_ray.stages.multimodal import attach_media_meta, decode_images
+from graphscope_ray.stages.relational import (
+    broadcast_lookup_join,
+    broadcast_semi_join,
+    dedup_first,
+    topk,
+    unfold,
+)
+from graphscope_ray.stages.similarity import brute_force_topk, ivf_build, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(40):
+        words = list(rng.choice(vocab, size=60))
+        rows.append((i, " ".join(words)))
+    # planted exact dup of doc 0 and near-dup of doc 1 (2 words changed)
+    rows.append((100, rows[0][1]))
+    near = rows[1][1].split()
+    near[5], near[25] = "changed", "words"
+    rows.append((101, " ".join(near)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_exact_dedup(docs_df):
+    out = exact_dedup(ray.data.from_pandas(docs_df)).to_pandas()
+    assert len(out) == len(docs_df) - 1          # one exact dup removed
+    assert 0 in set(out["doc_id"]) and 100 not in set(out["doc_id"])  # min id kept
+
+
+def test_minhash_near_dup(docs_df):
+    pairs = minhash_lsh_pairs(
+        ray.data.from_pandas(docs_df), num_perm=64, bands=32
+    ).to_pandas()
+    cand = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 100) in cand       # exact dup always a candidate
+    assert (1, 101) in cand       # near dup caught at b=32 (r=2) sensitivity
+    verified = verify_jaccard(pairs, docs_df, threshold=0.7)
+    vset = set(map(tuple, verified[["a", "b"]].to_numpy()))
+    assert (0, 100) in vset and (1, 101) in vset
+    assert all(j >= 0.7 for j in verified["jaccard"])
+
+
+def test_simhash(docs_df):
+    sh = simhash_table(ray.data.from_pandas(docs_df)).to_pandas()
+    m = dict(zip(sh["doc_id"], sh["simhash"]))
+    assert m[0] == m[100]                        # identical docs -> equal simhash
+    ham = bin(np.uint64(m[1]) ^ np.uint64(m[101])).count("1")
+    assert ham <= 8                              # near dup -> close simhash
+
+
+def test_embedding_neardup():
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((50, 16))
+    V[40] = V[0] + rng.standard_normal(16) * 0.01      # planted near-dup
+    ds = ray.data.from_pandas(pd.DataFrame({"vec_id": range(50),
+                                            "embedding": list(V)}))
+    pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    assert (0, 40) in set(map(tuple, pairs[["a", "b"]].to_numpy()))
+
+
+def test_brute_force_topk_matches_numpy():
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((300, 32))
+    Q = rng.standard_normal((3, 32))
+    ds = ray.data.from_pandas(pd.DataFrame({"vec_id": range(300),
+                                            "embedding": list(V)}))
+    got = brute_force_topk(ds, Q, k=5)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Vn.T
+    for qi in range(3):
+        want = np.lexsort((np.arange(300), -S[qi]))[:5]
+        rows = got[got["query_idx"] == qi]["vec_id"].to_numpy()
+        assert (rows == want).all()
+
+
+def test_ivf_topk_recall():
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)) * 4
+    V = np.concatenate([c + rng.standard_normal((40, 32)) for c in centers])
+    ds = ray.data.from_pandas(pd.DataFrame({"vec_id": range(len(V)),
+                                            "embedding": list(V)}))
+    assigned, C = ivf_build(ds, num_centroids=16)
+    assigned = assigned.materialize()
+    Q = centers[:3] + 0.1
+    approx = ivf_topk(assigned, C, Q, k=10, nprobe=4)
+    exact = brute_force_topk(ds, Q, k=10)
+    for qi in range(3):
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        assert len(a & e) / len(e) >= 0.6        # recall with nprobe=4/16
+
+
+def test_text_kernels_vs_duckdb(docs_df):
+    got = token_counts(docs_df["text"]).to_numpy()
+    want = duckdb.sql(
+        r"SELECT len(regexp_extract_all(text, '\w+')) AS n FROM docs_df"
+    ).df()["n"].to_numpy()
+    assert (got == want).all()
+    q = quality_features(docs_df["text"])
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+    langs = lang_id(pd.Series([
+        "the cat sat on the mat and it is warm",
+        "der Hund ist nicht mit der Katze",
+        "le chat est dans la maison pour toujours",
+        "xyzzy plugh",
+    ]))
+    assert list(langs) == ["en", "de", "fr", "und"]
+
+
+def test_relational_ops():
+    df = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": [10.0, 20, 20, 5, 1],
+                       "tag": ["a", "b", "a", "c", "a"]})
+    ds = ray.data.from_pandas(df)
+    semi = broadcast_semi_join(ds, [1, 3], on="k").to_pandas()
+    assert sorted(semi["k"]) == [1, 3]
+    anti = broadcast_semi_join(ds, [1, 3], on="k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [2, 4, 5]
+    dim = pd.DataFrame({"tag": ["a", "b", "c"], "name": ["A", "B", "C"]})
+    j = broadcast_lookup_join(ds, dim, on="tag").to_pandas()
+    assert len(j) == 5 and set(j["name"]) == {"A", "B", "C"}
+    dd = dedup_first(ds, ["tag"], order_by=["k"]).to_pandas()
+    assert sorted(dd["k"]) == [1, 2, 4]          # first k per tag
+    t = topk(ds, "v", 2).to_pandas()
+    assert list(t["v"]) == [20.0, 20.0]
+    lds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "xs": [[1, 2], [3]]}))
+    u = unfold(lds, "xs").to_pandas()
+    assert sorted(u["xs"]) == [1, 2, 3]
+
+
+def test_multimodal_plumbing():
+    payloads = [bytes(range(i, i + 100)) for i in range(0, 40, 10)]
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"media_id": list(range(4)),
+                                     "payload": payloads})
+    )
+    meta = attach_media_meta(ds).to_pandas()
+    assert (meta["payload_bytes"] == 100).all()
+    dec = decode_images(ds).to_pandas().sort_values("media_id")
+    assert "pixel_mean" in dec and len(dec) == 4
+    # deterministic fake decode
+    dec2 = decode_images(ds).to_pandas().sort_values("media_id")
+    assert (dec["pixel_mean"].to_numpy() == dec2["pixel_mean"].to_numpy()).all()
