@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (graph algorithms over the part co-occurrence graph,
+relational/TPC-H operators, streaming-shaped windows, and the
+training-data ops: dedup family, ANN, text analysis, multimodal).
+``oracle_sql()`` provides DuckDB twins — iterative algorithms are
+expressed as unrolled CTE chains (PageRank, CDLP) or recursive CTEs
+(WCC, BFS); genuinely non-SQL ops (weighted SSSP, MinHash, simhash,
+fingerprints, lang-id, vector near-dup) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init/shutdown here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +18,245 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+ALPHA = 0.85
+PR_ITERS = 15
+CDLP_ROUNDS = 5
+STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for')"
+
+# ---------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: part co-occurrence graph at sf0.001 → PageRank + WCC
+    on the actor-pool engine, merged into one vertex table."""
+    from graphscope_ray.pipelines.sf_graph import q_part_pagerank, q_part_wcc
+
+    pr = q_part_pagerank(SF_SMOKE).to_pandas()
+    comp = q_part_wcc(SF_SMOKE).to_pandas()
+    return pr.merge(comp, on="vid").sort_values("vid").reset_index(drop=True)
+
+
+# -------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphscope_ray.pipelines import sf_graph, textproc, tpch
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph algorithms (actor-pool BSP engine)
+        "part_graph_edges": sf_graph.q_part_graph_edges,
+        "part_degree": sf_graph.q_part_degree,
+        "part_pagerank": sf_graph.q_part_pagerank,
+        "part_wcc": sf_graph.q_part_wcc,
+        "part_cdlp": sf_graph.q_part_cdlp,
+        "part_triangles": sf_graph.q_part_triangles,
+        "part_bfs": sf_graph.q_part_bfs,
+        "part_sssp": sf_graph.q_part_sssp,
+        # relational / windowing
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "q3_top_orders": tpch.q3_top_orders,
+        "q5_nation_revenue": tpch.q5_nation_revenue,
+        "dedup_orders": tpch.q_dedup_orders,
+        "events_window": tpch.q_events_window,
+        "events_sessions": tpch.q_events_sessions,
+        # text / dedup / similarity / multimodal
+        "doc_dedup": textproc.q_doc_dedup,
+        "doc_stats": textproc.q_doc_stats,
+        "doc_lang": textproc.q_doc_lang,
+        "doc_fingerprint": textproc.q_doc_fingerprint,
+        "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
+        "doc_simhash": textproc.q_doc_simhash,
+        "ann_topk": textproc.q_ann_topk,
+        "embedding_neardup": textproc.q_embedding_neardup,
+        "multimodal_meta": textproc.q_multimodal_meta,
+    }
+
+
+# ----------------------------------------------------------- oracle SQL
+
+_GRAPH_CTES = """
+edges AS MATERIALIZED (
+  SELECT src, dst, count(*) AS weight FROM (
+    SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  ) GROUP BY src, dst
+),
+verts AS MATERIALIZED (SELECT DISTINCT l_partkey AS vid FROM lineitem),
+arcs AS MATERIALIZED (SELECT src, dst, weight FROM edges
+         UNION ALL SELECT dst, src, weight FROM edges)
+"""
+
+
+def _pagerank_sql() -> str:
+    """PageRank unrolled to PR_ITERS fixed iterations (tol=0 on the Ray
+    side), NetworkX/pagerank_networkx.h semantics incl. dangling mass."""
+    parts = [
+        _GRAPH_CTES,
+        ", n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        ", deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM arcs GROUP BY src)",
+        ", v AS MATERIALIZED (SELECT v.vid, COALESCE(d.outdeg, 0) AS outdeg"
+        "        FROM verts v LEFT JOIN deg d ON v.vid = d.vid)",
+        ", pr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS r FROM verts)",
+    ]
+    for i in range(PR_ITERS):
+        parts.append(f"""
+, c{i} AS MATERIALIZED (
+  SELECT ar.dst AS vid, sum(p.r / vv.outdeg) AS s
+  FROM arcs ar JOIN pr{i} p ON p.vid = ar.src JOIN v vv ON vv.vid = ar.src
+  GROUP BY ar.dst)
+, d{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.r), 0) AS ds
+  FROM pr{i} p JOIN v vv ON vv.vid = p.vid WHERE vv.outdeg = 0)
+, pr{i + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1 - {ALPHA})/(SELECT c FROM n)
+         + {ALPHA} * ((SELECT ds FROM d{i})/(SELECT c FROM n)
+                      + COALESCE(c.s, 0)) AS r
+  FROM v LEFT JOIN c{i} c ON c.vid = v.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT vid, printf('%.6f', round(r, 6)) AS pagerank FROM pr{PR_ITERS}"
+    )
+
+
+def _cdlp_sql() -> str:
+    """Sync LPA unrolled to CDLP_ROUNDS rounds, most-frequent incoming
+    label, ties -> min label (LDBC CDLP)."""
+    parts = [_GRAPH_CTES, ", lab0 AS MATERIALIZED (SELECT vid, vid AS lab FROM verts)"]
+    for i in range(CDLP_ROUNDS):
+        parts.append(f"""
+, m{i} AS MATERIALIZED (
+  SELECT a.dst AS vid, l.lab AS lab, count(*) AS c
+  FROM arcs a JOIN lab{i} l ON l.vid = a.src
+  GROUP BY a.dst, l.lab)
+, w{i} AS MATERIALIZED (
+  SELECT vid, lab,
+         row_number() OVER (PARTITION BY vid ORDER BY c DESC, lab ASC) AS rn
+  FROM m{i})
+, lab{i + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(w.lab, l.lab) AS lab
+  FROM verts v JOIN lab{i} l ON l.vid = v.vid
+  LEFT JOIN (SELECT vid, lab FROM w{i} WHERE rn = 1) w ON w.vid = v.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT vid, lab AS label FROM lab{CDLP_ROUNDS}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "part_graph_edges": f"WITH {_GRAPH_CTES.strip()}\n"
+        "SELECT src, dst, weight FROM edges",
+        "part_degree": f"WITH {_GRAPH_CTES.strip()}\n"
+        "SELECT a.src AS vid, count(*) AS degree,\n"
+        "       printf('%.6f', round(count(*) / CAST((SELECT count(*) FROM verts) - 1 AS DOUBLE), 6))"
+        " AS centrality\n"
+        "FROM arcs a GROUP BY a.src",
+        "part_pagerank": _pagerank_sql(),
+        "part_wcc": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "reach(vid, comp) AS (\n"
+        "  SELECT vid, vid FROM verts\n"
+        "  UNION\n"
+        "  SELECT a.dst, r.comp FROM reach r JOIN arcs a ON a.src = r.vid)\n"
+        "SELECT vid, min(comp) AS component FROM reach GROUP BY vid",
+        "part_cdlp": _cdlp_sql(),
+        "part_triangles": f"WITH {_GRAPH_CTES.strip()},\n"
+        "e AS (SELECT src AS u, dst AS v FROM edges),\n"
+        "t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c\n"
+        "      FROM e e1 JOIN e e2 ON e2.u = e1.v\n"
+        "      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),\n"
+        "corners AS (SELECT a AS vid FROM t UNION ALL SELECT b FROM t\n"
+        "            UNION ALL SELECT c FROM t),\n"
+        "ve AS (SELECT DISTINCT vid FROM\n"
+        "       (SELECT u AS vid FROM e UNION ALL SELECT v FROM e))\n"
+        "SELECT ve.vid, COALESCE(cnt.n, 0) AS triangles\n"
+        "FROM ve LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid)"
+        " cnt ON cnt.vid = ve.vid",
+        "part_bfs": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "walk(vid, d) AS (\n"
+        "  SELECT CAST(min(l_partkey) AS BIGINT), 0 FROM lineitem\n"
+        "  UNION\n"
+        "  SELECT a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.vid\n"
+        "  WHERE w.d < 30)\n"
+        "SELECT vid, min(d) AS depth FROM walk GROUP BY vid",
+        # part_sssp: no SQL oracle (weighted SSSP explodes in pure SQL)
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       printf('%.4f', round(sum(l_quantity), 4)) AS sum_qty,
+       printf('%.4f', round(sum(l_extendedprice * (1 - l_discount)), 4)) AS sum_revenue,
+       printf('%.6f', round(avg(l_discount), 6)) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+SELECT l.l_orderkey AS o_orderkey,
+       printf('%.4f', round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o_orderkey
+LIMIT 10""",
+        "q5_nation_revenue": """
+SELECT n.n_name,
+       printf('%.4f', round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)) AS revenue
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name""",
+        "dedup_orders": """
+SELECT o_orderkey, o_custkey, o_orderdate FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1""",
+        "events_window": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, printf('%.4f', round(sum(value), 4)) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "events_sessions": """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+        FROM events))
+SELECT user_id, CAST(sum(new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM x GROUP BY user_id""",
+        "doc_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_stats": rf"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\w+')) AS n_tokens,
+       printf('%.6f', round(CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^\w\s]'))
+                  / CAST(length(text) AS DOUBLE) ELSE 0 END, 6)) AS punct_ratio,
+       printf('%.6f', round(CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+             THEN len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                                  x -> x IN {STOPWORDS_SQL}))
+                  / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+             ELSE 0 END, 6)) AS stopword_ratio
+FROM documents""",
+        # doc_lang / doc_fingerprint / doc_minhash_pairs / doc_simhash /
+        # embedding_neardup: rows-only (heuristic or hash pipelines with
+        # no faithful SQL twin)
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           ORDER BY vec_id LIMIT 5)
+SELECT q.qid AS query_idx, e.vec_id,
+       printf('%.5f', round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 5)) AS cosine
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (
+  PARTITION BY q.qid
+  ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) <= 10""",
+        "multimodal_meta": """
+SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+       substr(sha256(text), 1, 16) AS payload_digest
+FROM documents""",
+    }

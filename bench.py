@@ -1,0 +1,178 @@
+"""Benchmark entry point (driver contract).
+
+Headline metric: the north-rule flagship job — synthetic source-code
+corpus (deterministic, cached in /tmp) → sha256 ingest → dependency
+edge derivation → actor-pool CSR graph build → PageRank to 1e-6 +
+WCC to fixpoint — reported as wall seconds plus derived
+edges-processed/sec (|arcs| × supersteps / algo seconds).
+
+Also times representative per-operator queries over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+`--scaling` runs the headline job at num_cpus=8 and 32 in fresh
+processes on the same input and reports both throughputs + scaling
+efficiency (the sandbox proxy for the N-vs-4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_REPOS = int(os.environ.get("GRAFT_BENCH_REPOS", "8000"))
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _corpus_dir() -> str:
+    from graphscope_ray.sources.generator import CorpusSpec, write_corpus
+
+    d = f"/tmp/gsr_bench_corpus_{N_REPOS}"
+    spec = CorpusSpec(
+        n_repos=N_REPOS, n_communities=max(4, N_REPOS // 500),
+        keys_per_community=8, n_hub_keys=4, n_hub_repos=4, seed=42,
+    )
+    write_corpus(d, spec, repos_per_file=2000)  # skips existing shards
+    return d
+
+
+def headline() -> dict:
+    import ray.data
+
+    from graphscope_ray.pipelines import algorithms
+    from graphscope_ray.pipelines.repo_graph import build_repo_graph
+    from graphscope_ray.stages.derive import with_sha256
+
+    d = _corpus_dir()
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    ray.data.read_parquet(d).count()
+
+    t0 = time.perf_counter()
+    corpus = ray.data.read_parquet(d, columns=["repo", "path", "content"])
+    n_rows = with_sha256(corpus).count()  # ingest + invariant column
+    t_ingest = time.perf_counter()
+    graph, vmap = build_repo_graph(
+        corpus, num_partitions=min(NUM_CPUS, 32), directed=False, cap_per_key=64
+    )
+    t_build = time.perf_counter()
+    # one undirected build serves both algorithms (CSR is immutable;
+    # each algorithm re-initialises its own vertex state on the shards)
+    _, pr_m = algorithms.pagerank(graph, tol=1e-6)
+    t_pr = time.perf_counter()
+    _, wcc_m = algorithms.wcc(graph)
+    t_wcc = time.perf_counter()
+
+    pr_eps = graph.n_edges * pr_m["rounds"] / max(pr_m["seconds"], 1e-9)
+    wcc_eps = graph.n_edges * wcc_m["rounds"] / max(wcc_m["seconds"], 1e-9)
+    return {
+        "headline_sec": t_wcc - t0,
+        "ingest_sec": t_ingest - t0,
+        "graph_build_sec": t_build - t_ingest,
+        "pagerank_sec": t_pr - t_build,
+        "wcc_sec": t_wcc - t_pr,
+        "corpus_rows": n_rows,
+        "graph_vertices": graph.n_vertices,
+        "graph_arcs": graph.n_edges,
+        "pagerank_rounds": pr_m["rounds"],
+        "wcc_rounds": wcc_m["rounds"],
+        "pagerank_edges_per_sec": pr_eps,
+        "wcc_edges_per_sec": wcc_eps,
+    }
+
+
+def run_queries() -> dict:
+    """Representative per-operator timings over the sf dir."""
+    from graphscope_ray.pipelines import sf_graph, textproc, tpch
+
+    picks = {
+        "q1": tpch.q1_pricing_summary,
+        "q3": tpch.q3_top_orders,
+        "events_window": tpch.q_events_window,
+        "part_pagerank": sf_graph.q_part_pagerank,
+        "part_wcc": sf_graph.q_part_wcc,
+        "part_triangles": sf_graph.q_part_triangles,
+        "doc_dedup": textproc.q_doc_dedup,
+        "doc_simhash": textproc.q_doc_simhash,
+        "ann_topk": textproc.q_ann_topk,
+    }
+    out = {}
+    for name, fn in picks.items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy pipeline
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    _init_ray()
+    import ray
+
+    h = headline()
+    q = run_queries()
+    print(json.dumps({
+        "metric": "flagship corpus->graph->PageRank(1e-6)+WCC wall time",
+        "value": round(h["headline_sec"], 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in h.items()},
+    }))
+    ray.shutdown()
+
+
+def scaling():
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                           capture_output=True, text=True, check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    # throughput ratio normalized by the 4x resource ratio
+    eff = (t8 / t32) / (32 / 8)
+    eps8 = out[8]["detail"]["pagerank_edges_per_sec"]
+    eps32 = out[32]["detail"]["pagerank_edges_per_sec"]
+    print(json.dumps({
+        "sec_8": t8, "sec_32": t32,
+        "pagerank_eps_8": round(eps8), "pagerank_eps_32": round(eps32),
+        "scaling_efficiency_wall": round(eff, 3),
+        "scaling_efficiency_pagerank_eps": round((eps32 / eps8) / 4, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -50,7 +50,9 @@ def pagerank(
     oracle). Undirected graphs (both arcs stored) match networkx.Graph.
     """
     n = graph.n_vertices
-    cfg = f"pagerank|a={alpha}|tol={tol}|P={graph.P}|V={n}|E={graph.n_edges}"
+    # tol/max_iter are stopping criteria, not state: resume across them
+    # is sound, so they are excluded from the lineage config hash
+    cfg = f"pagerank|a={alpha}|P={graph.P}|V={n}|E={graph.n_edges}"
     ck = CheckpointManager(ckpt_dir, job, cfg)
     start_round = 0
     dangling = None

@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 
 def degree_table(
@@ -31,10 +30,11 @@ def degree_table(
             cols.append(batch.column(dst).to_numpy(zero_copy_only=False))
         return pa.table({"vid": pa.array(np.concatenate(cols), pa.int64())})
 
-    return (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Count(alias_name="degree"))
+    from graphscope_ray.stages.relational import grouped_agg
+
+    return grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["vid"], {"degree": (None, "size")},
     )
 
 

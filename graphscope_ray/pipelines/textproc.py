@@ -1,0 +1,123 @@
+"""Text / embedding / multimodal query pipelines over the provided
+``documents`` and ``embeddings`` tables — the training-data-pipeline
+operators exposed as driver-checkable queries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from graphscope_ray.functions.format import fixed_str as _fx
+from graphscope_ray.functions.text import (
+    fingerprint64,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from graphscope_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_table,
+)
+from graphscope_ray.stages.multimodal import attach_media_meta
+from graphscope_ray.stages.similarity import brute_force_topk
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_doc_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Surviving doc_ids after exact text dedup (min doc_id kept)."""
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_chars, n_tokens, n_punct-free quality fields rounded)."""
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(b["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": q["n_chars"],
+                "n_tokens": q["n_tokens"],
+                "punct_ratio": _fx(q["punct_ratio"], 6),
+                "stopword_ratio": _fx(q["stopword_ratio"], 6),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+def q_doc_lang(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang) by the stopword-vote heuristic (no SQL oracle —
+    rows-only check; exactness covered in pytest)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "lang": lang_id(b["text"])})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, fingerprint) rolling-hash doc fingerprints (rows-only)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "fingerprint": fingerprint64(b["text"])})
+
+    return _docs(sf_dir).map_batches(f, batch_format="pandas")
+
+
+def q_doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Candidate near-dup pairs via MinHash-LSH (rows-only check)."""
+    return minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32, concurrency=4)
+
+
+def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:
+    return simhash_table(_docs(sf_dir), concurrency=4)
+
+
+def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
+    """Exact cosine top-k of the first ``n_queries`` embedding rows vs
+    the whole table — (query_idx=vec_id of the query, vec_id, cosine
+    rounded 5dp)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qdf = (
+        emb.to_pandas().sort_values("vec_id").head(n_queries)
+    )
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = brute_force_topk(emb, Q, k=k)
+    out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["cosine"] = _fx(out["cosine"].to_numpy(), 5)
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def q_embedding_neardup(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup vector pairs, cosine ≥ 0.9 (rows-only)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.9)
+
+
+def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
+    """Treat document text bytes as an opaque binary payload column and
+    run the multimodal metadata stage: (doc_id, payload_bytes,
+    payload_digest). Exercises the binary-column plumbing with a SQL
+    twin (octet_length / sha256 prefix)."""
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+        })
+
+    ds = _docs(sf_dir).map_batches(to_payload, batch_format="pyarrow")
+    return attach_media_meta(ds).drop_columns(["payload"])

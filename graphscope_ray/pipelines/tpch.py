@@ -1,0 +1,199 @@
+"""Relational demo pipelines over the provided TPC-H-ish tables.
+
+These exercise the GIE relational operator inventory (SURVEY §2.5 —
+Scan/Project/Select/Join/GroupBy/OrderBy/Limit/Dedup) as native Ray
+Data pipelines with exact DuckDB-SQL twins in ``__ray_entry__``.
+Float aggregates are rounded to 4 dp on both sides so the driver's
+value-hash is insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from graphscope_ray.stages.relational import dedup_first, grouped_agg
+
+
+from graphscope_ray.functions.format import fixed_cols as _fixed_cols
+from graphscope_ray.functions.format import fixed_str as _fixed_str
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
+    Columns pruned at the read; revenue computed vectorized per batch;
+    one groupby shuffle."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("revenue", rev)
+
+    out = grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_revenue": ("revenue", "sum"),
+            "avg_disc": ("l_discount", "mean"),
+            "count_order": (None, "size"),
+        },
+    )
+    return _fixed_cols(out, {"sum_qty": 4, "sum_revenue": 4, "avg_disc": 6})
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
+                  ) -> ray.data.Dataset:
+    """Join customer⋈orders⋈lineitem, filter segment, revenue per order,
+    top-k by (revenue desc, orderkey asc). Joins are hash-partitioned
+    ``Dataset.join``; the final top-k is a partial-topk + small sort."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
+        .drop_columns(["c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    co = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    col = li.join(
+        co, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
+
+    agg = grouped_agg(
+        col.map_batches(revenue, batch_format="pyarrow"),
+        ["o_orderkey"], {"revenue": ("revenue", "sum")},
+    )
+    top = (
+        agg.to_pandas()
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+    )
+    top["revenue"] = _fixed_str(top["revenue"].to_numpy(), 4)
+    return ray.data.from_pandas(top.reset_index(drop=True))
+
+
+def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per customer nation: region⋈nation⋈customer⋈orders⋈lineitem
+    — the multi-join chain, small dims broadcast via pandas merge."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust.merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                      right_on="n_nationkey")[["c_custkey", "n_name"]]
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    from graphscope_ray.stages.relational import broadcast_lookup_join
+
+    o_n = broadcast_lookup_join(
+        orders.rename_columns({"o_custkey": "c_custkey"}), cust,
+        on="c_custkey", how="inner",
+    )
+    ol = li.join(
+        o_n, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"n_name": t.column("n_name"), "revenue": rev})
+
+    out = grouped_agg(
+        ol.map_batches(revenue, batch_format="pyarrow"),
+        ["n_name"], {"revenue": ("revenue", "sum")},
+    )
+    return _fixed_cols(out, {"revenue": 4})
+
+
+def q_dedup_orders(sf_dir: str) -> ray.data.Dataset:
+    """First order per customer by (orderdate, orderkey) — GIE Dedup
+    with deterministic tie-break."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return dedup_first(orders, ["o_custkey"], order_by=["o_orderdate", "o_orderkey"])
+
+
+def q_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows per event_type: count + sum(value) —
+    the streaming-shaped workload as a batch groupby (ray_guide:
+    windows over an ordered log are group-bys on floor(ts))."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def hour(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"event_type": t.column("event_type"),
+                         "window_start": h, "value": t.column("value")})
+
+    out = grouped_agg(
+        ev.map_batches(hour, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        {"n_events": (None, "size"), "sum_value": ("value", "sum")},
+    )
+    return _fixed_cols(out, {"sum_value": 4})
+
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Session counts per user (new session when the gap to the previous
+    event exceeds ``gap_minutes``) — ordered-log windowing inside
+    ``groupby(user).map_groups`` over ts-sorted groups."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # whole users per bucket: session starts where the user changes
+        # or the gap exceeds the threshold — one vectorized pass
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        new = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap))
+        )
+        out = (
+            pd.DataFrame({"user_id": uid, "new": new})
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("new", "sum"), n_events=("new", "size"))
+            .reset_index()
+        )
+        return out.astype({"n_sessions": np.int64, "n_events": np.int64})
+
+    return bucketed_group_apply(ev, ["user_id"], sessions, num_buckets=16)

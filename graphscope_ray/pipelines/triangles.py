@@ -31,7 +31,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 _EDGE_SENTINEL = np.int64(-1)
 
@@ -51,12 +50,10 @@ def _canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
         u, v = np.minimum(s, d), np.maximum(s, d)
         return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
 
-    return (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    from graphscope_ray.stages.relational import dedup_first
+
+    return dedup_first(edges.map_batches(canon, batch_format="pyarrow"),
+                       ["u", "v"])
 
 
 def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -69,10 +66,11 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
         v = batch.column("v").to_numpy(zero_copy_only=False)
         return pa.table({"vid": pa.array(np.concatenate([u, v]), pa.int64())})
 
+    from graphscope_ray.stages.relational import grouped_agg
+
     deg_df = (
-        canon.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Count(alias_name="degree"))
+        grouped_agg(canon.map_batches(endpoints, batch_format="pyarrow"),
+                    ["vid"], {"degree": (None, "size")})
         .to_pandas()
         .sort_values("vid")
     )
@@ -96,60 +94,55 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
 
-    # --- wedges per center ---------------------------------------------
-    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
-        nb = g["b"].to_numpy(np.int64)
-        if len(nb) < 2:
-            return pd.DataFrame(
-                {"x": pd.Series([], dtype=np.int64),
-                 "y": pd.Series([], dtype=np.int64),
-                 "center": pd.Series([], dtype=np.int64)}
-            )
-        nb = nb[np.lexsort((nb, deg_of(nb)))]  # (deg,id) order: wedge pair
-        i, j = np.triu_indices(len(nb), k=1)   # is oriented like the edges
-        return pd.DataFrame(
-            {"x": nb[i], "y": nb[j],
-             "center": np.full(len(i), g["a"].iloc[0], dtype=np.int64)}
-        )
+    # --- wedges per center (bucketed: one vectorized self-merge emits
+    # the out-neighbor pairs of every center in the bucket) --------------
+    from graphscope_ray.stages.relational import bucketed_group_apply
 
-    wedges = oriented.groupby("a").map_groups(wedges_of, batch_format="pandas")
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="a")
+        bx = m["b_x"].to_numpy(np.int64)
+        by = m["b_y"].to_numpy(np.int64)
+        dx, dy = deg_of(bx), deg_of(by)
+        keep = (dx < dy) | ((dx == dy) & (bx < by))  # (deg,id) orientation
+        return pd.DataFrame({"x": bx[keep], "y": by[keep],
+                             "center": m["a"].to_numpy(np.int64)[keep]})
+
+    wedges = bucketed_group_apply(oriented, ["a"], wedges_of, num_buckets=64)
 
     # --- close wedges against the oriented edge set (tagged union) -----
-    def as_edge_rows(t: pd.DataFrame) -> pd.DataFrame:
-        # pandas out to match the wedge blocks (union requires one block type)
-        return pd.DataFrame(
-            {"x": t["a"], "y": t["b"],
-             "center": np.full(len(t), _EDGE_SENTINEL, dtype=np.int64)}
+    def as_edge_rows(t: pa.Table) -> pa.Table:
+        # Arrow out to match the wedge blocks (union needs one block type)
+        return pa.table(
+            {"x": t.column("a"), "y": t.column("b"),
+             "center": pa.array(np.full(t.num_rows, _EDGE_SENTINEL), pa.int64())}
         )
 
-    edge_rows = oriented.map_batches(as_edge_rows, batch_format="pandas")
+    edge_rows = oriented.map_batches(as_edge_rows, batch_format="pyarrow")
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["center"].to_numpy(np.int64)
-        centers = c[c != _EDGE_SENTINEL]
-        if len(centers) == len(c) or len(centers) == 0:  # no edge row / no wedges
-            return pd.DataFrame(
-                {"vid": pd.Series([], dtype=np.int64),
-                 "cnt": pd.Series([], dtype=np.int64)}
-            )
-        n = len(centers)
-        vids = np.concatenate([centers, [g["x"].iloc[0], g["y"].iloc[0]]])
-        cnts = np.concatenate([np.ones(n, np.int64), [n, n]])
-        return pd.DataFrame({"vid": vids.astype(np.int64), "cnt": cnts})
+        # whole (x, y) groups per bucket: a wedge closes iff its pair
+        # also appears as an edge row — one vectorized semi-join
+        is_edge = g["center"].to_numpy(np.int64) == _EDGE_SENTINEL
+        edge_pairs = g.loc[is_edge, ["x", "y"]].drop_duplicates()
+        closed = g.loc[~is_edge].merge(edge_pairs, on=["x", "y"])
+        if not len(closed):
+            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        vids = np.concatenate([closed["center"].to_numpy(np.int64),
+                               closed["x"].to_numpy(np.int64),
+                               closed["y"].to_numpy(np.int64)])
+        return pd.DataFrame({"vid": vids,
+                             "cnt": np.ones(len(vids), dtype=np.int64)})
 
-    hits = (
-        wedges.union(edge_rows)
-        .groupby(["x", "y"])
-        .map_groups(close, batch_format="pandas")
+    hits = bucketed_group_apply(
+        wedges.union(edge_rows), ["x", "y"], close, num_buckets=64
     )
 
     # --- per-vertex sum + zero rows for triangle-free vertices ----------
-    zeros = ray.data.from_pandas(
-        pd.DataFrame({"vid": deg_df["vid"].to_numpy(np.int64),
-                      "cnt": np.zeros(len(deg_df), np.int64)})
+    zeros = ray.data.from_arrow(
+        pa.table({"vid": pa.array(deg_df["vid"].to_numpy(np.int64)),
+                  "cnt": pa.array(np.zeros(len(deg_df), np.int64))})
     )
-    return (
-        hits.union(zeros)
-        .groupby("vid")
-        .aggregate(Sum("cnt", alias_name="triangles"))
+    return grouped_agg(
+        hits.union(zeros), ["vid"], {"triangles": ("cnt", "sum")}
     )

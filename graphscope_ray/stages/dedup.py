@@ -25,7 +25,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from graphscope_ray.functions.hashing import hash64_ints, hash64_strings, sha256_hex
+from graphscope_ray.functions.hashing import (
+    hash64_ints,
+    hash64_strings,
+    sha256_hex,
+    splitmix64,
+)
 from graphscope_ray.functions.text import TOKEN_RE
 from graphscope_ray.stages.relational import dedup_first
 
@@ -49,25 +54,64 @@ def exact_dedup(
 # ------------------------------------------------------------- shingles
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(hash64_strings(np.asarray(grams, dtype=object)))
+def _flat_token_hashes(texts: pd.Series):
+    """Tokenize a whole batch and hash every token in ONE vectorized
+    hash call. Returns (flat uint64 hashes, per-doc start offsets)."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    lengths = toks.str.len().to_numpy(np.int64)
+    flat = toks.explode().dropna()
+    h = (hash64_strings(flat.to_numpy(object)) if len(flat)
+         else np.empty(0, np.uint64))
+    starts = np.concatenate(([0], np.cumsum(lengths)))
+    return h, starts
 
 
-def _minhash_sig(sh: np.ndarray, num_perm: int, seeds: np.ndarray) -> np.ndarray:
-    # one-permutation-per-seed minhash: min over splitmix64(shingle ^ seed)
+def _batch_shingles(texts: pd.Series, k: int):
+    """Rolling k-token shingle hashes for a whole batch: combine k
+    consecutive token hashes arithmetically (no string joins, no
+    per-doc loop). Docs are separated by k-1 zero-padding slots so a
+    rolling window never crosses a document boundary (doc-local and
+    batch-composition-independent). Returns (flat shingle hashes,
+    per-doc shingle start offsets)."""
+    h, starts = _flat_token_hashes(texts)
+    lengths = np.diff(starts)
+    n_docs = len(lengths)
+    pad = k - 1
+    padded = np.zeros(len(h) + pad * n_docs + pad, dtype=np.uint64)
+    pad_starts = starts[:-1] + pad * np.arange(n_docs)
+    if len(h):
+        scatter = np.concatenate(
+            [np.arange(s, s + m) for s, m in zip(pad_starts, lengths)]
+        ).astype(np.int64)
+        padded[scatter] = h
+    B = np.uint64(1099511628211)
     with np.errstate(over="ignore"):
-        m = hash64_ints((sh[None, :] ^ seeds[:, None]).view(np.int64).reshape(-1))
-    return m.reshape(num_perm, -1).min(axis=1)
+        sh = padded.copy()
+        for j in range(1, k):
+            sh[: len(padded) - j] = sh[: len(padded) - j] * B ^ padded[j:]
+    out_lens = np.where(lengths == 0, 0, np.maximum(lengths - k + 1, 1))
+    out_starts = np.concatenate(([0], np.cumsum(out_lens)))
+    idx = (
+        np.concatenate(
+            [np.arange(s, s + m) for s, m in zip(pad_starts, out_lens)]
+        ).astype(np.int64)
+        if out_lens.sum()
+        else np.empty(0, np.int64)
+    )
+    return sh[idx], out_starts
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct shingle hashes of one doc (same kernel as the batch
+    path, so verify-Jaccard sees the identical shingle space)."""
+    sh, _ = _batch_shingles(pd.Series([text]), k)
+    return np.unique(sh)
 
 
 class MinHasher:
-    """Actor-pool stage: seeds prepared once per actor (__init__), per
-    batch emits (id, band, band_sig) rows — b rows per doc."""
+    """Actor-pool stage: seeds prepared once per actor (__init__); the
+    whole batch is shingled and min-hashed with segment reduces — no
+    per-document Python loop."""
 
     def __init__(self, text_col: str, id_col: str, k: int, num_perm: int, bands: int):
         assert num_perm % bands == 0
@@ -77,16 +121,25 @@ class MinHasher:
         self.seeds = hash64_ints(np.arange(num_perm, dtype=np.int64))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, sigs = [], [], []
-        for i, t in zip(batch[self.id_col], batch[self.text_col]):
-            sig = _minhash_sig(_shingle_hashes(t, self.k), self.num_perm, self.seeds)
-            band_sig = hash64_ints(
-                sig.reshape(self.bands, self.rows).sum(axis=1).view(np.int64)
-            ).view(np.int64)
-            ids.extend([i] * self.bands)
-            bands.extend(range(self.bands))
-            sigs.extend(band_sig.tolist())
-        return pd.DataFrame({"doc_id": ids, "band": bands, "sig": sigs})
+        sh, starts = _batch_shingles(batch[self.text_col], self.k)
+        n_docs = len(batch)
+        doc_lens = np.diff(starts)
+        nonempty = doc_lens > 0
+        seg_starts = starts[:-1][nonempty]
+        sigs = np.full((self.num_perm, n_docs), np.uint64(0xFFFFFFFFFFFFFFFF))
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                hp = splitmix64(sh ^ self.seeds[p])
+                if len(seg_starts):
+                    sigs[p][nonempty] = np.minimum.reduceat(hp, seg_starts)
+        # fold each band's rows into one signature
+        band_sum = sigs.reshape(self.bands, self.rows, n_docs).sum(axis=1)
+        band_sig = hash64_ints(band_sum.view(np.int64).reshape(-1)).view(
+            np.int64).reshape(self.bands, n_docs)
+        ids = np.tile(batch[self.id_col].to_numpy(), self.bands)
+        bands = np.repeat(np.arange(self.bands, dtype=np.int64), n_docs)
+        return pd.DataFrame({"doc_id": ids, "band": bands,
+                             "sig": band_sig.reshape(-1)})
 
 
 def minhash_lsh_pairs(
@@ -111,23 +164,32 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) > max_bucket:
+        # whole (band, sig) LSH buckets per call: truncate degenerate
+        # buckets (boilerplate shingles) deterministically + log, then
+        # one vectorized self-merge emits the candidate pairs
+        g = g.drop_duplicates(["band", "sig", "doc_id"]).sort_values(
+            ["band", "sig", "doc_id"], kind="mergesort"
+        )
+        rank = g.groupby(["band", "sig"], sort=False).cumcount()
+        over = rank >= max_bucket
+        if over.any():
             import logging
 
             logging.getLogger(__name__).warning(
-                "LSH bucket band=%s truncated: %d docs > cap %d",
-                g["band"].iloc[0], len(ids), max_bucket,
+                "LSH cap %d: %d rows dropped across %d hot buckets",
+                max_bucket, int(over.sum()),
+                g.loc[over, ["band", "sig"]].drop_duplicates().shape[0],
             )
-            ids = ids[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
-                                 "b": pd.Series([], dtype=ids.dtype)})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+            g = g[~over]
+        m = g.merge(g, on=["band", "sig"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({"a": m["doc_id_x"].to_numpy(),
+                             "b": m["doc_id_y"].to_numpy()})
 
-    cand = sigs.groupby(["band", "sig"]).map_groups(pairs, batch_format="pandas")
+    cand = bucketed_group_apply(sigs, ["band", "sig"], pairs, num_buckets=64)
     # a pair can surface from several bands -> dedup
     return dedup_first(cand, ["a", "b"])
 
@@ -165,18 +227,21 @@ class SimHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.uint64)
-        for n, t in enumerate(batch[self.text_col]):
-            toks = TOKEN_RE.findall(t.lower())
-            if not toks:
-                out[n] = 0
-                continue
-            hs = hash64_strings(np.asarray(toks, dtype=object))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            votes = bits.sum(axis=0) * 2 > len(hs)
-            out[n] = np.bitwise_or.reduce(
-                votes.astype(np.uint64) << np.arange(64, dtype=np.uint64)
-            )
+        h, starts = _flat_token_hashes(batch[self.text_col])
+        lengths = np.diff(starts)
+        nonempty = lengths > 0
+        out = np.zeros(len(batch), dtype=np.uint64)
+        if len(h):
+            # bit matrix of every token hash in the batch, vote per doc
+            # via one segment-reduce per 64 bits folded into a matmul
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            votes = np.add.reduceat(bits, starts[:-1][nonempty], axis=0)
+            maj = votes * 2 > lengths[nonempty][:, None]
+            out[nonempty] = (
+                maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
         return pd.DataFrame(
             {self.id_col: batch[self.id_col], "simhash": out.view(np.int64)}
         )

@@ -30,7 +30,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 from graphscope_ray.functions.hashing import sha256_hex
 
@@ -106,27 +105,34 @@ def derive_edges(
     logged (no silent caps). Weight = number of distinct shared keys.
     """
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["repo", "kind"])
-        prov = np.sort(g.loc[g["kind"] == PROVIDES, "repo"].to_numpy())
-        refs = np.sort(g.loc[g["kind"] == REFERENCES, "repo"].to_numpy())
-        dropped = max(0, len(prov) - cap_per_key) + max(0, len(refs) - cap_per_key)
-        if dropped:
-            logger.warning(
-                "dep key %r truncated: %d providers, %d referencers, cap %d "
-                "(%d repos dropped)",
-                g["key"].iloc[0], len(prov), len(refs), cap_per_key, dropped,
-            )
-            prov, refs = prov[:cap_per_key], refs[:cap_per_key]
-        if len(prov) == 0 or len(refs) == 0:
-            return pd.DataFrame({"src": pd.Series([], dtype=object),
-                                 "dst": pd.Series([], dtype=object)})
-        src = np.repeat(refs, len(prov))
-        dst = np.tile(prov, len(refs))
-        keep = src != dst
-        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+    from graphscope_ray.stages.relational import bucketed_group_apply
 
-    edges = pairs.groupby("key").map_groups(emit, batch_format="pandas")
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        # g holds WHOLE key-groups for many keys: dedupe, truncate hot
+        # keys (deterministic: lexicographically-first repos survive),
+        # then one vectorized refs×provs merge on key.
+        g = g.drop_duplicates(["repo", "key", "kind"])
+        g = g.sort_values(["key", "kind", "repo"], kind="mergesort")
+        rank = g.groupby(["key", "kind"], sort=False).cumcount()
+        over = rank >= cap_per_key
+        dropped = int(over.sum())
+        if dropped:
+            hot = g.loc[over, "key"].nunique()
+            logger.warning(
+                "dep-key cap %d: %d repo slots dropped across %d hot keys "
+                "in this bucket", cap_per_key, dropped, hot,
+            )
+            g = g[~over]
+        prov = g[g["kind"] == PROVIDES][["key", "repo"]]
+        refs = g[g["kind"] == REFERENCES][["key", "repo"]]
+        m = refs.merge(prov, on="key", suffixes=("_src", "_dst"))
+        m = m[m["repo_src"] != m["repo_dst"]]
+        return pd.DataFrame({"src": m["repo_src"].to_numpy(),
+                             "dst": m["repo_dst"].to_numpy()})
+
+    edges = bucketed_group_apply(pairs, ["key"], emit, num_buckets=64)
     if not weighted:
         return edges
-    return edges.groupby(["src", "dst"]).aggregate(Count(alias_name="weight"))
+    from graphscope_ray.stages.relational import grouped_agg
+
+    return grouped_agg(edges, ["src", "dst"], {"weight": (None, "size")})

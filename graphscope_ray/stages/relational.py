@@ -75,20 +75,91 @@ def broadcast_lookup_join(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def bucketed_group_apply(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    fn,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Apply ``fn`` to coarse hash-buckets that contain WHOLE key-groups.
+
+    Ray's ``groupby(keys).map_groups`` calls Python once per group —
+    ruinous for millions of tiny groups. This coarsens the shuffle key
+    to ``hash(keys) % num_buckets`` so ``fn`` runs ~num_buckets times
+    over vectorizable frames, while the co-location guarantee (all rows
+    of a key in one call) is preserved. ``fn`` must itself be group-
+    aware (pandas groupby/merge/drop_duplicates inside).
+
+    num_buckets trades parallelism against per-call overhead; at
+    cluster scale set it ≳ total cores. Skewed single keys still land
+    in one bucket — cap/salt inside ``fn`` where that matters."""
+    from graphscope_ray.functions.hashing import hash64_any
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in keys:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(1099511628211) ^ hash64_any(b[k].to_numpy())
+        b = b.copy()
+        b["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return b
+
+    def run(g: pd.DataFrame) -> pa.Table:
+        # emit Arrow blocks: downstream operators (Project/Sort/union)
+        # expect a uniform block type, and several assume Arrow
+        return pa.Table.from_pandas(fn(g.drop(columns=["_bucket"])),
+                                    preserve_index=False)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Grouped aggregation via bucketed pandas (C-speed) groupbys.
+
+    ``spec`` maps output column → (input column, pandas aggfunc), e.g.
+    ``{"weight": (None, "size"), "revenue": ("rev", "sum")}`` (``None``
+    column = row count). Semantically ``groupby(keys).aggregate(...)``;
+    implemented over :func:`bucketed_group_apply` because Ray 2.49's
+    native aggregate paths run at ~1k rows/s on this version (sort-based
+    AggregateMap) or spin a large aggregator actor pool (hash-based) —
+    measured in tools/; the bucketed path is ~1000× faster here and
+    shuffles the same bytes."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        named = {
+            out: pd.NamedAgg(column=col if col is not None else keys[0],
+                             aggfunc=fn)
+            for out, (col, fn) in spec.items()
+        }
+        return gb.agg(**named).reset_index()
+
+    return bucketed_group_apply(ds, keys, f, num_buckets)
+
+
 def dedup_first(
     ds: ray.data.Dataset,
     keys: list[str],
     order_by: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Distinct-by-keys keeping the first row in ``order_by`` order —
-    deterministic (GIE Dedup). One hash shuffle on ``keys``."""
+    deterministic (GIE Dedup). One bucketed hash shuffle on ``keys``."""
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        if order_by:
-            g = g.sort_values(order_by, kind="mergesort")
-        return g.head(1)
+        g = g.sort_values(keys + (order_by or []), kind="mergesort")
+        return g.drop_duplicates(subset=keys, keep="first")
 
-    return ds.groupby(keys).map_groups(first, batch_format="pandas")
+    return bucketed_group_apply(ds, keys, first, num_buckets)
 
 
 def unfold(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:

@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 from graphscope_ray.functions.hashing import string_ids_to_vids
 
@@ -48,7 +47,9 @@ def build_vertex_map(oids: ray.data.Dataset, oid_col: str = "repo") -> ray.data.
     One groupby shuffle over the (much smaller than edges) vertex set.
     Collision check: every vid must map to exactly one oid.
     """
-    distinct = oids.groupby(oid_col).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    from graphscope_ray.stages.relational import dedup_first
+
+    distinct = dedup_first(oids.select_columns([oid_col]), [oid_col])
 
     def add(batch: pa.Table) -> pa.Table:
         vids = string_ids_to_vids(batch.column(oid_col).to_pylist())
@@ -56,7 +57,7 @@ def build_vertex_map(oids: ray.data.Dataset, oid_col: str = "repo") -> ray.data.
 
     vmap = distinct.map_batches(add, batch_format="pyarrow").materialize()
     n_oids = vmap.count()
-    n_vids = vmap.groupby("vid").aggregate(Count(alias_name="_n")).count()
+    n_vids = dedup_first(vmap.select_columns(["vid"]), ["vid"]).count()
     if n_oids != n_vids:
         raise ValueError(
             f"vid hash collision: {n_oids} distinct oids -> {n_vids} distinct vids; "
@@ -95,11 +96,15 @@ def canonical_components(
     Skew note: each component is one ``map_groups`` group; a giant
     component lands on one task, but the work is a single vectorized
     min + column assign (O(|group|) with no blowup)."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
     named = attach_oids(comp, vmap, oid_col, num_partitions)  # (vid, component, oid)
     out_col = "component_" + oid_col
 
     def relabel(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({oid_col: g[oid_col], out_col: g[oid_col].min()})
+        rep = g.groupby("component", sort=False)[oid_col].transform("min")
+        return pd.DataFrame({oid_col: g[oid_col].to_numpy(),
+                             out_col: rep.to_numpy()})
 
-    return named.groupby("component").map_groups(relabel, batch_format="pandas")
+    return bucketed_group_apply(named, ["component"], relabel, num_buckets=64)
 
