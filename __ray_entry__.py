@@ -54,6 +54,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": sf_graph.q_part_triangles,
         "part_bfs": sf_graph.q_part_bfs,
         "part_sssp": sf_graph.q_part_sssp,
+        "part_clustering": sf_graph.q_part_clustering,
+        "part_avg_clustering": sf_graph.q_part_avg_clustering,
+        "part_transitivity": sf_graph.q_part_transitivity,
+        "part_assortativity": sf_graph.q_part_assortativity,
+        "part_avg_degree_connectivity": sf_graph.q_part_avg_degree_connectivity,
+        "part_node_boundary": sf_graph.q_part_node_boundary,
+        "part_edge_boundary": sf_graph.q_part_edge_boundary,
+        "part_kcore": sf_graph.q_part_kcore,
+        "part_hits": sf_graph.q_part_hits,
+        "part_katz": sf_graph.q_part_katz,
+        "part_eigenvector": sf_graph.q_part_eigenvector,
         # relational / windowing
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_top_orders": tpch.q3_top_orders,
@@ -118,7 +129,7 @@ def _pagerank_sql() -> str:
   FROM v LEFT JOIN c{i} c ON c.vid = v.vid)""")
     return (
         "WITH " + "".join(parts)
-        + f"\nSELECT vid, printf('%.6f', round(r, 6)) AS pagerank FROM pr{PR_ITERS}"
+        + f"\nSELECT vid, printf('%.6f', r) AS pagerank FROM pr{PR_ITERS}"
     )
 
 
@@ -146,13 +157,107 @@ def _cdlp_sql() -> str:
     )
 
 
+_TRI_DEG_CTES = """
+e AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges),
+t AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+     FROM e e1 JOIN e e2 ON e2.u = e1.v
+     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS vid FROM t UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t),
+ve AS MATERIALIZED (SELECT DISTINCT vid FROM
+     (SELECT u AS vid FROM e UNION ALL SELECT v FROM e)),
+tri AS MATERIALIZED (
+  SELECT ve.vid, COALESCE(cnt.n, 0) AS t
+  FROM ve LEFT JOIN (SELECT vid, count(*) AS n FROM corners GROUP BY vid) cnt
+  ON cnt.vid = ve.vid),
+dg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM arcs GROUP BY src)
+"""
+
+
+def _hits_sql(iters: int = 10) -> str:
+    """HITS unrolled: a=Aᵀh, h=Aa, both max-normalized per iter, final
+    sum-normalize (matches algorithms.hits with tol=0)."""
+    parts = [
+        _GRAPH_CTES,
+        ", n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        ", h0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS x FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(f"""
+, ar{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.x, 0) AS x FROM verts v LEFT JOIN (
+    SELECT a.dst AS vid, sum(h.x) AS x FROM arcs a
+    JOIN h{i} h ON h.vid = a.src GROUP BY a.dst) s ON s.vid = v.vid)
+, hr{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.x, 0) AS x FROM verts v LEFT JOIN (
+    SELECT a.dst AS vid, sum(ar.x) AS x FROM arcs a
+    JOIN ar{i} ar ON ar.vid = a.src GROUP BY a.dst) s ON s.vid = v.vid)
+, h{i + 1} AS MATERIALIZED (
+  SELECT vid, x / NULLIF((SELECT max(x) FROM hr{i}), 0) AS x FROM hr{i})
+, a{i + 1} AS MATERIALIZED (
+  SELECT vid, x / NULLIF((SELECT max(x) FROM ar{i}), 0) AS x FROM ar{i})""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT h.vid,
+       printf('%.6f', h.x / NULLIF((SELECT sum(x) FROM h{iters}), 0))
+         AS hub,
+       printf('%.6f', a.x / NULLIF((SELECT sum(x) FROM a{iters}), 0))
+         AS authority
+FROM h{iters} h JOIN a{iters} a ON a.vid = h.vid"""
+    )
+
+
+def _katz_sql(iters: int = 10, alpha: float = 0.005, beta: float = 1.0) -> str:
+    parts = [
+        _GRAPH_CTES,
+        ", x0 AS MATERIALIZED (SELECT vid, 0.0 AS x FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(f"""
+, x{i + 1} AS MATERIALIZED (
+  SELECT v.vid, CAST({alpha} AS DOUBLE) * COALESCE(s.x, 0)
+                + CAST({beta} AS DOUBLE) AS x
+  FROM verts v LEFT JOIN (
+    SELECT a.dst AS vid, sum(x.x) AS x FROM arcs a
+    JOIN x{i} x ON x.vid = a.src GROUP BY a.dst) s ON s.vid = v.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT vid, printf('%.6f', 
+    x / sqrt((SELECT sum(x * x) FROM x{iters}))) AS katz
+FROM x{iters}"""
+    )
+
+
+def _eigenvector_sql(iters: int = 20) -> str:
+    parts = [
+        _GRAPH_CTES,
+        ", n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        ", x0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM n) AS x FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(f"""
+, r{i} AS MATERIALIZED (
+  SELECT v.vid, x.x + COALESCE(s.x, 0) AS x
+  FROM verts v JOIN x{i} x ON x.vid = v.vid LEFT JOIN (
+    SELECT a.dst AS vid, sum(x.x) AS x FROM arcs a
+    JOIN x{i} x ON x.vid = a.src GROUP BY a.dst) s ON s.vid = v.vid)
+, x{i + 1} AS MATERIALIZED (
+  SELECT vid, x / sqrt((SELECT sum(x * x) FROM r{i})) AS x FROM r{i})""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT vid, printf('%.6f', x) AS eigenvector FROM x{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "part_graph_edges": f"WITH {_GRAPH_CTES.strip()}\n"
         "SELECT src, dst, weight FROM edges",
         "part_degree": f"WITH {_GRAPH_CTES.strip()}\n"
         "SELECT a.src AS vid, count(*) AS degree,\n"
-        "       printf('%.6f', round(count(*) / CAST((SELECT count(*) FROM verts) - 1 AS DOUBLE), 6))"
+        "       printf('%.6f', count(*) / CAST((SELECT count(*) FROM verts) - 1 AS DOUBLE))"
         " AS centrality\n"
         "FROM arcs a GROUP BY a.src",
         "part_pagerank": _pagerank_sql(),
@@ -182,17 +287,55 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.vid\n"
         "  WHERE w.d < 30)\n"
         "SELECT vid, min(d) AS depth FROM walk GROUP BY vid",
-        # part_sssp: no SQL oracle (weighted SSSP explodes in pure SQL)
+        "part_clustering": f"WITH {_GRAPH_CTES.strip()},\n{_TRI_DEG_CTES.strip()}\n"
+        "SELECT tri.vid, printf('%.6f', CASE WHEN dg.d > 1\n"
+        "  THEN 2.0 * tri.t / (dg.d * (dg.d - 1)) ELSE 0 END) AS clustering\n"
+        "FROM tri JOIN dg ON dg.vid = tri.vid",
+        "part_avg_clustering": f"WITH {_GRAPH_CTES.strip()},\n{_TRI_DEG_CTES.strip()}\n"
+        "SELECT printf('%.6f', avg(CASE WHEN dg.d > 1\n"
+        "  THEN 2.0 * tri.t / (dg.d * (dg.d - 1)) ELSE 0 END))\n"
+        "  AS avg_clustering\n"
+        "FROM tri JOIN dg ON dg.vid = tri.vid",
+        "part_transitivity": f"WITH {_GRAPH_CTES.strip()},\n{_TRI_DEG_CTES.strip()}\n"
+        "SELECT printf('%.6f', \n"
+        "  (SELECT sum(t) FROM tri) /\n"
+        "  (SELECT sum(d * (d - 1) / 2.0) FROM dg)) AS transitivity",
+        "part_assortativity": f"WITH {_GRAPH_CTES.strip()},\n"
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM arcs GROUP BY src)\n"
+        "SELECT printf('%.6f', corr(du.d, dv.d)) AS assortativity\n"
+        "FROM arcs a JOIN dg du ON du.vid = a.src JOIN dg dv ON dv.vid = a.dst",
+        "part_avg_degree_connectivity": f"WITH {_GRAPH_CTES.strip()},\n"
+        "dg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM arcs GROUP BY src)\n"
+        "SELECT du.d AS k,\n"
+        "       printf('%.6f', sum(dv.d) / CAST(count(*) AS DOUBLE))\n"
+        "         AS avg_nbr_degree\n"
+        "FROM arcs a JOIN dg du ON du.vid = a.src JOIN dg dv ON dv.vid = a.dst\n"
+        "GROUP BY du.d",
+        "part_node_boundary": f"WITH {_GRAPH_CTES.strip()},\n"
+        "s AS (SELECT vid FROM verts WHERE vid % 10 = 0)\n"
+        "SELECT DISTINCT a.dst AS vid FROM arcs a\n"
+        "WHERE a.src IN (SELECT vid FROM s) AND a.dst NOT IN (SELECT vid FROM s)",
+        "part_edge_boundary": f"WITH {_GRAPH_CTES.strip()},\n"
+        "s AS (SELECT vid FROM verts WHERE vid % 10 = 0)\n"
+        "SELECT CASE WHEN src IN (SELECT vid FROM s) THEN src ELSE dst END AS u,\n"
+        "       CASE WHEN src IN (SELECT vid FROM s) THEN dst ELSE src END AS v\n"
+        "FROM edges\n"
+        "WHERE (src IN (SELECT vid FROM s)) <> (dst IN (SELECT vid FROM s))",
+        "part_hits": _hits_sql(10),
+        "part_katz": _katz_sql(10),
+        "part_eigenvector": _eigenvector_sql(20),
+        # part_sssp / part_kcore: no SQL oracle (weighted SSSP / iterative
+        # peeling explode in pure SQL; pytest networkx oracles cover them)
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       printf('%.4f', round(sum(l_quantity), 4)) AS sum_qty,
-       printf('%.4f', round(sum(l_extendedprice * (1 - l_discount)), 4)) AS sum_revenue,
-       printf('%.6f', round(avg(l_discount), 6)) AS avg_disc,
+       printf('%.4f', sum(l_quantity)) AS sum_qty,
+       printf('%.4f', sum(l_extendedprice * (1 - l_discount))) AS sum_revenue,
+       printf('%.6f', avg(l_discount)) AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "q3_top_orders": """
 SELECT l.l_orderkey AS o_orderkey,
-       printf('%.4f', round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)) AS revenue
+       printf('%.4f', sum(l.l_extendedprice * (1 - l.l_discount))) AS revenue
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -202,7 +345,7 @@ ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o_orderkey
 LIMIT 10""",
         "q5_nation_revenue": """
 SELECT n.n_name,
-       printf('%.4f', round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)) AS revenue
+       printf('%.4f', sum(l.l_extendedprice * (1 - l.l_discount))) AS revenue
 FROM nation n
 JOIN customer c ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -216,7 +359,7 @@ SELECT o_orderkey, o_custkey, o_orderdate FROM (
   FROM orders) WHERE rn = 1""",
         "events_window": """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n_events, printf('%.4f', round(sum(value), 4)) AS sum_value
+       count(*) AS n_events, printf('%.4f', sum(value)) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         "events_sessions": """
 WITH x AS (
@@ -234,14 +377,14 @@ FROM x GROUP BY user_id""",
 SELECT doc_id,
        length(text) AS n_chars,
        len(regexp_extract_all(text, '\w+')) AS n_tokens,
-       printf('%.6f', round(CASE WHEN length(text) > 0
+       printf('%.6f', CASE WHEN length(text) > 0
              THEN len(regexp_extract_all(text, '[^\w\s]'))
-                  / CAST(length(text) AS DOUBLE) ELSE 0 END, 6)) AS punct_ratio,
-       printf('%.6f', round(CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+                  / CAST(length(text) AS DOUBLE) ELSE 0 END) AS punct_ratio,
+       printf('%.6f', CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
              THEN len(list_filter(regexp_extract_all(lower(text), '\w+'),
                                   x -> x IN {STOPWORDS_SQL}))
                   / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
-             ELSE 0 END, 6)) AS stopword_ratio
+             ELSE 0 END) AS stopword_ratio
 FROM documents""",
         # doc_lang / doc_fingerprint / doc_minhash_pairs / doc_simhash /
         # embedding_neardup: rows-only (heuristic or hash pipelines with
@@ -250,7 +393,7 @@ FROM documents""",
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 5)
 SELECT q.qid AS query_idx, e.vec_id,
-       printf('%.5f', round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 5)) AS cosine
+       printf('%.5f', list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS cosine
 FROM q CROSS JOIN embeddings e
 QUALIFY row_number() OVER (
   PARTITION BY q.qid

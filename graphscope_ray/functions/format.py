@@ -18,8 +18,13 @@ import ray.data
 
 
 def fixed_str(values, nd: int) -> np.ndarray:
-    """Vectorized '%.{nd}f' of round(values, nd) (object array of str)."""
-    arr = np.round(np.asarray(values, dtype=np.float64), nd)
+    """Vectorized '%.{nd}f' of the values (object array of str).
+
+    No pre-rounding: %.Nf performs correctly-rounded decimal conversion
+    of the exact double, identically in C/Python/DuckDB's printf —
+    whereas numpy's round (half-to-even) and SQL ROUND (half-away)
+    disagree on boundary values."""
+    arr = np.asarray(values, dtype=np.float64)
     return np.char.mod(f"%.{nd}f", arr).astype(object)
 
 
@@ -44,5 +49,5 @@ def fixed_cols_df(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 
 
 def sql_fixed(expr: str, nd: int) -> str:
-    """The SQL twin of fixed_str: printf('%.{nd}f', round(expr, nd))."""
-    return f"printf('%.{nd}f', round({expr}, {nd}))"
+    """The SQL twin of fixed_str: printf('%.{nd}f', expr)."""
+    return f"printf('%.{nd}f', {expr})"

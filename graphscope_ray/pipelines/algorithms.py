@@ -156,6 +156,112 @@ def cdlp(
     return graph.state_dataset("label"), _metrics(rounds, graph.n_edges)
 
 
+def hits(
+    graph_fwd: ShardedGraph,
+    graph_rev: ShardedGraph,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+):
+    """HITS hub/authority scores — networkx semantics (the reference's
+    gs::HITS, apps/hits/hits.h:205): per iteration a = Aᵀh then h = Aa,
+    both max-normalized; converge on Σ|Δh| < n·tol; final sum-normalize.
+
+    ``graph_fwd`` holds arcs as given (hub lives here); ``graph_rev``
+    the reversed arcs (authority lives here). Both must be built with
+    the same partition count and full vertex registration so partition-
+    aligned state tables can be exchanged. ``tol=0`` forces exactly
+    ``max_iter`` rounds (SQL-oracle mode)."""
+    if graph_fwd.P != graph_rev.P:
+        raise ValueError("fwd/rev graphs must share a partition count")
+    n = graph_fwd.n_vertices
+    graph_fwd.call_all("value_init", 1.0 / n)  # h
+    graph_rev.call_all("value_init", 1.0 / n)  # a
+    rounds = []
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        graph_fwd.call_all("save_snapshot")
+        # a_raw = A^T h : push h along fwd arcs, accumulate at rev pool
+        refs = graph_fwd.scatter_refs("value_scatter")
+        graph_rev.apply_all("value_apply", refs, 1.0, 0.0, False)
+        # h_raw = A a_raw : push a along rev arcs, accumulate at fwd pool
+        refs = graph_rev.scatter_refs("value_scatter")
+        parts_h = graph_fwd.apply_all("value_apply", refs, 1.0, 0.0, False)
+        max_h = max(p[3] for p in parts_h) or 1.0
+        graph_fwd.call_all("value_scale", 1.0 / max_h)
+        a_max = max(graph_rev.call_all("state_max")) or 1.0
+        graph_rev.call_all("value_scale", 1.0 / a_max)
+        err = sum(graph_fwd.call_all("l1_diff_snapshot"))
+        rounds.append({"round": it, "delta": err,
+                       "seconds": time.perf_counter() - t0})
+        if tol > 0 and err < n * tol:
+            break
+    s_h = sum(graph_fwd.call_all("value_scale", 1.0))
+    graph_fwd.call_all("value_scale", 1.0 / s_h if s_h else 1.0)
+    s_a = sum(graph_rev.call_all("value_scale", 1.0))
+    graph_rev.call_all("value_scale", 1.0 / s_a if s_a else 1.0)
+    return (
+        graph_fwd.state_dataset("hub"),
+        graph_rev.state_dataset("authority"),
+        _metrics(rounds, graph_fwd.n_edges),
+    )
+
+
+def katz_centrality(
+    graph: ShardedGraph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """Katz centrality — networkx semantics (reference
+    apps/centrality/katz/katz_centrality.h:186): x' = α·Aᵀx + β along
+    in-edges (push along stored arcs ⇒ the graph's arcs must point
+    src→dst as influence flows), converge Σ|Δ| < n·tol, final L2
+    normalize."""
+    n = graph.n_vertices
+    graph.call_all("value_init", 0.0)
+    rounds = []
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        refs = graph.scatter_refs("value_scatter")
+        parts = graph.apply_all("value_apply", refs, alpha, beta, False)
+        err = sum(p[0] for p in parts)
+        rounds.append({"round": it, "delta": err,
+                       "seconds": time.perf_counter() - t0})
+        if tol > 0 and err < n * tol:
+            break
+    sumsq = sum(p[2] for p in parts)
+    s = 1.0 / (sumsq ** 0.5) if sumsq > 0 else 1.0
+    graph.call_all("value_scale", s)
+    return graph.state_dataset("katz"), _metrics(rounds, graph.n_edges)
+
+
+def eigenvector_centrality(
+    graph: ShardedGraph,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """Eigenvector centrality — networkx power iteration (reference
+    apps/centrality/eigenvector/eigenvector_centrality.h:185):
+    x' = (Aᵀ + I)x, L2-normalized each round, converge Σ|Δ| < n·tol."""
+    n = graph.n_vertices
+    graph.call_all("value_init", 1.0 / n)
+    rounds = []
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        graph.call_all("save_snapshot")
+        refs = graph.scatter_refs("value_scatter")
+        parts = graph.apply_all("value_apply", refs, 1.0, 0.0, True)
+        sumsq = sum(p[2] for p in parts)
+        graph.call_all("value_scale", 1.0 / (sumsq ** 0.5) if sumsq else 1.0)
+        err = sum(graph.call_all("l1_diff_snapshot"))
+        rounds.append({"round": it, "delta": err,
+                       "seconds": time.perf_counter() - t0})
+        if tol > 0 and err < n * tol:
+            break
+    return graph.state_dataset("eigenvector"), _metrics(rounds, graph.n_edges)
+
+
 def bfs(graph: ShardedGraph, source: int, max_iter: int = 10**6):
     """BFS depth from ``source`` (apps/bfs/bfs_generic.h): frontier
     expansion rounds with min-depth combine; unreached vertices get

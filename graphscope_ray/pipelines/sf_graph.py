@@ -137,6 +137,105 @@ def q_part_bfs(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     return state.map_batches(finite, batch_format="pyarrow")
 
 
+def q_part_clustering(sf_dir: str) -> ray.data.Dataset:
+    """Local clustering coefficient per part (fixed 6dp strings)."""
+    from graphscope_ray.functions.format import fixed_cols
+    from graphscope_ray.pipelines.structure import clustering_coefficient
+
+    cc = clustering_coefficient(part_cooccurrence_edges(sf_dir))
+    return fixed_cols(cc, {"clustering": 6})
+
+
+def q_part_avg_clustering(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.format import fixed_str
+    from graphscope_ray.pipelines.structure import average_clustering
+
+    v = average_clustering(part_cooccurrence_edges(sf_dir))
+    return pd.DataFrame({"avg_clustering": fixed_str([v], 6)})
+
+
+def q_part_transitivity(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.format import fixed_str
+    from graphscope_ray.pipelines.structure import transitivity
+
+    v = transitivity(part_cooccurrence_edges(sf_dir))
+    return pd.DataFrame({"transitivity": fixed_str([v], 6)})
+
+
+def q_part_assortativity(sf_dir: str) -> pd.DataFrame:
+    from graphscope_ray.functions.format import fixed_str
+    from graphscope_ray.pipelines.structure import degree_assortativity
+
+    v = degree_assortativity(part_cooccurrence_edges(sf_dir))
+    return pd.DataFrame({"assortativity": fixed_str([v], 6)})
+
+
+def q_part_avg_degree_connectivity(sf_dir: str) -> ray.data.Dataset:
+    from graphscope_ray.functions.format import fixed_cols
+    from graphscope_ray.pipelines.structure import average_degree_connectivity
+
+    out = average_degree_connectivity(part_cooccurrence_edges(sf_dir))
+    return fixed_cols(out, {"avg_nbr_degree": 6})
+
+
+def _boundary_set(sf_dir: str) -> list:
+    """Deterministic SQL-expressible vertex set S: partkeys ≡ 0 mod 10."""
+    vs = part_vertices(sf_dir).to_pandas()
+    return sorted(int(v) for v in vs["vid"] if v % 10 == 0)
+
+
+def q_part_node_boundary(sf_dir: str) -> ray.data.Dataset:
+    from graphscope_ray.pipelines.structure import node_boundary
+
+    return node_boundary(part_cooccurrence_edges(sf_dir), _boundary_set(sf_dir))
+
+
+def q_part_edge_boundary(sf_dir: str) -> ray.data.Dataset:
+    from graphscope_ray.pipelines.structure import edge_boundary
+
+    return edge_boundary(part_cooccurrence_edges(sf_dir), _boundary_set(sf_dir))
+
+
+def q_part_kcore(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """k-core membership (rows-only: iterative peeling has no faithful
+    SQL twin; exactness covered by the networkx pytest oracle)."""
+    from graphscope_ray.pipelines.structure import kcore
+
+    return kcore(part_cooccurrence_edges(sf_dir), k)
+
+
+def q_part_hits(sf_dir: str, num_partitions: int = 8, iters: int = 10
+                ) -> ray.data.Dataset:
+    """HITS on the undirected part graph (A = Aᵀ so one pool serves
+    both directions), fixed ``iters`` rounds for the unrolled SQL twin."""
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    hub, auth, _ = algorithms.hits(g, g, max_iter=iters, tol=0.0)
+    merged = hub.to_pandas().merge(auth.to_pandas(), on="vid")
+    ds = ray.data.from_pandas(merged)
+    return fixed_cols(ds, {"hub": 6, "authority": 6})
+
+
+def q_part_katz(sf_dir: str, num_partitions: int = 8, iters: int = 10,
+                alpha: float = 0.005, beta: float = 1.0) -> ray.data.Dataset:
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    state, _ = algorithms.katz_centrality(g, alpha=alpha, beta=beta,
+                                          max_iter=iters, tol=0.0)
+    return fixed_cols(state, {"katz": 6})
+
+
+def q_part_eigenvector(sf_dir: str, num_partitions: int = 8, iters: int = 20
+                       ) -> ray.data.Dataset:
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    state, _ = algorithms.eigenvector_centrality(g, max_iter=iters, tol=0.0)
+    return fixed_cols(state, {"eigenvector": 6})
+
+
 def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     """Weighted shortest paths from the min part key (edge length =
     co-occurrence weight). No SQL oracle (recursive weighted SSSP

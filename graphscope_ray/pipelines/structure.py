@@ -1,0 +1,249 @@
+"""Structural graph metrics as Dataset pipelines.
+
+Covers the reference's clustering/assortativity/boundary/k-core family
+(SURVEY §2.2): local clustering coefficient
+(``apps/clustering/clustering.h:286``), average clustering
+(``avg_clustering.h:260``), transitivity (``transitivity.h:311``),
+degree assortativity (``apps/assortativity/degree_assortativity_
+coefficient.h:259``), average degree connectivity
+(``average_degree_connectivity.h:250``), node/edge boundary
+(``apps/boundary/*.h``), k-core (``apps/kcore/kcore.h:130``) and
+k-shell (``kshell.h:139``). All on the undirected simple graph,
+composed from triangle counts + degree tables + broadcast semi-joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.pipelines.degree import degree_table
+from graphscope_ray.pipelines.triangles import _canonical_edges, triangle_counts
+from graphscope_ray.stages.relational import (
+    broadcast_semi_join,
+    bucketed_group_apply,
+    grouped_agg,
+)
+
+
+def _tri_deg(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(vid, triangles, degree) over the undirected simple graph.
+
+    The degree table is vertex-scale → broadcast once and appended per
+    batch (same compromise as triangle_counts' orientation lookup;
+    avoids a shuffle join on two vertex-scale tables)."""
+    canon = _canonical_edges(edges).materialize()
+    tri = triangle_counts(canon.rename_columns({"u": "src", "v": "dst"}))
+    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
+    deg_df = deg_df.sort_values("vid")
+    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
+                   deg_df["degree"].to_numpy(np.int64)))
+
+    def add_deg(t: pa.Table) -> pa.Table:
+        vids, degs = ray.get(ref)
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "degree", pa.array(degs[np.searchsorted(vids, v)], pa.int64())
+        )
+
+    return tri.map_batches(add_deg, batch_format="pyarrow")
+
+
+def clustering_coefficient(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)); 0 when deg < 2
+    (networkx semantics, matching gs::Clustering on undirected)."""
+    td = _tri_deg(edges)
+
+    def lcc(t: pa.Table) -> pa.Table:
+        tri = t.column("triangles").to_numpy(zero_copy_only=False).astype(np.float64)
+        deg = t.column("degree").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = deg * (deg - 1.0)
+        c = np.where(denom > 0, 2.0 * tri / np.maximum(denom, 1.0), 0.0)
+        return pa.table({"vid": t.column("vid"),
+                         "clustering": pa.array(c, pa.float64())})
+
+    return td.map_batches(lcc, batch_format="pyarrow")
+
+
+def average_clustering(edges: ray.data.Dataset, n_vertices: int | None = None
+                       ) -> float:
+    """Mean lcc over all vertices (vertices absent from the edge set
+    count as 0 when ``n_vertices`` is given)."""
+    cc = clustering_coefficient(edges)
+    tot = 0.0
+    cnt = 0
+    for b in cc.iter_batches(batch_format="pandas"):
+        tot += float(b["clustering"].sum())
+        cnt += len(b)
+    n = n_vertices if n_vertices is not None else cnt
+    return tot / n if n else 0.0
+
+
+def transitivity(edges: ray.data.Dataset) -> float:
+    """3·triangles / open triads = Σ T(v) / Σ C(deg(v), 2)."""
+    td = _tri_deg(edges)
+    tri_sum = 0.0
+    wedge_sum = 0.0
+    for b in td.iter_batches(batch_format="pandas"):
+        tri_sum += float(b["triangles"].sum())
+        d = b["degree"].to_numpy(np.float64)
+        wedge_sum += float((d * (d - 1.0) / 2.0).sum())
+    return tri_sum / wedge_sum if wedge_sum else 0.0
+
+
+def degree_assortativity(edges: ray.data.Dataset) -> float:
+    """Pearson correlation of endpoint degrees over undirected arcs
+    (each edge contributes both orientations, networkx convention)."""
+    canon = _canonical_edges(edges).materialize()
+    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
+    deg_df = deg_df.sort_values("vid")
+    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
+                   deg_df["degree"].to_numpy(np.float64)))
+
+    def moments(t: pa.Table) -> pa.Table:
+        vids, degs = ray.get(ref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = degs[np.searchsorted(vids, u)]
+        dv = degs[np.searchsorted(vids, v)]
+        # both orientations: (du,dv) and (dv,du)
+        x = np.concatenate([du, dv])
+        y = np.concatenate([dv, du])
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]), "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+        })
+
+    agg = canon.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    cov = agg["sxy"] / n - (sx / n) * (sy / n)
+    vx = agg["sxx"] / n - (sx / n) ** 2
+    vy = agg["syy"] / n - (sy / n) ** 2
+    return float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
+
+
+def average_degree_connectivity(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """knn(k) = average neighbor degree over all vertices of degree k
+    (networkx average_degree_connectivity): Σ over arcs from deg-k
+    sources of dst degree / (k · #deg-k sources)."""
+    canon = _canonical_edges(edges).materialize()
+    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
+    deg_df = deg_df.sort_values("vid")
+    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
+                   deg_df["degree"].to_numpy(np.float64)))
+
+    def arcs(t: pa.Table) -> pa.Table:
+        vids, degs = ray.get(ref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = degs[np.searchsorted(vids, u)]
+        dv = degs[np.searchsorted(vids, v)]
+        # keep degrees integral: the per-k sums stay exact int64, so
+        # the final float division is bit-identical to any other engine
+        # summing the same integers (no accumulation-order knife-edge)
+        k = np.concatenate([du, dv]).astype(np.int64)
+        nbr = np.concatenate([dv, du]).astype(np.int64)
+        return pa.table({"k": pa.array(k), "nbr_deg": pa.array(nbr)})
+
+    sums = grouped_agg(
+        canon.map_batches(arcs, batch_format="pyarrow"),
+        ["k"], {"sum_nbr": ("nbr_deg", "sum"), "n_arcs": (None, "size")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("sum_nbr").to_numpy(zero_copy_only=False)
+        n = t.column("n_arcs").to_numpy(zero_copy_only=False)
+        return pa.table({"k": t.column("k"),
+                         "avg_nbr_degree": pa.array(s / n, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def node_boundary(edges: ray.data.Dataset, s: list) -> ray.data.Dataset:
+    """Vertices NOT in S adjacent to a vertex in S (nx semantics,
+    apps/boundary/node_boundary.h) — broadcast set membership."""
+    canon = _canonical_edges(edges)
+    arcs = canon.map_batches(
+        lambda t: pa.table({
+            "a": pa.concat_arrays([t.column("u").combine_chunks(),
+                                   t.column("v").combine_chunks()]),
+            "b": pa.concat_arrays([t.column("v").combine_chunks(),
+                                   t.column("u").combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    inside = broadcast_semi_join(arcs, s, on="a")
+    outside = broadcast_semi_join(inside, s, on="b", anti=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vid": g["b"].drop_duplicates().to_numpy()})
+
+    return bucketed_group_apply(outside.select_columns(["b"]), ["b"], first, 16)
+
+
+def edge_boundary(edges: ray.data.Dataset, s: list) -> ray.data.Dataset:
+    """Edges with exactly one endpoint in S (u-side in S, nx semantics)."""
+    canon = _canonical_edges(edges)
+    sref = ray.put(np.asarray(list(s), dtype=np.int64))
+
+    def f(t: pa.Table) -> pa.Table:
+        ss = ray.get(sref)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        inu, inv = np.isin(u, ss), np.isin(v, ss)
+        keep = inu ^ inv
+        # orient: S-side first
+        a = np.where(inu[keep], u[keep], v[keep])
+        b = np.where(inu[keep], v[keep], u[keep])
+        return pa.table({"u": pa.array(a, pa.int64()),
+                         "v": pa.array(b, pa.int64())})
+
+    return canon.map_batches(f, batch_format="pyarrow")
+
+
+def kcore(edges: ray.data.Dataset, k: int, max_iter: int = 10**6
+          ) -> ray.data.Dataset:
+    """Vertices of the k-core (maximal subgraph with min degree ≥ k) —
+    iterative peeling (gs::KCore): drop deg<k vertices, re-count,
+    repeat to fixpoint. Each round = one grouped count + one broadcast
+    semi-filter over the shrinking edge set."""
+    sub = _canonical_edges(edges).materialize()
+    while max_iter:
+        max_iter -= 1
+        deg_df = degree_table(sub, mode="both", src="u", dst="v").to_pandas()
+        if deg_df.empty:
+            sub = None
+            break
+        keep = deg_df.loc[deg_df["degree"] >= k, "vid"].to_numpy(np.int64)
+        if len(keep) == len(deg_df):
+            break
+        if len(keep) == 0:
+            sub = None
+            break
+        sub = broadcast_semi_join(
+            broadcast_semi_join(sub, keep, on="u"), keep, on="v"
+        ).materialize()
+        if sub.count() == 0:
+            sub = None
+            break
+    if sub is None:
+        return ray.data.from_arrow(pa.table({"vid": pa.array([], pa.int64())}))
+    deg_df = degree_table(sub, mode="both", src="u", dst="v").to_pandas()
+    if deg_df.empty:
+        return ray.data.from_arrow(pa.table({"vid": pa.array([], pa.int64())}))
+    keep = np.sort(deg_df.loc[deg_df["degree"] >= k, "vid"].to_numpy(np.int64))
+    return ray.data.from_arrow(pa.table({"vid": pa.array(keep, pa.int64())}))
+
+
+def kshell(edges: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """k-shell = in k-core but not in (k+1)-core (gs::KShell)."""
+    core_k = set(kcore(edges, k).to_pandas()["vid"])
+    core_k1 = set(kcore(edges, k + 1).to_pandas()["vid"])
+    out = np.array(sorted(core_k - core_k1), dtype=np.int64)
+    return ray.data.from_arrow(pa.table({"vid": pa.array(out, pa.int64())}))

@@ -1,0 +1,71 @@
+"""Edge/vertex table readers (SURVEY §2.4 sources).
+
+The reference loads CSV (configurable delimiter/header), ORC, Parquet,
+in-memory pandas/numpy, and whitespace ``.v``/``.e`` edge-list files
+(``python/graphscope/framework/loader.py:99-160``;
+``analytical_engine/test/run_app.h:154-190``). Ray-native equivalents:
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
+                       weight: str | None = None) -> ray.data.Dataset:
+    cols = [src, dst] + ([weight] if weight else [])
+    ds = ray.data.read_parquet(path, columns=cols)
+    ren = {src: "src", dst: "dst"}
+    if weight:
+        ren[weight] = "weight"
+    return ds.rename_columns(ren)
+
+
+def read_edges_csv(path: str, src: str = "src", dst: str = "dst",
+                   weight: str | None = None, **csv_kwargs) -> ray.data.Dataset:
+    ds = ray.data.read_csv(path, **csv_kwargs)
+    ren = {src: "src", dst: "dst"}
+    if weight:
+        ren[weight] = "weight"
+    return ds.select_columns(list(ren)).rename_columns(ren)
+
+
+def read_edge_list(path: str, comment: str = "#") -> ray.data.Dataset:
+    """Whitespace-separated ``src dst [weight]`` lines (the reference
+    test driver's ``.e`` files, run_app.h:154-190) via read_text +
+    vectorized parse."""
+    txt = ray.data.read_text(path)
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        lines = b["text"].str.strip()
+        lines = lines[(lines != "") & ~lines.str.startswith(comment)]
+        if lines.empty:  # a block holding only comments/blank lines
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        parts = lines.str.split(expand=True)
+        out = pd.DataFrame({
+            "src": parts[0].astype(np.int64),
+            "dst": parts[1].astype(np.int64),
+        })
+        if parts.shape[1] > 2 and parts[2].notna().all():
+            out["weight"] = parts[2].astype(np.float64)
+        return out
+
+    return txt.map_batches(parse, batch_format="pandas")
+
+
+def from_pandas_edges(df: pd.DataFrame) -> ray.data.Dataset:
+    """In-memory pandas loader (loader.py 'pandas' protocol)."""
+    return ray.data.from_pandas(df)
+
+
+def from_numpy_edges(src: np.ndarray, dst: np.ndarray,
+                     weight: np.ndarray | None = None) -> ray.data.Dataset:
+    """In-memory numpy loader (loader.py 'numpy' protocol)."""
+    cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if weight is not None:
+        cols["weight"] = pa.array(weight, pa.float64())
+    return ray.data.from_arrow(pa.table(cols))

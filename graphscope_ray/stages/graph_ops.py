@@ -1,0 +1,112 @@
+"""Graph-management operators (SURVEY §2.3 — the engine's relational
+surface, ``GrapeInstance::OnReceive`` dispatch table,
+``analytical_engine/core/grape_instance.cc:1294-1470``).
+
+Each reference RPC op maps to a thin Dataset transformation; graphs are
+edge Datasets (src, dst[, weight]) plus optional vertex Datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.stages.relational import broadcast_semi_join, dedup_first
+
+
+def to_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """TO_UNDIRECTED (grape_instance.cc:975-1006): undirected simple
+    edge set = distinct canonical (min,max) pairs."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.minimum(s, d)),
+                         "dst": pa.array(np.maximum(s, d))})
+
+    return dedup_first(edges.map_batches(canon, batch_format="pyarrow"),
+                       ["src", "dst"])
+
+
+def to_directed(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """TO_DIRECTED: emit both arcs of each undirected edge."""
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t.column("src").combine_chunks(),
+                                     t.column("dst").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("dst").combine_chunks(),
+                                     t.column("src").combine_chunks()]),
+        })
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def reverse_view(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """VIEW_GRAPH reversed (grape_instance.cc:1146-1168): lazy column
+    swap (zero-copy per batch; Ray's rename can't swap two names)."""
+
+    def swap(t: pa.Table) -> pa.Table:
+        names = ["dst" if c == "src" else "src" if c == "dst" else c
+                 for c in t.column_names]
+        return t.rename_columns(names)
+
+    return edges.map_batches(swap, batch_format="pyarrow")
+
+
+def induce_subgraph(edges: ray.data.Dataset, vertices) -> ray.data.Dataset:
+    """INDUCE_SUBGRAPH (grape_instance.cc:1008-1085): keep edges with
+    BOTH endpoints in the vertex list (broadcast semi-join)."""
+    keep = list(vertices)
+    return broadcast_semi_join(
+        broadcast_semi_join(edges, keep, on="src"), keep, on="dst"
+    )
+
+
+def add_column(
+    vertex_table: ray.data.Dataset,
+    result: ray.data.Dataset,
+    on: str = "vid",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """ADD_COLUMN (grape_instance.cc:893-915): attach an app result as a
+    new vertex property (left join keeps result-less vertices)."""
+    return vertex_table.join(
+        result, join_type="left_outer", num_partitions=num_partitions, on=(on,)
+    )
+
+
+def report_graph(edges: ray.data.Dataset) -> dict:
+    """REPORT_GRAPH (grape_instance.cc:353-359): node/edge counts."""
+    n_edges = edges.count()
+    verts = set()
+    for b in edges.select_columns(["src", "dst"]).iter_batches(
+        batch_format="pandas", batch_size=65536
+    ):
+        verts.update(np.unique(b["src"].to_numpy()).tolist())
+        verts.update(np.unique(b["dst"].to_numpy()).tolist())
+    return {"n_edges": n_edges, "n_vertices": len(verts)}
+
+
+def archive_graph(edges: ray.data.Dataset, path: str) -> None:
+    """ARCHIVE_GRAPH (grape_instance.cc:214-233): persist to parquet
+    (a directory of part files — resumable layout)."""
+    edges.write_parquet(path)
+
+
+def consolidate_columns(
+    ds: ray.data.Dataset, cols: list[str], out: str, sep: str = "|"
+) -> ray.data.Dataset:
+    """CONSOLIDATE_COLUMNS (grape_instance.cc:1195-1222)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out] = b[cols].astype(str).agg(sep.join, axis=1)
+        return b.drop(columns=cols)
+
+    return ds.map_batches(f, batch_format="pandas")

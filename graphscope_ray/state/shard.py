@@ -272,6 +272,61 @@ class GraphShard:
         self._frontier[pos] = True
         return int(better.sum())
 
+    # --------------------------- generic linear propagation (HITS/Katz/…)
+    def value_init(self, value: float = 1.0) -> int:
+        """state[v] = value for all local vertices."""
+        self.state = np.full(self.n_local, value, dtype=np.float64)
+        return self.n_local
+
+    def value_scatter(self, weighted: bool = False):
+        """Emit state[src] (optionally × edge weight) along stored arcs,
+        pre-summed per destination — the generic 'push my value' step
+        (used with a reversed-arc twin graph for in-edge pulls)."""
+        vals = self.state[self.e_src_pos]
+        if weighted:
+            vals = vals * self.e_w
+        return self._emit_per_part(None, vals, np.add)
+
+    def value_apply(self, alpha: float, beta: float, plus_state: bool,
+                    *msg_parts):
+        """state' = alpha * Σ_in msgs + beta (+ state if plus_state);
+        returns partials (Σ|Δ|, Σ state', Σ state'², max state') for
+        driver-side normalization (grape::Communicator allreduce role)."""
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.float64))
+        acc = np.zeros(self.n_local, dtype=np.float64)
+        if len(dst):
+            u, s = _group_reduce(dst, val, np.add)
+            acc[np.searchsorted(self.local, u)] = s
+        new = alpha * acc + beta + (self.state if plus_state else 0.0)
+        delta = float(np.abs(new - self.state).sum())
+        self.state = new
+        return (
+            delta,
+            float(new.sum()),
+            float((new * new).sum()),
+            float(new.max()) if self.n_local else 0.0,
+        )
+
+    def value_scale(self, factor: float) -> float:
+        self.state *= factor
+        return float(self.state.sum())
+
+    def state_max(self) -> float:
+        return float(self.state.max()) if self.n_local else 0.0
+
+    def save_snapshot(self) -> int:
+        self._snap = self.state.copy()
+        return self.n_local
+
+    def l1_diff_snapshot(self) -> float:
+        return float(np.abs(self.state - self._snap).sum())
+
+    def set_state_vector(self, table: pa.Table) -> int:
+        """Overwrite state from a (vid, value) table produced by a twin
+        graph's shard with the SAME partitioning (fid fn + full vertex
+        registration ⇒ identical local vid arrays)."""
+        return self.load_state(table)
+
     # ------------------------------------------------------ state export
     def state_table(self, col: str = "value") -> pa.Table:
         st = self.state

@@ -49,6 +49,35 @@ def oracle_pagerank(edges, vertices, directed, alpha=0.85, max_iter=100, tol=1e-
     return x
 
 
+def oracle_hits(edges, vertices, max_iter=100, tol=1e-8):
+    """Pure-python replica of networkx._hits_python (scipy missing):
+    a = Aᵀh, h = Aa, max-normalize both each iter, final sum-normalize."""
+    g = nx.DiGraph()
+    g.add_nodes_from(vertices)
+    g.add_edges_from(edges)
+    h = {v: 1.0 / g.number_of_nodes() for v in g}
+    a = dict.fromkeys(h, 0.0)
+    for _ in range(max_iter):
+        hlast = h
+        h = dict.fromkeys(hlast, 0.0)
+        a = dict.fromkeys(hlast, 0.0)
+        for n in hlast:
+            for nbr in g[n]:
+                a[nbr] += hlast[n]
+        for n in a:
+            for nbr in g[n]:
+                h[n] += a[nbr]
+        smax = max(h.values()) or 1.0
+        h = {k: v / smax for k, v in h.items()}
+        smax = max(a.values()) or 1.0
+        a = {k: v / smax for k, v in a.items()}
+        if sum(abs(h[n] - hlast[n]) for n in h) < tol:
+            break
+    sh = sum(h.values()) or 1.0
+    sa = sum(a.values()) or 1.0
+    return {k: v / sh for k, v in h.items()}, {k: v / sa for k, v in a.items()}
+
+
 def oracle_wcc(edges, vertices):
     """component id = min vertex id in component (exact)."""
     parent = {v: v for v in vertices}

@@ -1,0 +1,62 @@
+"""Graph-management ops + readers vs pandas/networkx checks."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from graphscope_ray.sources.readers import (
+    from_numpy_edges,
+    read_edge_list,
+)
+from graphscope_ray.stages.graph_ops import (
+    add_column,
+    consolidate_columns,
+    induce_subgraph,
+    report_graph,
+    reverse_view,
+    to_directed,
+    to_undirected,
+)
+
+
+def _edges():
+    return ray.data.from_pandas(pd.DataFrame(
+        {"src": [1, 2, 2, 3, 3, 1], "dst": [2, 1, 3, 2, 4, 1]}))
+
+
+def test_orientation_ops():
+    und = to_undirected(_edges()).to_pandas()
+    assert sorted(map(tuple, und[["src", "dst"]].to_numpy())) == [
+        (1, 2), (2, 3), (3, 4)]  # dedup + canon + self-loop dropped
+    dirr = to_directed(ray.data.from_pandas(und)).to_pandas()
+    assert len(dirr) == 6
+    rev = reverse_view(_edges()).to_pandas()
+    assert list(rev.columns[:2]) in (["dst", "src"], ["src", "dst"])
+    assert sorted(rev["src"]) == sorted(_edges().to_pandas()["dst"])
+
+
+def test_induce_and_report():
+    sub = induce_subgraph(_edges(), [1, 2, 3]).to_pandas()
+    assert 4 not in set(sub["src"]) | set(sub["dst"])
+    rep = report_graph(_edges())
+    assert rep == {"n_edges": 6, "n_vertices": 4}
+
+
+def test_add_column_and_consolidate():
+    verts = ray.data.from_pandas(pd.DataFrame({"vid": [1, 2, 3, 4]}))
+    res = ray.data.from_pandas(pd.DataFrame({"vid": [1, 2], "score": [0.5, 0.7]}))
+    out = add_column(verts, res).to_pandas().sort_values("vid")
+    assert len(out) == 4 and out["score"].notna().sum() == 2
+    cds = ray.data.from_pandas(pd.DataFrame({"a": ["x", "y"], "b": [1, 2]}))
+    c = consolidate_columns(cds, ["a", "b"], "ab").to_pandas()
+    assert sorted(c["ab"]) == ["x|1", "y|2"]
+
+
+def test_edge_list_reader(tmp_path):
+    p = tmp_path / "g.e"
+    p.write_text("# comment\n1 2 0.5\n2 3 1.5\n\n3 1 2.0\n")
+    ds = read_edge_list(str(p)).to_pandas().sort_values(["src", "dst"])
+    assert list(ds["src"]) == [1, 2, 3]
+    assert list(ds["weight"]) == [0.5, 1.5, 2.0]
+    nds = from_numpy_edges(np.array([1, 2]), np.array([2, 3]))
+    assert nds.count() == 2

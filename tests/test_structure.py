@@ -1,0 +1,132 @@
+"""Structural metrics + spectral algorithms vs networkx oracles."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.pipelines import algorithms
+from graphscope_ray.pipelines.structure import (
+    average_degree_connectivity,
+    average_clustering,
+    clustering_coefficient,
+    degree_assortativity,
+    edge_boundary,
+    kcore,
+    kshell,
+    node_boundary,
+    transitivity,
+)
+from graphscope_ray.sources.generator import MICRO_EDGES, MICRO_VERTICES, micro_edge_table
+from graphscope_ray.state.graph import build_graph
+
+
+@pytest.fixture(scope="module")
+def rgraph():
+    rng = np.random.default_rng(9)
+    edges = list({(int(a), int(b)) for a, b in rng.integers(0, 40, (160, 2))
+                  if a != b})
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    return g, ds
+
+
+def test_clustering(rgraph):
+    g, ds = rgraph
+    got = clustering_coefficient(ds).to_pandas()
+    want = nx.clustering(g)
+    for vid, c in zip(got["vid"], got["clustering"]):
+        assert c == pytest.approx(want[vid], abs=1e-12)
+    assert average_clustering(ds) == pytest.approx(nx.average_clustering(g), abs=1e-12)
+    assert transitivity(ds) == pytest.approx(nx.transitivity(g), abs=1e-12)
+
+
+def test_assortativity(rgraph):
+    g, ds = rgraph
+    got = degree_assortativity(ds)
+    want = nx.degree_assortativity_coefficient(g)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_avg_degree_connectivity(rgraph):
+    g, ds = rgraph
+    got = dict(zip(*(average_degree_connectivity(ds).to_pandas()[c]
+                     for c in ("k", "avg_nbr_degree"))))
+    want = nx.average_degree_connectivity(g)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_boundaries(rgraph):
+    g, ds = rgraph
+    s = [v for v in g.nodes if v < 10]
+    got = sorted(node_boundary(ds, s).to_pandas()["vid"])
+    want = sorted(nx.node_boundary(g, s))
+    assert got == want
+    got_e = {tuple(sorted(p)) for p in
+             edge_boundary(ds, s).to_pandas()[["u", "v"]].to_numpy()}
+    want_e = {tuple(sorted(p)) for p in nx.edge_boundary(g, s)}
+    assert got_e == want_e
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_kshell(rgraph, k):
+    g, ds = rgraph
+    def vids(ds_out):
+        df = ds_out.to_pandas()
+        # Ray's to_pandas drops the schema on 0-row datasets
+        return sorted(df["vid"]) if "vid" in df.columns else []
+
+    assert vids(kcore(ds, k)) == sorted(nx.k_core(g, k).nodes)
+    assert vids(kshell(ds, k)) == sorted(nx.k_shell(g, k).nodes)
+
+
+def _micro(directed, reverse=False):
+    tab = micro_edge_table()
+    df = tab.to_pandas()
+    if reverse:
+        df = df.rename(columns={"src": "dst", "dst": "src"})
+    edges = ray.data.from_pandas(df)
+    verts = ray.data.from_items([{"vid": v} for v in MICRO_VERTICES])
+    return build_graph(edges, num_partitions=3, directed=directed,
+                       extra_vertices=verts)
+
+
+def test_hits_micro():
+    from .oracles import oracle_hits
+
+    want_h, want_a = oracle_hits(MICRO_EDGES, MICRO_VERTICES,
+                                 max_iter=500, tol=1e-12)
+    fwd, rev = _micro(True), _micro(True, reverse=True)
+    hub, auth, _ = algorithms.hits(fwd, rev, max_iter=500, tol=1e-10)
+    hdf, adf = hub.to_pandas(), auth.to_pandas()
+    for vid, h in zip(hdf["vid"], hdf["hub"]):
+        assert h == pytest.approx(want_h[vid], abs=1e-6), ("hub", vid)
+    for vid, a in zip(adf["vid"], adf["authority"]):
+        assert a == pytest.approx(want_a[vid], abs=1e-6), ("auth", vid)
+
+
+def test_katz_micro():
+    g = nx.DiGraph(MICRO_EDGES)
+    g.add_nodes_from(MICRO_VERTICES)
+    want = nx.katz_centrality(g, alpha=0.1, beta=1.0, tol=1e-10)
+    graph = _micro(True)
+    res, _ = algorithms.katz_centrality(graph, alpha=0.1, beta=1.0, tol=1e-10)
+    df = res.to_pandas()
+    for vid, x in zip(df["vid"], df["katz"]):
+        assert x == pytest.approx(want[vid], abs=1e-6), vid
+
+
+def test_eigenvector_micro():
+    g = nx.Graph(MICRO_EDGES)  # undirected: symmetric adjacency
+    want = nx.eigenvector_centrality(g, max_iter=500, tol=1e-10)
+    graph = _micro(False)
+    res, _ = algorithms.eigenvector_centrality(graph, max_iter=500, tol=1e-10)
+    df = res.to_pandas()
+    got = {v: x for v, x in zip(df["vid"], df["eigenvector"]) if v in want}
+    for vid in want:
+        assert got[vid] == pytest.approx(want[vid], abs=1e-5), vid
