@@ -28,9 +28,19 @@ STOPWORDS_SQL = "('the','and','of','to','a','in','is','that','it','for')"
 # ---------------------------------------------------------------- entry
 
 
+def _tune():
+    """Size Ray Data's shuffle fan-out to the session (the driver owns
+    ray.init; defaults assume a 200-core cluster and dominate wall time
+    at small scale)."""
+    from graphscope_ray.context import tune_for_session
+
+    tune_for_session(quiet=False)
+
+
 def entry() -> Any:
     """Flagship: part co-occurrence graph at sf0.001 → PageRank + WCC
     on the actor-pool engine, merged into one vertex table."""
+    _tune()
     from graphscope_ray.pipelines.sf_graph import q_part_pagerank, q_part_wcc
 
     pr = q_part_pagerank(SF_SMOKE).to_pandas()
@@ -42,6 +52,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _tune()
     from graphscope_ray.pipelines import sf_graph, textproc, tpch
 
     return {

@@ -278,6 +278,32 @@ def sssp(graph: ShardedGraph, source: int, max_iter: int = 10**6):
                       col="distance")
 
 
+def sssp_average_length(graph: ShardedGraph, source: int) -> float:
+    """Average shortest-path length from ``source`` over reachable
+    vertices (apps/sssp/sssp_average_length.h:260 — per-source variant)."""
+    state, _ = sssp(graph, source)
+    total, n = 0.0, 0
+    for b in state.iter_batches(batch_format="pandas"):
+        d = b["distance"].to_numpy()
+        finite = d[~__import__("numpy").isinf(d)]
+        total += float(finite.sum())
+        n += len(finite)
+    return total / n if n else 0.0
+
+
+def sssp_has_path(graph: ShardedGraph, source: int, target: int) -> bool:
+    """Reachability source→target (apps/sssp/sssp_has_path.h:157):
+    BFS frontier expansion, early answer read from the final state."""
+    import numpy as np
+
+    state, _ = bfs(graph, source)
+    for b in state.iter_batches(batch_format="pandas"):
+        hit = b[b["vid"] == target]
+        if len(hit):
+            return bool(np.isfinite(hit["depth"].iloc[0]))
+    return False
+
+
 def _dist_loop(graph, sources, weighted, max_iter, col):
     import numpy as np
 

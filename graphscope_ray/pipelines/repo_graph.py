@@ -16,7 +16,11 @@ from __future__ import annotations
 import ray.data
 
 from graphscope_ray.pipelines import algorithms
-from graphscope_ray.stages.derive import derive_edges, extract_dep_keys, with_sha256
+from graphscope_ray.stages.derive import (
+    derive_edges,
+    extract_dep_keys,
+    with_sha256,
+)
 from graphscope_ray.state.graph import ShardedGraph, build_graph
 from graphscope_ray.state.vertex_map import (
     add_vid_columns,
@@ -50,7 +54,11 @@ def build_repo_graph(
     files share no keys become isolated vertices — they must exist, as
     in the reference's vertex map, global_vertex_map.h:44-68).
     """
-    edges_oid = corpus_to_edges(corpus, cap_per_key=cap_per_key)
+    # unweighted derive: multigraph pair rows ship as-is; the exact
+    # (src,dst) dedup happens shard-locally at build (all copies of an
+    # arc hash to the same owner) — one less edge-scale shuffle
+    pairs = extract_dep_keys(corpus)
+    edges_oid = derive_edges(pairs, cap_per_key=cap_per_key, weighted=False)
     vmap = build_vertex_map(corpus.select_columns(["repo"]), "repo")
     edges = add_vid_columns(edges_oid, {"src": "src_vid", "dst": "dst_vid"})
     edges = edges.drop_columns(["src", "dst"]).rename_columns(
@@ -61,7 +69,13 @@ def build_repo_graph(
         num_partitions=num_partitions,
         directed=directed,
         extra_vertices=vmap,
+        dedup_arcs=True,
     )
+    if graph.n_vertices != vmap.count():
+        raise ValueError(
+            "vid hash collision detected at graph build: "
+            f"{graph.n_vertices} graph vertices != {vmap.count()} map rows"
+        )
     return graph, vmap
 
 

@@ -152,20 +152,44 @@ def corpus_table(spec: CorpusSpec, repo_lo: int = 0, repo_hi: int | None = None)
     return pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()})
 
 
+def _write_shard(out_dir: str, spec: CorpusSpec, lo: int, hi: int) -> str:
+    p = os.path.join(out_dir, f"part-{lo:08d}.parquet")
+    if not os.path.exists(p):
+        tmp = p + f".tmp{os.getpid()}"
+        pq.write_table(corpus_table(spec, lo, hi), tmp)
+        os.replace(tmp, p)  # atomic publish
+    return p
+
+
 def write_corpus(out_dir: str, spec: CorpusSpec, repos_per_file: int = 2000) -> list[str]:
     """Write the corpus as a directory of parquet shards (resumable
-    layout: one file per repo range; reruns skip existing shards)."""
+    layout: one file per repo range; reruns skip existing shards).
+    Rows are pure functions of (index, seed), so shards are generated
+    in parallel as Ray tasks when a session is live."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    for lo in range(0, spec.n_repos, repos_per_file):
-        hi = min(spec.n_repos, lo + repos_per_file)
-        p = os.path.join(out_dir, f"part-{lo:08d}.parquet")
-        if not os.path.exists(p):
-            tmp = p + ".tmp"
-            pq.write_table(corpus_table(spec, lo, hi), tmp)
-            os.replace(tmp, p)  # atomic publish
-        paths.append(p)
-    return paths
+    ranges = [
+        (lo, min(spec.n_repos, lo + repos_per_file))
+        for lo in range(0, spec.n_repos, repos_per_file)
+    ]
+    missing = [
+        (lo, hi) for lo, hi in ranges
+        if not os.path.exists(os.path.join(out_dir, f"part-{lo:08d}.parquet"))
+    ]
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(missing) > 1
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_shard)
+        ray.get([task.remote(out_dir, spec, lo, hi) for lo, hi in missing])
+    else:
+        for lo, hi in missing:
+            _write_shard(out_dir, spec, lo, hi)
+    return [os.path.join(out_dir, f"part-{lo:08d}.parquet") for lo, _ in ranges]
 
 
 # --- F3: hand-checked micro graph (p2p-31 analogue) ----------------------

@@ -76,17 +76,29 @@ class DepKeyExtractor:
         return out.drop_duplicates(ignore_index=True)
 
 
+_STATELESS_EXTRACTOR = None
+
+
+def _extract_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    # stateless-task path: the regex state is module-level, compiled
+    # once per worker process at import — same amortization as an
+    # actor pool with zero pool-startup cost (an actor pool is the
+    # right tool for heavy state like models, not two regexes)
+    global _STATELESS_EXTRACTOR
+    if _STATELESS_EXTRACTOR is None:
+        _STATELESS_EXTRACTOR = DepKeyExtractor()
+    return _STATELESS_EXTRACTOR(batch)
+
+
 def extract_dep_keys(corpus: ray.data.Dataset, concurrency: int | None = None
                      ) -> ray.data.Dataset:
-    if concurrency is None:
-        import ray
-
-        # size the actor pool to the session, leaving headroom for the
-        # read and shuffle stages (ray_guide: don't starve other stages)
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    kwargs = {}
+    fn = _extract_fn
+    if concurrency is not None:  # explicit actor-pool mode
+        fn = DepKeyExtractor
+        kwargs["concurrency"] = concurrency
     return corpus.select_columns(["repo", "path", "content"]).map_batches(
-        DepKeyExtractor, batch_format="pandas", batch_size=8192,
-        concurrency=concurrency,
+        fn, batch_format="pandas", batch_size=8192, **kwargs
     )
 
 

@@ -99,6 +99,52 @@ def archive_graph(edges: ray.data.Dataset, path: str) -> None:
     edges.write_parquet(path)
 
 
+def modify_edges(
+    edges: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    delete: bool = False,
+) -> ray.data.Dataset:
+    """MODIFY_EDGES (grape_instance.cc:361-452, DynamicFragment path):
+    upsert = union + dedup-by-(src,dst) with last-write-wins (updates
+    tagged with a higher version); delete = anti-join on the update
+    keys. Immutable-snapshot semantics: returns a new edge Dataset."""
+    if delete:
+        keys = [(int(r["src"]), int(r["dst"]))
+                for r in updates.select_columns(["src", "dst"]).take_all()]
+        ref = ray.put(set(keys))
+
+        def drop(b: pd.DataFrame) -> pd.DataFrame:
+            dead = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            mask = [
+                (int(s), int(d)) not in dead
+                for s, d in zip(b["src"], b["dst"])
+            ]
+            return b[pd.Series(mask, index=b.index)]
+
+        return edges.map_batches(drop, batch_format="pandas")
+
+    def tag(version):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_v"] = np.int64(version)
+            return b
+
+        return f
+
+    merged = edges.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+    # keep the highest-version row per key (sort desc via negated key)
+    out = dedup_first(
+        merged.map_batches(
+            lambda b: b.assign(_nv=-b["_v"]), batch_format="pandas"
+        ),
+        ["src", "dst"],
+        order_by=["_nv"],
+    )
+    return out.drop_columns(["_v", "_nv"])
+
+
 def consolidate_columns(
     ds: ray.data.Dataset, cols: list[str], out: str, sep: str = "|"
 ) -> ray.data.Dataset:

@@ -95,25 +95,30 @@ def bucketed_group_apply(
     in one bucket — cap/salt inside ``fn`` where that matters."""
     from graphscope_ray.functions.hashing import hash64_any
 
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(b), dtype=np.uint64)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # Arrow in/out: the shuffle then moves Arrow blocks (fast,
+        # compact) — pandas blocks would ship pickled object-dtype
+        # string arrays through the sort, measured ~3x slower
+        h = np.zeros(b.num_rows, dtype=np.uint64)
         for k in keys:
             with np.errstate(over="ignore"):
-                h = h * np.uint64(1099511628211) ^ hash64_any(b[k].to_numpy())
-        b = b.copy()
-        b["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return b
+                h = h * np.uint64(1099511628211) ^ hash64_any(
+                    b.column(k).to_numpy(zero_copy_only=False)
+                )
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
 
-    def run(g: pd.DataFrame) -> pa.Table:
+    def run(g: pa.Table) -> pa.Table:
         # emit Arrow blocks: downstream operators (Project/Sort/union)
         # expect a uniform block type, and several assume Arrow
-        return pa.Table.from_pandas(fn(g.drop(columns=["_bucket"])),
-                                    preserve_index=False)
+        pdf = g.drop_columns(["_bucket"]).to_pandas()
+        return pa.Table.from_pandas(fn(pdf), preserve_index=False)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format="pyarrow")
     )
 
 

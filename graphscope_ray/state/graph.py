@@ -34,30 +34,24 @@ def _as_undirected_arcs(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-class _Router:
-    """map_batches callable: split a block by owner shard, push to actors."""
+def _route_groups(ds: ray.data.Dataset, shards, fid_col: str,
+                  send) -> int:
+    """Shuffle ``ds`` by owner partition and deliver each fid's whole
+    group to its shard actor with ONE remote call (the SURVEY §7.1 M2
+    design: ``groupby(fid)`` shuffle → actor ingest). Total ingest RPC
+    count is P, independent of block count — a per-batch fan-out router
+    was measured to anti-scale with P."""
 
-    def __init__(self, shards, num_partitions: int):
-        self.shards = shards
-        self.P = num_partitions
+    def deliver(g: pa.Table) -> pa.Table:
+        f = int(g.column(fid_col)[0].as_py())
+        n = ray.get(send(shards[f], g.drop_columns([fid_col])))
+        return pa.table({"routed": pa.array([n], pa.int64())})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        sfid = partition_of(src, self.P)
-        dfid = partition_of(dst, self.P)
-        refs = []
-        for f in range(self.P):
-            emask = sfid == f
-            # vertices owned by f seen in this block: srcs it owns (they
-            # come with the edges) are implied; dsts it owns must be sent
-            # explicitly so dangling/sink vertices exist at their owner.
-            dverts = np.unique(dst[dfid == f])
-            etab = batch.filter(pa.array(emask)) if emask.any() else None
-            if etab is not None or len(dverts):
-                refs.append(self.shards[f].ingest.remote(etab, dverts))
-        n = sum(ray.get(refs)) if refs else 0  # ack → backpressure
-        return pa.table({"routed_edges": pa.array([n], pa.int64())})
+    routed = ds.groupby(fid_col).map_groups(deliver, batch_format="pyarrow")
+    return int(sum(
+        b["routed"].sum() or 0
+        for b in routed.iter_batches(batch_format="pandas", batch_size=1024)
+    ))
 
 
 class ShardedGraph:
@@ -109,6 +103,7 @@ def build_graph(
     num_partitions: int = 8,
     directed: bool = True,
     extra_vertices: ray.data.Dataset | None = None,
+    dedup_arcs: bool = False,
 ) -> ShardedGraph:
     """Partition an (src,dst[,weight]) int64 edge Dataset into GraphShard
     actors and seal per-shard CSRs.
@@ -117,31 +112,51 @@ def build_graph(
     scatter covers both directions). ``extra_vertices`` is a Dataset
     with a ``vid`` column for vertices that may not appear in any edge
     (isolated vertices — the reference keeps them via the vertex map,
-    ``global_vertex_map.h:44-68``).
+    ``global_vertex_map.h:44-68``). When given it MUST cover every
+    vertex id referenced by the edges — per-block dst registration is
+    then skipped entirely (a large routing saving at high P).
     """
     shards = [GraphShard.remote(f, num_partitions) for f in range(num_partitions)]
     ds = edges
     if not directed:
         ds = ds.map_batches(_as_undirected_arcs, batch_format="pyarrow")
-    routed = ds.map_batches(
-        _Router(shards, num_partitions), batch_format="pyarrow", batch_size=65536
+
+    def add_fid(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_fid", pa.array(partition_of(src, num_partitions), pa.int32())
+        )
+
+    _route_groups(
+        ds.map_batches(add_fid, batch_format="pyarrow"), shards, "_fid",
+        lambda shard, tab: shard.ingest.remote(tab, None),
     )
-    # consume the routing stage (streaming; blocks only on actor acks)
-    total_arcs = sum(
-        b["routed_edges"].sum() or 0
-        for b in routed.iter_batches(batch_format="pandas", batch_size=1024)
+    if extra_vertices is None:
+        # register dst-only vertices (dangling sinks) with their owners
+        def dst_fid(t: pa.Table) -> pa.Table:
+            d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "vid": pa.array(d, pa.int64()),
+                "_fid": pa.array(partition_of(d, num_partitions), pa.int32()),
+            })
+
+        vsrc = ds.map_batches(dst_fid, batch_format="pyarrow")
+    else:
+        def vid_fid(t: pa.Table) -> pa.Table:
+            v = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "vid": pa.array(v, pa.int64()),
+                "_fid": pa.array(partition_of(v, num_partitions), pa.int32()),
+            })
+
+        vsrc = extra_vertices.select_columns(["vid"]).map_batches(
+            vid_fid, batch_format="pyarrow"
+        )
+    _route_groups(
+        vsrc, shards, "_fid",
+        lambda shard, tab: shard.ingest_vertices.remote(tab),
     )
-    if extra_vertices is not None:
-        for b in extra_vertices.select_columns(["vid"]).iter_batches(
-            batch_format="pyarrow", batch_size=65536
-        ):
-            vids = b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
-            fids = partition_of(vids, num_partitions)
-            ray.get([
-                shards[f].ingest.remote(None, np.unique(vids[fids == f]))
-                for f in range(num_partitions)
-            ])
-    stats = ray.get([s.build.remote() for s in shards])
+    stats = ray.get([s.build.remote(dedup_arcs) for s in shards])
     n_vertices = sum(s["vertices"] for s in stats)
     n_edges = sum(s["edges"] for s in stats)
     return ShardedGraph(shards, num_partitions, n_vertices, n_edges, directed)

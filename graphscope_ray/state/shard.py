@@ -78,9 +78,19 @@ class GraphShard:
             self._vbuf.append(np.asarray(vertices, dtype=np.int64))
         return n
 
-    def build(self) -> dict:
+    def ingest_vertices(self, table: pa.Table) -> int:
+        v = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        self._vbuf.append(v)
+        return len(v)
+
+    def build(self, dedup_arcs: bool = False) -> dict:
         """Seal the shard: dedupe vertices, sort edges grouped by
-        (dst_fid, dst, src) for combined scatter, build out-degrees."""
+        (dst_fid, dst, src) for combined scatter, build out-degrees.
+
+        ``dedup_arcs`` drops duplicate (src, dst) arcs locally — every
+        copy of an arc hashes to this shard, so shard-local dedup is
+        exact and costs no extra shuffle (the reference loader dedups
+        at the same point, global_vertex_map.h:45-52)."""
         if self._ebuf:
             e = pa.concat_tables(self._ebuf)
             src = e.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -101,8 +111,11 @@ class GraphShard:
         dst_fid = partition_of(dst, self.P)
         perm = np.lexsort((src, dst, dst_fid))
         src, dst, w, dst_fid = src[perm], dst[perm], w[perm], dst_fid[perm]
-        # duplicate-arc dedup is the caller's job (stages/derive dedups);
-        # shards keep arcs as given (multigraph semantics like the reference).
+        if dedup_arcs and len(src):
+            keep = np.concatenate(
+                ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
+            )
+            src, dst, w, dst_fid = src[keep], dst[keep], w[keep], dst_fid[keep]
         self.e_src_pos = np.searchsorted(self.local, src).astype(np.int64)
         self.e_dst = dst
         self.e_w = w

@@ -41,11 +41,15 @@ def add_vid_columns(ds: ray.data.Dataset, cols: dict[str, str]) -> ray.data.Data
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def build_vertex_map(oids: ray.data.Dataset, oid_col: str = "repo") -> ray.data.Dataset:
+def build_vertex_map(oids: ray.data.Dataset, oid_col: str = "repo",
+                     check_collisions: bool = False) -> ray.data.Dataset:
     """Distinct (oid, vid) table from a Dataset containing oids.
 
     One groupby shuffle over the (much smaller than edges) vertex set.
-    Collision check: every vid must map to exactly one oid.
+    Collision safety: with ``check_collisions`` an extra dedup pass
+    verifies vid uniqueness here; by default callers verify for free at
+    graph build (``graph.n_vertices == vmap.count()`` — a collision
+    merges two vertices and shrinks the count).
     """
     from graphscope_ray.stages.relational import dedup_first
 
@@ -56,13 +60,14 @@ def build_vertex_map(oids: ray.data.Dataset, oid_col: str = "repo") -> ray.data.
         return batch.append_column("vid", pa.array(vids, pa.int64()))
 
     vmap = distinct.map_batches(add, batch_format="pyarrow").materialize()
-    n_oids = vmap.count()
-    n_vids = dedup_first(vmap.select_columns(["vid"]), ["vid"]).count()
-    if n_oids != n_vids:
-        raise ValueError(
-            f"vid hash collision: {n_oids} distinct oids -> {n_vids} distinct vids; "
-            "rotate the hash key in functions/hashing.py"
-        )
+    if check_collisions:
+        n_oids = vmap.count()
+        n_vids = dedup_first(vmap.select_columns(["vid"]), ["vid"]).count()
+        if n_oids != n_vids:
+            raise ValueError(
+                f"vid hash collision: {n_oids} distinct oids -> {n_vids} "
+                "distinct vids; rotate the hash key in functions/hashing.py"
+            )
     return vmap
 
 

@@ -60,3 +60,38 @@ def test_edge_list_reader(tmp_path):
     assert list(ds["weight"]) == [0.5, 1.5, 2.0]
     nds = from_numpy_edges(np.array([1, 2]), np.array([2, 3]))
     assert nds.count() == 2
+
+
+def test_modify_edges():
+    from graphscope_ray.stages.graph_ops import modify_edges
+
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"src": [1, 2, 3], "dst": [2, 3, 4], "weight": [1.0, 1.0, 1.0]}))
+    ups = ray.data.from_pandas(pd.DataFrame(
+        {"src": [2, 5], "dst": [3, 6], "weight": [9.0, 2.0]}))
+    out = modify_edges(base, ups).to_pandas().sort_values(["src", "dst"])
+    assert len(out) == 4
+    assert float(out[(out.src == 2) & (out.dst == 3)]["weight"].iloc[0]) == 9.0
+    dele = modify_edges(base, ray.data.from_pandas(
+        pd.DataFrame({"src": [1], "dst": [2]})), delete=True).to_pandas()
+    assert sorted(map(tuple, dele[["src", "dst"]].to_numpy())) == [(2, 3), (3, 4)]
+
+
+def test_sssp_helpers():
+    from graphscope_ray.pipelines.algorithms import sssp_average_length, sssp_has_path
+    from graphscope_ray.sources.generator import MICRO_EDGES, MICRO_VERTICES, micro_edge_table
+    from graphscope_ray.state.graph import build_graph
+
+    import networkx as nx
+    verts = ray.data.from_items([{"vid": v} for v in MICRO_VERTICES])
+
+    def g():
+        return build_graph(ray.data.from_arrow(micro_edge_table()),
+                           num_partitions=2, directed=True, extra_vertices=verts)
+
+    nxg = nx.DiGraph(MICRO_EDGES)
+    nxg.add_nodes_from(MICRO_VERTICES)
+    want = nx.single_source_dijkstra_path_length(nxg, 0)
+    assert sssp_average_length(g(), 0) == sum(want.values()) / len(want)
+    assert sssp_has_path(g(), 0, 10) is True
+    assert sssp_has_path(g(), 0, 11) is False
