@@ -34,7 +34,7 @@ def _tune():
     at small scale)."""
     from graphscope_ray.context import tune_for_session
 
-    tune_for_session(quiet=False)
+    tune_for_session()
 
 
 def entry() -> Any:
