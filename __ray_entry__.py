@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_node_boundary": sf_graph.q_part_node_boundary,
         "part_edge_boundary": sf_graph.q_part_edge_boundary,
         "part_kcore": sf_graph.q_part_kcore,
+        "part_louvain": sf_graph.q_part_louvain,
+        "part_voterank": sf_graph.q_part_voterank,
         "part_hits": sf_graph.q_part_hits,
         "part_katz": sf_graph.q_part_katz,
         "part_eigenvector": sf_graph.q_part_eigenvector,

@@ -278,6 +278,34 @@ def sssp(graph: ShardedGraph, source: int, max_iter: int = 10**6):
                       col="distance")
 
 
+def voterank(graph: ShardedGraph, num_nodes: int) -> list[int]:
+    """VoteRank influential-node election (apps/voterank/voterank.h:230;
+    networkx.voterank semantics): each round every vertex's score is the
+    sum of its in-neighbors' voting abilities; the global max scorer is
+    elected (ties → min vid), its ability zeroed, and its out-neighbors'
+    abilities decremented by 1/⟨k⟩. Stops early when the best score
+    reaches 0. ⟨k⟩ = arcs/N (average degree in the stored-arc sense —
+    undirected graphs hold both arcs, matching networkx's undirected
+    average degree)."""
+    graph.call_all("voterank_init")
+    avg_deg = graph.n_edges / max(1, graph.n_vertices)
+    delta = -1.0 / avg_deg if avg_deg else 0.0
+    elected: list[int] = []
+    for _ in range(num_nodes):
+        refs = graph.scatter_refs("voterank_scatter")
+        best = max(
+            graph.apply_all("voterank_best", refs),
+            key=lambda sv: (sv[0], -sv[1]),
+        )
+        if best[0] == 0.0:
+            break
+        vid = best[1]
+        elected.append(vid)
+        refs = graph.scatter_refs("voterank_elect", vid, delta)
+        graph.apply_all("voterank_apply_delta", refs)
+    return elected
+
+
 def sssp_average_length(graph: ShardedGraph, source: int) -> float:
     """Average shortest-path length from ``source`` over reachable
     vertices (apps/sssp/sssp_average_length.h:260 — per-source variant)."""

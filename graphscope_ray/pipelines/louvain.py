@@ -1,0 +1,213 @@
+"""Louvain community detection — distributed, deterministic.
+
+Reference: ``gs::LouvainAppBase`` (``apps/pregel/louvain/louvain.h``,
+Giraph-style with aggregators). Synchronous distributed formulation:
+levels of (a) local-move rounds — each vertex considers the neighbor
+community with the best modularity gain, with *parity gating* (even
+vids move on even rounds, odd on odd) to prevent the two-vertex
+oscillation of simultaneous moves — then (b) contraction of
+communities into super-vertices via a grouped edge aggregation,
+recursing until a level yields no moves.
+
+Data placement: edges stay in Ray Datasets at every level (level-0 is
+edge-scale); the vertex→community map and per-community degree totals
+are vertex-/community-scale numpy arrays broadcast per round with
+``ray.put`` (the standard distributed-Louvain compromise; a bucketed
+join is the >1e8-vertex path). Determinism: ties break to the smaller
+community id, moves need strictly positive gain, rounds/levels capped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.stages.relational import bucketed_group_apply, grouped_agg
+
+
+def _resolve(ref):
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def _canonical_weighted(edges: ray.data.Dataset) -> ray.data.Dataset:
+    cols = edges.schema().names
+
+    def canon_w(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+             if "weight" in cols else np.ones(len(s)))
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "w": pa.array(w, pa.float64())})
+
+    return grouped_agg(
+        edges.map_batches(canon_w, batch_format="pyarrow"),
+        ["u", "v"], {"w": ("w", "sum")},
+    )
+
+
+def _arcs_of(level_edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Symmetric arcs (self-loops contribute a single arc with both
+    endpoints equal; their weight is handled via kv += 2w upstream)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        plain = u != v
+        return pa.table({
+            "src": pa.array(np.concatenate([u[plain], v[plain]])),
+            "dst": pa.array(np.concatenate([v[plain], u[plain]])),
+            "w": pa.array(np.concatenate([w[plain], w[plain]]), pa.float64()),
+        })
+
+    return level_edges.map_batches(both, batch_format="pyarrow")
+
+
+def _vertex_degrees(level_edges: ray.data.Dataset):
+    """(sorted vids, weighted degrees incl. 2×self-loops) — vertex-scale
+    driver arrays."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        loop = u == v
+        return pa.table({
+            "vid": pa.array(np.concatenate([u[~loop], v[~loop], u[loop]])),
+            "k": pa.array(
+                np.concatenate([w[~loop], w[~loop], 2 * w[loop]]), pa.float64()
+            ),
+        })
+
+    df = grouped_agg(
+        level_edges.map_batches(emit, batch_format="pyarrow"),
+        ["vid"], {"k": ("k", "sum")},
+    ).to_pandas().sort_values("vid")
+    return df["vid"].to_numpy(np.int64), df["k"].to_numpy(np.float64)
+
+
+def _local_move_level(arcs, vids, kv, m2, max_rounds):
+    """Local moving. Returns (community array aligned to vids, #moves)."""
+    comm = vids.copy()
+    total_moves = 0
+    empty_parity_rounds = 0
+    for rnd in range(max_rounds):
+        tot = pd.Series(kv).groupby(comm).sum()
+        state = ray.put((vids, comm.copy(), tot.index.to_numpy(np.int64),
+                         tot.to_numpy(np.float64), kv))
+
+        def annotate(t: pa.Table) -> pa.Table:
+            v_, c_, _, _, _ = _resolve(state)
+            dst = t.column("dst").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": t.column("src"),
+                "cnbr": pa.array(c_[np.searchsorted(v_, dst)], pa.int64()),
+                "w": t.column("w"),
+            })
+
+        cand = grouped_agg(
+            arcs.map_batches(annotate, batch_format="pyarrow"),
+            ["src", "cnbr"], {"wvc": ("w", "sum")},
+        )
+        parity = rnd % 2
+
+        def choose(g: pd.DataFrame) -> pd.DataFrame:
+            v_, c_, tc_, tt_, kv_ = _resolve(state)
+            src = g["src"].to_numpy(np.int64)
+            cn = g["cnbr"].to_numpy(np.int64)
+            wvc = g["wvc"].to_numpy(np.float64)
+            pos = np.searchsorted(v_, src)
+            cold = c_[pos]
+            k_src = kv_[pos]
+            tot_c = tt_[np.searchsorted(tc_, cn)]
+            tot_excl = tot_c - np.where(cn == cold, k_src, 0.0)
+            score = wvc - tot_excl * k_src / m2
+            df = pd.DataFrame({"src": src, "cold": cold, "cn": cn,
+                               "score": score, "k": k_src})
+            # synthesize the stay option for vertices with no arc into
+            # their own community: w_v,cold = 0
+            own = df[df["cn"] == df["cold"]][["src", "score"]]
+            missing = np.setdiff1d(df["src"].unique(), own["src"].unique())
+            if len(missing):
+                mp = np.searchsorted(v_, missing)
+                mc = c_[mp]
+                mk = kv_[mp]
+                mt = tt_[np.searchsorted(tc_, mc)] - mk
+                stay_scores = -mt * mk / m2
+                own = pd.concat(
+                    [own, pd.DataFrame({"src": missing, "score": stay_scores})],
+                    ignore_index=True,
+                )
+            df = df.sort_values(["src", "score", "cn"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+            best = df.drop_duplicates("src", keep="first")
+            merged = best.merge(own, on="src", suffixes=("", "_stay"))
+            move = (
+                (merged["cn"] != merged["cold"])
+                & (merged["score"] > merged["score_stay"] + 1e-12)
+                & ((merged["src"] % 2) == parity)
+            )
+            out = merged[move]
+            return pd.DataFrame({"src": out["src"].to_numpy(np.int64),
+                                 "newc": out["cn"].to_numpy(np.int64)})
+
+        moves = bucketed_group_apply(cand, ["src"], choose, num_buckets=32
+                                     ).to_pandas()
+        if moves.empty or "src" not in moves.columns:
+            empty_parity_rounds += 1
+            if empty_parity_rounds >= 2:  # both parities settled
+                break
+            continue
+        empty_parity_rounds = 0
+        pos = np.searchsorted(vids, moves["src"].to_numpy(np.int64))
+        comm[pos] = moves["newc"].to_numpy(np.int64)
+        total_moves += len(moves)
+    return comm, total_moves
+
+
+def louvain(
+    edges: ray.data.Dataset,
+    max_levels: int = 5,
+    max_rounds_per_level: int = 12,
+) -> ray.data.Dataset:
+    """(src, dst[, weight]) → (vid, community): Louvain levels; final
+    community id = min member vid (canonical, exact-comparable)."""
+    level_edges = _canonical_weighted(edges).materialize()
+    vids0, _ = _vertex_degrees(level_edges)
+    assign = vids0.copy()
+
+    for _level in range(max_levels):
+        vids, kv = _vertex_degrees(level_edges)
+        m2 = float(kv.sum())
+        if m2 == 0:
+            break
+        arcs = _arcs_of(level_edges).materialize()
+        comm, moves = _local_move_level(arcs, vids, kv, m2,
+                                        max_rounds_per_level)
+        if moves == 0:
+            break
+        assign = comm[np.searchsorted(vids, assign)]
+        cref = ray.put((vids, comm))
+
+        def contract(t: pa.Table) -> pa.Table:
+            v_, c_ = _resolve(cref)
+            u = c_[np.searchsorted(v_, t.column("u").to_numpy(zero_copy_only=False))]
+            v = c_[np.searchsorted(v_, t.column("v").to_numpy(zero_copy_only=False))]
+            return pa.table({"u": pa.array(np.minimum(u, v)),
+                             "v": pa.array(np.maximum(u, v)),
+                             "w": t.column("w")})
+
+        level_edges = grouped_agg(
+            level_edges.map_batches(contract, batch_format="pyarrow"),
+            ["u", "v"], {"w": ("w", "sum")},
+        ).materialize()
+
+    out = pd.DataFrame({"vid": vids0, "community": assign})
+    out["community"] = out.groupby("community", sort=False)["vid"].transform("min").to_numpy()
+    return ray.data.from_pandas(out)

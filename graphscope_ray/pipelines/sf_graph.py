@@ -236,6 +236,24 @@ def q_part_eigenvector(sf_dir: str, num_partitions: int = 8, iters: int = 20
     return fixed_cols(state, {"eigenvector": 6})
 
 
+def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
+    """Louvain communities on the part graph (rows-only: no SQL twin;
+    modularity-vs-networkx covered in pytest)."""
+    from graphscope_ray.pipelines.louvain import louvain
+
+    return louvain(part_cooccurrence_edges(sf_dir))
+
+
+def q_part_voterank(sf_dir: str, k: int = 20, num_partitions: int = 8
+                    ) -> pd.DataFrame:
+    """Top-k VoteRank influencers (rows-only; exactness vs networkx in
+    pytest)."""
+    g = build_part_graph(sf_dir, num_partitions)
+    elected = algorithms.voterank(g, k)
+    return pd.DataFrame({"rank": np.arange(len(elected), dtype=np.int64),
+                         "vid": np.asarray(elected, dtype=np.int64)})
+
+
 def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     """Weighted shortest paths from the min part key (edge length =
     co-occurrence weight). No SQL oracle (recursive weighted SSSP

@@ -324,6 +324,66 @@ class GraphShard:
         self.state *= factor
         return float(self.state.sum())
 
+    # ------------------------------------------------------------ VoteRank
+    def voterank_init(self) -> int:
+        """ability=1 for all, nobody elected (apps/voterank/voterank.h:230,
+        networkx.voterank semantics)."""
+        self._ability = np.ones(self.n_local, dtype=np.float64)
+        self._excluded = np.zeros(self.n_local, dtype=bool)
+        return self.n_local
+
+    def voterank_scatter(self):
+        """Each arc delivers src's voting ability to dst's score."""
+        return self._emit_per_part(None, self._ability[self.e_src_pos], np.add)
+
+    def voterank_best(self, *msg_parts):
+        """Combine incoming votes into local scores (elected vertices
+        score 0) and return this shard's best (score, vid) with
+        deterministic min-vid tie-break."""
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.float64))
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        if len(dst):
+            u, s = _group_reduce(dst, val, np.add)
+            scores[np.searchsorted(self.local, u)] = s
+        scores[self._excluded] = 0.0
+        if self.n_local == 0:
+            return (0.0, -1)
+        best = np.lexsort((self.local, -scores))[0]
+        return (float(scores[best]), int(self.local[best]))
+
+    def voterank_elect(self, vid: int, delta: float):
+        """Mark ``vid`` elected (if local) and, from its owner, emit the
+        ability decrement to its out-neighbors."""
+        pos = np.searchsorted(self.local, vid)
+        if pos >= self.n_local or self.local[pos] != vid:
+            return None if self.P == 1 else [None] * self.P
+        self._excluded[pos] = True
+        self._ability[pos] = 0.0
+        return self._emit_masked(self.e_src_pos == pos, delta)
+
+    def _emit_masked(self, mask, delta):
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            m = mask[lo:hi]
+            dsts = self.e_dst[lo:hi][m]
+            if len(dsts) == 0:
+                out.append(None)
+                continue
+            u, v = _group_reduce(dsts, np.full(len(dsts), delta), np.add)
+            out.append((u, v))
+        return out if self.P > 1 else out[0]
+
+    def voterank_apply_delta(self, *msg_parts) -> int:
+        dst, val = _concat_msgs(msg_parts, (np.int64, np.float64))
+        if not len(dst):
+            return 0
+        u, s = _group_reduce(dst, val, np.add)
+        pos = np.searchsorted(self.local, u)
+        # networkx clamps voting ability at 0 after each decrement
+        self._ability[pos] = np.maximum(self._ability[pos] + s, 0.0)
+        return len(pos)
+
     def state_max(self) -> float:
         return float(self.state.max()) if self.n_local else 0.0
 

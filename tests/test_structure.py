@@ -130,3 +130,36 @@ def test_eigenvector_micro():
     got = {v: x for v, x in zip(df["vid"], df["eigenvector"]) if v in want}
     for vid in want:
         assert got[vid] == pytest.approx(want[vid], abs=1e-5), vid
+
+
+def test_voterank_micro():
+    import networkx as nx
+
+    # undirected micro graph; nodes added in sorted order so networkx's
+    # first-max tie-break equals our min-vid tie-break
+    g = nx.Graph()
+    g.add_nodes_from(sorted(MICRO_VERTICES))
+    g.add_edges_from(MICRO_EDGES)
+    want = nx.voterank(g, 5)
+    graph = _micro(False)
+    got = algorithms.voterank(graph, 5)
+    assert got == want
+
+
+def test_voterank_random():
+    import networkx as nx
+
+    rng = np.random.default_rng(21)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 30, (90, 2))
+                    if a != b})
+    g = nx.Graph()
+    g.add_nodes_from(range(30))
+    g.add_edges_from(edges)
+    want = nx.voterank(g, 8)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    verts = ray.data.from_items([{"vid": v} for v in range(30)])
+    graph = build_graph(ds, num_partitions=3, directed=False,
+                        extra_vertices=verts, dedup_arcs=True)
+    got = algorithms.voterank(graph, 8)
+    assert got == want
