@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_node_boundary": sf_graph.q_part_node_boundary,
         "part_edge_boundary": sf_graph.q_part_edge_boundary,
         "part_kcore": sf_graph.q_part_kcore,
+        "part_closeness": sf_graph.q_part_closeness,
+        "part_harmonic": sf_graph.q_part_harmonic,
         "part_louvain": sf_graph.q_part_louvain,
         "part_voterank": sf_graph.q_part_voterank,
         "part_hits": sf_graph.q_part_hits,
@@ -264,8 +266,8 @@ def _eigenvector_sql(iters: int = 20) -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
+def _all_oracle_sql() -> dict[str, str]:
+    sql = {
         "part_graph_edges": f"WITH {_GRAPH_CTES.strip()}\n"
         "SELECT src, dst, weight FROM edges",
         "part_degree": f"WITH {_GRAPH_CTES.strip()}\n"
@@ -334,6 +336,32 @@ def oracle_sql() -> dict[str, str]:
         "       CASE WHEN src IN (SELECT vid FROM s) THEN dst ELSE src END AS v\n"
         "FROM edges\n"
         "WHERE (src IN (SELECT vid FROM s)) <> (dst IN (SELECT vid FROM s))",
+        # part_closeness / part_harmonic: SQL twins exist (see
+        # _closeness_sql/_harmonic_sql) but the all-pairs recursive CTE
+        # is O(V^2 * diam) and takes >9 min at sf0.01 — verified in
+        # pytest at sf0.001 instead; gate records rows-only here.
+        "_disabled_part_closeness": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "walk(s, v, d) AS (\n"
+        "  SELECT vid, vid, 0 FROM verts\n"
+        "  UNION\n"
+        "  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v\n"
+        "  WHERE w.d < 20),\n"
+        "sp AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),\n"
+        "agg AS (SELECT s AS vid, sum(d) AS tot, count(*) AS r FROM sp GROUP BY s)\n"
+        "SELECT vid, printf('%.6f', CASE WHEN tot > 0 THEN\n"
+        "  ((r - 1) * 1.0 / tot) * ((r - 1) * 1.0 /\n"
+        "   ((SELECT count(*) FROM verts) - 1)) ELSE 0.0 END) AS closeness\n"
+        "FROM agg",
+        "_disabled_part_harmonic": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "walk(s, v, d) AS (\n"
+        "  SELECT vid, vid, 0 FROM verts\n"
+        "  UNION\n"
+        "  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v\n"
+        "  WHERE w.d < 20),\n"
+        "sp AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),\n"
+        "agg AS (SELECT s AS vid, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END)\n"
+        "        AS h FROM sp GROUP BY s)\n"
+        "SELECT vid, printf('%.6f', h) AS harmonic FROM agg",
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),
@@ -416,3 +444,9 @@ SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
        substr(sha256(text), 1, 16) AS payload_digest
 FROM documents""",
     }
+    return sql
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items()
+            if not k.startswith("_disabled_")}

@@ -278,6 +278,61 @@ def sssp(graph: ShardedGraph, source: int, max_iter: int = 10**6):
                       col="distance")
 
 
+def closeness_centrality(
+    graph: ShardedGraph,
+    sources=None,
+    batch_size: int = 2048,
+    wf_improved: bool = True,
+    harmonic: bool = False,
+):
+    """Closeness (Wasserman–Faust improved, networkx default) or
+    harmonic centrality via batched multi-source BFS
+    (apps/centrality/closeness/closeness_centrality.h:143 /
+    harmonic flash variant). ``sources=None`` computes EXACT
+    centrality for every vertex by sweeping source batches of
+    ``batch_size`` (memory per shard: n_local × batch_size doubles) —
+    pass a sampled source list for very large graphs.
+
+    Returns a pandas DataFrame (vid, closeness|harmonic)."""
+    import numpy as np
+    import pandas as pd
+
+    if sources is None:
+        tables = graph.call_all("degree_table")
+        all_vids = np.sort(np.concatenate(
+            [t.column("vid").to_numpy(zero_copy_only=False) for t in tables]
+        ))
+    else:
+        all_vids = np.sort(np.asarray(sources, dtype=np.int64))
+    n = graph.n_vertices
+    out_vid, out_val = [], []
+    for lo in range(0, len(all_vids), batch_size):
+        batch = all_vids[lo: lo + batch_size]
+        graph.call_all("msbfs_init", batch)
+        for _ in range(10**6):
+            refs = graph.scatter_refs("msbfs_scatter")
+            changed = sum(graph.apply_all("msbfs_apply", refs))
+            if changed == 0:
+                break
+        parts = graph.call_all("msbfs_column_sums")
+        tot = sum(p[0] for p in parts)
+        reach = sum(p[1] for p in parts)
+        inv = sum(p[2] for p in parts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if harmonic:
+                val = inv
+            else:
+                r = reach.astype(np.float64) - 1.0  # exclude the source
+                val = np.where(tot > 0, r / tot, 0.0)
+                if wf_improved and n > 1:
+                    val = val * (r / (n - 1))
+        out_vid.append(batch)
+        out_val.append(val)
+    col = "harmonic" if harmonic else "closeness"
+    return pd.DataFrame({"vid": np.concatenate(out_vid),
+                         col: np.concatenate(out_val)})
+
+
 def voterank(graph: ShardedGraph, num_nodes: int) -> list[int]:
     """VoteRank influential-node election (apps/voterank/voterank.h:230;
     networkx.voterank semantics): each round every vertex's score is the

@@ -236,6 +236,25 @@ def q_part_eigenvector(sf_dir: str, num_partitions: int = 8, iters: int = 20
     return fixed_cols(state, {"eigenvector": 6})
 
 
+def q_part_closeness(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Exact closeness centrality (WF-improved) for every part via
+    batched multi-source BFS; 6dp fixed strings."""
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    df = algorithms.closeness_centrality(g, batch_size=4096)
+    return fixed_cols(ray.data.from_pandas(df), {"closeness": 6})
+
+
+def q_part_harmonic(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Harmonic centrality for every part (6dp fixed strings)."""
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    df = algorithms.closeness_centrality(g, batch_size=4096, harmonic=True)
+    return fixed_cols(ray.data.from_pandas(df), {"harmonic": 6})
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph (rows-only: no SQL twin;
     modularity-vs-networkx covered in pytest)."""

@@ -324,6 +324,83 @@ class GraphShard:
         self.state *= factor
         return float(self.state.sum())
 
+    # ---------------------------------- multi-source BFS (closeness etc.)
+    def msbfs_init(self, sources: np.ndarray) -> int:
+        """Distance matrix (n_local × B) for B simultaneous BFS sources
+        — the batched per-source fan-out behind closeness/harmonic
+        centrality (apps/centrality/closeness/closeness_centrality.h).
+        Memory: n_local × B doubles per shard; exact mode is for graphs
+        where V×B fits (callers sample sources beyond that)."""
+        self._msb_sources = np.asarray(sources, dtype=np.int64)
+        B = len(self._msb_sources)
+        self.state = None
+        self._msd = np.full((self.n_local, B), INF, dtype=np.float64)
+        pos = np.searchsorted(self.local, self._msb_sources)
+        hit = pos < self.n_local
+        ok = np.where(hit)[0]
+        ok = ok[self.local[pos[ok]] == self._msb_sources[ok]]
+        self._msd[pos[ok], ok] = 0.0
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        self._frontier[pos[ok]] = True
+        return int(len(ok))
+
+    def msbfs_scatter(self):
+        """Push (dist row + 1) along out-edges from frontier vertices,
+        min-combined per destination (vector-valued hash-min)."""
+        mask = self._frontier[self.e_src_pos]
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            m = mask[lo:hi]
+            if not m.any():
+                out.append(None)
+                continue
+            dsts = self.e_dst[lo:hi][m]
+            rows = self._msd[self.e_src_pos[lo:hi][m]] + 1.0
+            # segment-min per dst over the row matrix
+            order = np.argsort(dsts, kind="stable")
+            dsts, rows = dsts[order], rows[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], dsts[1:] != dsts[:-1]))
+            )
+            out.append((dsts[starts], np.minimum.reduceat(rows, starts, axis=0)))
+        return out if self.P > 1 else out[0]
+
+    def msbfs_apply(self, *msg_parts) -> int:
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        dsts, rows = [], []
+        for p in msg_parts:
+            if p is None:
+                continue
+            dsts.append(p[0])
+            rows.append(p[1])
+        if not dsts:
+            return 0
+        dst = np.concatenate(dsts)
+        mat = np.concatenate(rows, axis=0)
+        order = np.argsort(dst, kind="stable")
+        dst, mat = dst[order], mat[order]
+        starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+        u = dst[starts]
+        m = np.minimum.reduceat(mat, starts, axis=0)
+        pos = np.searchsorted(self.local, u)
+        better = m < self._msd[pos]
+        improved = better.any(axis=1)
+        self._msd[pos] = np.minimum(self._msd[pos], m)
+        self._frontier[pos[improved]] = True
+        return int(improved.sum())
+
+    def msbfs_column_sums(self):
+        """Per-source partials over local vertices: (Σ finite dist,
+        #reached, Σ 1/dist for dist>0) — the closeness/harmonic inputs."""
+        d = self._msd
+        finite = np.isfinite(d)
+        s = np.where(finite, d, 0.0).sum(axis=0)
+        r = finite.sum(axis=0)
+        with np.errstate(divide="ignore"):
+            inv = np.where(finite & (d > 0), 1.0 / np.where(d > 0, d, 1.0), 0.0)
+        return s, r.astype(np.int64), inv.sum(axis=0)
+
     # ------------------------------------------------------------ VoteRank
     def voterank_init(self) -> int:
         """ability=1 for all, nobody elected (apps/voterank/voterank.h:230,

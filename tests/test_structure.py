@@ -163,3 +163,42 @@ def test_voterank_random():
                         extra_vertices=verts, dedup_arcs=True)
     got = algorithms.voterank(graph, 8)
     assert got == want
+
+
+def test_closeness_and_harmonic_micro():
+    import networkx as nx
+
+    g = nx.Graph(MICRO_EDGES)
+    g.add_nodes_from(MICRO_VERTICES)
+    want = nx.closeness_centrality(g)          # WF-improved by default
+    want_h = nx.harmonic_centrality(g)
+    graph = _micro(False)
+    got = algorithms.closeness_centrality(graph, batch_size=5)
+    gm = dict(zip(got["vid"], got["closeness"]))
+    for v in want:
+        assert gm[v] == pytest.approx(want[v], abs=1e-12), v
+    got_h = algorithms.closeness_centrality(_micro(False), harmonic=True)
+    hm = dict(zip(got_h["vid"], got_h["harmonic"]))
+    for v in want_h:
+        assert hm[v] == pytest.approx(want_h[v], abs=1e-12), v
+
+
+def test_closeness_random():
+    import networkx as nx
+
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 50, (120, 2))
+                    if a != b})
+    g = nx.Graph()
+    g.add_nodes_from(range(50))
+    g.add_edges_from(edges)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    verts = ray.data.from_items([{"vid": v} for v in range(50)])
+    graph = build_graph(ds, num_partitions=4, directed=False,
+                        extra_vertices=verts, dedup_arcs=True)
+    got = algorithms.closeness_centrality(graph, batch_size=17)
+    gm = dict(zip(got["vid"], got["closeness"]))
+    want = nx.closeness_centrality(g)
+    for v in want:
+        assert gm[v] == pytest.approx(want[v], abs=1e-12), v
