@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
+        "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
         "multimodal_meta": textproc.q_multimodal_meta,
     }
 
@@ -170,6 +171,49 @@ def _cdlp_sql() -> str:
         "WITH " + "".join(parts)
         + f"\nSELECT vid, lab AS label FROM lab{CDLP_ROUNDS}"
     )
+
+
+def _kcore_sql(k: int = 80, rounds: int = 8) -> str:
+    """k-core peeling unrolled to a fixed round count (fixpoint is
+    stable, so extra rounds are no-ops; the gate data needs ≤5)."""
+    parts = [_GRAPH_CTES,
+             ", a0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM arcs)"]
+    for i in range(rounds):
+        parts.append(f"""
+, d{i} AS MATERIALIZED (SELECT u AS vid, count(*) AS d FROM a{i} GROUP BY u)
+, k{i} AS MATERIALIZED (SELECT vid FROM d{i} WHERE d >= {k})
+, a{i + 1} AS MATERIALIZED (
+  SELECT a.u, a.v FROM a{i} a JOIN k{i} x ON x.vid = a.u
+  JOIN k{i} y ON y.vid = a.v)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT vid FROM (SELECT u AS vid, count(*) AS d FROM a{rounds} GROUP BY u)
+WHERE d >= {k}"""
+    )
+
+
+def _lang_sql() -> str:
+    """Stopword-vote language ID twin: per-language hit counts via
+    list_filter, argmax with first-in-sorted-lang-order tie-break
+    (exactly functions/text.lang_id)."""
+    from graphscope_ray.functions.text import _LANGS, STOPWORDS
+
+    cols = []
+    for lg in _LANGS:
+        words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
+        cols.append(
+            f"len(list_filter(ws, x -> x IN ({words}))) AS {lg}"
+        )
+    g = "greatest(" + ",".join(_LANGS) + ")"
+    case = [f"WHEN {g} = 0 THEN 'und'"]
+    case += [f"WHEN {lg} = {g} THEN '{lg}'" for lg in _LANGS[:-1]]
+    return rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+           FROM documents),
+c AS (SELECT doc_id, {", ".join(cols)} FROM t)
+SELECT doc_id, CASE {" ".join(case)} ELSE '{_LANGS[-1]}' END AS lang
+FROM c"""
 
 
 _TRI_DEG_CTES = """
@@ -362,11 +406,12 @@ def _all_oracle_sql() -> dict[str, str]:
         "agg AS (SELECT s AS vid, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END)\n"
         "        AS h FROM sp GROUP BY s)\n"
         "SELECT vid, printf('%.6f', h) AS harmonic FROM agg",
+        "part_kcore": _kcore_sql(80, 8),
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),
-        # part_sssp / part_kcore: no SQL oracle (weighted SSSP / iterative
-        # peeling explode in pure SQL; pytest networkx oracles cover them)
+        # part_sssp: no SQL oracle (weighted SSSP explodes in pure SQL;
+        # the pytest dijkstra oracle covers it)
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        printf('%.4f', sum(l_quantity)) AS sum_qty,
@@ -427,9 +472,34 @@ SELECT doc_id,
                   / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
              ELSE 0 END) AS stopword_ratio
 FROM documents""",
-        # doc_lang / doc_fingerprint / doc_minhash_pairs / doc_simhash /
-        # embedding_neardup: rows-only (heuristic or hash pipelines with
-        # no faithful SQL twin)
+        "doc_lang": _lang_sql(),
+        "doc_fingerprint": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text), '\w+')) + 1))
+           AS pos
+  FROM documents)
+SELECT d.doc_id, COALESCE(s.fp, 0) AS fingerprint
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         CAST(((sum(CAST(md5_number_lower(tok) AS HUGEINT) * pos)
+                % CAST('18446744073709551616' AS HUGEINT))
+               + CAST('9223372036854775808' AS HUGEINT))
+              % CAST('18446744073709551616' AS HUGEINT)
+              - CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp
+  FROM toks GROUP BY doc_id) s ON s.doc_id = d.doc_id""",
+        "embedding_neardup": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       printf('%.5f', list_cosine_similarity(
+         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      >= 0.4""",
+        # doc_minhash_pairs / doc_simhash / embedding_neardup_lsh:
+        # rows-only (hash pipelines with no faithful SQL twin)
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 5)

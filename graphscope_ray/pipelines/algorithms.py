@@ -169,13 +169,25 @@ def hits(
     ``graph_fwd`` holds arcs as given (hub lives here); ``graph_rev``
     the reversed arcs (authority lives here). Both must be built with
     the same partition count and full vertex registration so partition-
-    aligned state tables can be exchanged. ``tol=0`` forces exactly
-    ``max_iter`` rounds (SQL-oracle mode)."""
+    aligned state tables can be exchanged. Passing the SAME graph for
+    both (valid only when the arc set is symmetric, i.e. undirected:
+    A = Aᵀ) is supported via a per-shard stash slot for the authority
+    vector — one pool, two vertex vectors, no mid-iteration aliasing.
+    ``tol=0`` forces exactly ``max_iter`` rounds (SQL-oracle mode)."""
     if graph_fwd.P != graph_rev.P:
         raise ValueError("fwd/rev graphs must share a partition count")
+    aliased = graph_fwd is graph_rev or graph_fwd.shards is graph_rev.shards
+    if aliased and graph_fwd.directed:
+        raise ValueError(
+            "hits(g, g) requires an undirected (symmetric-arc) graph; "
+            "build a reversed twin for directed graphs"
+        )
     n = graph_fwd.n_vertices
     graph_fwd.call_all("value_init", 1.0 / n)  # h
-    graph_rev.call_all("value_init", 1.0 / n)  # a
+    if aliased:
+        graph_fwd.call_all("stash_state", "authority")  # a
+    else:
+        graph_rev.call_all("value_init", 1.0 / n)  # a
     rounds = []
     for it in range(max_iter):
         t0 = time.perf_counter()
@@ -183,13 +195,21 @@ def hits(
         # a_raw = A^T h : push h along fwd arcs, accumulate at rev pool
         refs = graph_fwd.scatter_refs("value_scatter")
         graph_rev.apply_all("value_apply", refs, 1.0, 0.0, False)
+        if aliased:
+            # state now holds a_raw — keep it in the stash slot so the
+            # h half-step below can't clobber it (ADVICE r01)
+            graph_fwd.call_all("stash_state", "authority")
         # h_raw = A a_raw : push a along rev arcs, accumulate at fwd pool
         refs = graph_rev.scatter_refs("value_scatter")
         parts_h = graph_fwd.apply_all("value_apply", refs, 1.0, 0.0, False)
         max_h = max(p[3] for p in parts_h) or 1.0
         graph_fwd.call_all("value_scale", 1.0 / max_h)
-        a_max = max(graph_rev.call_all("state_max")) or 1.0
-        graph_rev.call_all("value_scale", 1.0 / a_max)
+        if aliased:
+            a_max = max(graph_fwd.call_all("stash_max", "authority")) or 1.0
+            graph_fwd.call_all("stash_scale", "authority", 1.0 / a_max)
+        else:
+            a_max = max(graph_rev.call_all("state_max")) or 1.0
+            graph_rev.call_all("value_scale", 1.0 / a_max)
         err = sum(graph_fwd.call_all("l1_diff_snapshot"))
         rounds.append({"round": it, "delta": err,
                        "seconds": time.perf_counter() - t0})
@@ -197,6 +217,14 @@ def hits(
             break
     s_h = sum(graph_fwd.call_all("value_scale", 1.0))
     graph_fwd.call_all("value_scale", 1.0 / s_h if s_h else 1.0)
+    if aliased:
+        s_a = sum(graph_fwd.call_all("stash_scale", "authority", 1.0))
+        graph_fwd.call_all("stash_scale", "authority",
+                           1.0 / s_a if s_a else 1.0)
+        merged = graph_fwd.state_dataset_with_stash(
+            "hub", "authority", "authority"
+        )
+        return merged, None, _metrics(rounds, graph_fwd.n_edges)
     s_a = sum(graph_rev.call_all("value_scale", 1.0))
     graph_rev.call_all("value_scale", 1.0 / s_a if s_a else 1.0)
     return (
@@ -339,11 +367,13 @@ def voterank(graph: ShardedGraph, num_nodes: int) -> list[int]:
     sum of its in-neighbors' voting abilities; the global max scorer is
     elected (ties → min vid), its ability zeroed, and its out-neighbors'
     abilities decremented by 1/⟨k⟩. Stops early when the best score
-    reaches 0. ⟨k⟩ = arcs/N (average degree in the stored-arc sense —
-    undirected graphs hold both arcs, matching networkx's undirected
-    average degree)."""
+    reaches 0. ⟨k⟩ follows networkx: sum of (in+out) degrees / N.
+    Undirected graphs store both arcs so that is arcs/N; directed
+    graphs store each edge once, so every arc contributes one out- and
+    one in-degree ⇒ 2·arcs/N (ADVICE r01)."""
     graph.call_all("voterank_init")
-    avg_deg = graph.n_edges / max(1, graph.n_vertices)
+    factor = 2 if graph.directed else 1
+    avg_deg = factor * graph.n_edges / max(1, graph.n_vertices)
     delta = -1.0 / avg_deg if avg_deg else 0.0
     elected: list[int] = []
     for _ in range(num_nodes):

@@ -175,12 +175,25 @@ def louvain(
     edges: ray.data.Dataset,
     max_levels: int = 5,
     max_rounds_per_level: int = 12,
+    vertices: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(src, dst[, weight]) → (vid, community): Louvain levels; final
-    community id = min member vid (canonical, exact-comparable)."""
+    community id = min member vid (canonical, exact-comparable).
+
+    ``vertices`` (a Dataset with a ``vid`` column) adds isolated
+    vertices absent from the edge set as singleton communities —
+    matching networkx.louvain_communities over the full vertex set
+    (ADVICE r01)."""
     level_edges = _canonical_weighted(edges).materialize()
     vids0, _ = _vertex_degrees(level_edges)
     assign = vids0.copy()
+    isolated = np.empty(0, dtype=np.int64)
+    if vertices is not None:
+        allv = np.unique(np.concatenate([
+            b["vid"].to_numpy(np.int64)
+            for b in vertices.iter_batches(batch_format="pandas")
+        ] + [vids0]))
+        isolated = np.setdiff1d(allv, vids0, assume_unique=True)
 
     for _level in range(max_levels):
         vids, kv = _vertex_degrees(level_edges)
@@ -210,4 +223,8 @@ def louvain(
 
     out = pd.DataFrame({"vid": vids0, "community": assign})
     out["community"] = out.groupby("community", sort=False)["vid"].transform("min").to_numpy()
+    if len(isolated):
+        out = pd.concat([
+            out, pd.DataFrame({"vid": isolated, "community": isolated})
+        ], ignore_index=True).sort_values("vid", ignore_index=True)
     return ray.data.from_pandas(out)

@@ -196,9 +196,10 @@ def q_part_edge_boundary(sf_dir: str) -> ray.data.Dataset:
     return edge_boundary(part_cooccurrence_edges(sf_dir), _boundary_set(sf_dir))
 
 
-def q_part_kcore(sf_dir: str, k: int = 8) -> ray.data.Dataset:
-    """k-core membership (rows-only: iterative peeling has no faithful
-    SQL twin; exactness covered by the networkx pytest oracle)."""
+def q_part_kcore(sf_dir: str, k: int = 80) -> ray.data.Dataset:
+    """k-core membership. k=80 actually peels on the driver data (k=8
+    kept the whole graph — a vacuous gate); the SQL twin unrolls the
+    peeling rounds as CTEs (bounded: the gate data converges in ≤5)."""
     from graphscope_ray.pipelines.structure import kcore
 
     return kcore(part_cooccurrence_edges(sf_dir), k)
@@ -211,10 +212,10 @@ def q_part_hits(sf_dir: str, num_partitions: int = 8, iters: int = 10
     from graphscope_ray.functions.format import fixed_cols
 
     g = build_part_graph(sf_dir, num_partitions)
-    hub, auth, _ = algorithms.hits(g, g, max_iter=iters, tol=0.0)
-    merged = hub.to_pandas().merge(auth.to_pandas(), on="vid")
-    ds = ray.data.from_pandas(merged)
-    return fixed_cols(ds, {"hub": 6, "authority": 6})
+    merged, _, _ = algorithms.hits(g, g, max_iter=iters, tol=0.0)
+    # aliased-pool hits returns one partition-aligned (vid, hub,
+    # authority) dataset — no driver-side merge
+    return fixed_cols(merged, {"hub": 6, "authority": 6})
 
 
 def q_part_katz(sf_dir: str, num_partitions: int = 8, iters: int = 10,
@@ -260,7 +261,8 @@ def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     modularity-vs-networkx covered in pytest)."""
     from graphscope_ray.pipelines.louvain import louvain
 
-    return louvain(part_cooccurrence_edges(sf_dir))
+    return louvain(part_cooccurrence_edges(sf_dir),
+                   vertices=part_vertices(sf_dir))
 
 
 def q_part_voterank(sf_dir: str, k: int = 20, num_partitions: int = 8

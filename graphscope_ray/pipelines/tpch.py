@@ -15,11 +15,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from graphscope_ray.stages.relational import dedup_first, grouped_agg
+from graphscope_ray.stages.relational import dedup_first, grouped_agg, topk
 
 
 from graphscope_ray.functions.format import fixed_cols as _fixed_cols
-from graphscope_ray.functions.format import fixed_str as _fixed_str
 
 
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
@@ -88,14 +87,10 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         col.map_batches(revenue, batch_format="pyarrow"),
         ["o_orderkey"], {"revenue": ("revenue", "sum")},
     )
-    top = (
-        agg.to_pandas()
-        .sort_values(["revenue", "o_orderkey"], ascending=[False, True],
-                     kind="mergesort")
-        .head(k)
-    )
-    top["revenue"] = _fixed_str(top["revenue"].to_numpy(), 4)
-    return ray.data.from_pandas(top.reset_index(drop=True))
+    # distributed top-k (partial per-block cut + small sort) — the
+    # per-order aggregate is order-scale and must not hit the driver
+    top = topk(agg, "revenue", k, descending=True, tiebreak=["o_orderkey"])
+    return _fixed_cols(top, {"revenue": 4})
 
 
 def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:

@@ -44,17 +44,36 @@ def read_edge_list(path: str, comment: str = "#") -> ray.data.Dataset:
         lines = lines[(lines != "") & ~lines.str.startswith(comment)]
         if lines.empty:  # a block holding only comments/blank lines
             return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
-                                 "dst": pd.Series([], dtype=np.int64)})
+                                 "dst": pd.Series([], dtype=np.int64),
+                                 "weight": pd.Series([], dtype=np.float64)})
         parts = lines.str.split(expand=True)
         out = pd.DataFrame({
             "src": parts[0].astype(np.int64),
             "dst": parts[1].astype(np.int64),
         })
-        if parts.shape[1] > 2 and parts[2].notna().all():
-            out["weight"] = parts[2].astype(np.float64)
+        # weight presence is decided PER LINE (missing third field →
+        # 1.0) so every block emits the identical schema even when 2-
+        # and 3-column lines mix or split unevenly across text blocks
+        # (ADVICE r01; 1.0 matches the unweighted default in build).
+        if parts.shape[1] > 2:
+            out["weight"] = parts[2].astype(np.float64).fillna(1.0)
+        else:
+            out["weight"] = np.float64(1.0)
         return out
 
     return txt.map_batches(parse, batch_format="pandas")
+
+
+def read_edges_orc(path: str, src: str = "src", dst: str = "dst",
+                   weight: str | None = None) -> ray.data.Dataset:
+    """ORC edge reader (the reference's loader lists ORC as a first-
+    class format, python/graphscope/framework/loader.py:99-160) —
+    ``ray.data.read_orc`` with the same column mapping as parquet."""
+    ds = ray.data.read_orc(path)
+    ren = {src: "src", dst: "dst"}
+    if weight:
+        ren[weight] = "weight"
+    return ds.select_columns(list(ren)).rename_columns(ren)
 
 
 def from_pandas_edges(df: pd.DataFrame) -> ray.data.Dataset:

@@ -176,19 +176,21 @@ def unfold(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
-def topk(ds: ray.data.Dataset, key: str, k: int, descending: bool = True
-         ) -> ray.data.Dataset:
+def topk(ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
+         tiebreak: list[str] | None = None) -> ray.data.Dataset:
     """OrderBy + Limit ≡ Topk (algebra.proto:160-161). Ray's sort is a
     range-partitioned shuffle; for small k a per-batch partial top-k
-    first cuts the shuffle volume."""
+    first cuts the shuffle volume to ≤ k rows per block. ``tiebreak``
+    columns (always ascending) make the cut deterministic on key ties."""
+    tb = list(tiebreak or [])
+    cols = [key] + tb
+    asc = [not descending] + [True] * len(tb)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return (
-            batch.nlargest(k, key) if descending else batch.nsmallest(k, key)
-        )
+        return batch.sort_values(cols, ascending=asc, kind="mergesort").head(k)
 
     return ds.map_batches(partial, batch_format="pandas").sort(
-        key, descending=descending
+        cols, descending=[not a for a in asc]
     ).limit(k)
 
 

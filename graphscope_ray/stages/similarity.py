@@ -61,6 +61,83 @@ def brute_force_topk(
     return parts.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
 
 
+def exact_cosine_pairs(
+    ds: ray.data.Dataset,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT near-duplicate pairs (a < b, cosine ≥ threshold) by a
+    blocked all-pairs sweep: the table is normalized into ≤``block_rows``
+    blocks held in the object store, and one Ray task per block pair
+    (i ≤ j) does a single matmul and emits only the surviving pairs.
+
+    This is the exact counterpart of the LSH path
+    (``stages.dedup.embedding_neardup_pairs``): O(n²/block²) tasks —
+    the right tool when exactness is required or the threshold is too
+    low for hyperplane-LSH recall (recall decays fast below ~0.8
+    cosine). Blocks stream through the object store; the driver only
+    holds block refs. Work grows quadratically with n — that is
+    inherent to exact all-pairs, not a harness artifact."""
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "_v": list(V)})
+
+    blocks = (
+        ds.map_batches(norm, batch_format="pandas", batch_size=block_rows)
+        .materialize().to_arrow_refs()
+    )
+
+    @ray.remote
+    def pair_block(ta, tb, same: bool):
+        import pyarrow as pa
+
+        ia = ta.column(id_col).to_numpy(zero_copy_only=False)
+        ib = tb.column(id_col).to_numpy(zero_copy_only=False)
+        Va = np.stack(ta.column("_v").to_numpy(zero_copy_only=False))
+        Vb = np.stack(tb.column("_v").to_numpy(zero_copy_only=False))
+        S = Va @ Vb.T
+        i, j = np.where(S >= threshold)
+        a, b, c = ia[i], ib[j], S[i, j]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = a != b if same else np.ones(len(a), dtype=bool)
+        return pa.table({
+            "a": pa.array(lo[keep], pa.int64()),
+            "b": pa.array(hi[keep], pa.int64()),
+            "cosine": pa.array(c[keep], pa.float64()),
+        })
+
+    refs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            refs.append(pair_block.remote(blocks[i], blocks[j], i == j))
+    out = ray.data.from_arrow_refs(refs)
+    # same-block pairs surface once as (lo, hi); cross-block pairs can
+    # not repeat (disjoint id sets) — but dedup keeps the contract
+    # explicit and cheap (pair-scale, not n²-scale)
+    from graphscope_ray.stages.relational import dedup_first
+
+    return dedup_first(out, ["a", "b"])
+
+
+def _hash_sample(ds: ray.data.Dataset, id_col: str, keep_1_in: int,
+                 seed: int) -> ray.data.Dataset:
+    """Deterministic streaming sample: keep rows whose mixed id hashes
+    into the first 1/keep_1_in slice — unbiased w.r.t. block order
+    (``Dataset.limit`` would sample only the first blocks)."""
+    from graphscope_ray.functions.hashing import hash64_ints
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_ints(batch[id_col].to_numpy(np.int64)
+                        + np.int64(seed))
+        return batch[h % np.uint64(keep_1_in) == 0]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def ivf_build(
     ds: ray.data.Dataset,
     num_centroids: int = 64,
@@ -74,7 +151,11 @@ def ivf_build(
     bucketing), assign every vector to its nearest centroid.
 
     Returns (assigned Dataset with a ``centroid`` column, centroids)."""
-    sample = ds.limit(sample_size).to_pandas()
+    n = ds.count()
+    rate = max(1, n // max(1, sample_size))
+    sample = _hash_sample(ds, id_col, rate, seed).to_pandas()
+    if len(sample) == 0:  # tiny table edge case
+        sample = ds.limit(sample_size).to_pandas()
     V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     C = V[rng.choice(len(V), size=min(num_centroids, len(V)), replace=False)]

@@ -91,11 +91,23 @@ class ShardedGraph:
         return ray.get([getattr(s, method).remote(*args) for s in self.shards])
 
     def state_dataset(self, col: str = "value") -> ray.data.Dataset:
-        tables = self.call_all("state_table", col)
-        return ray.data.from_arrow(tables)
+        """Per-shard state tables as a Dataset — object-store refs, no
+        driver materialization (each block stays where its shard put it)."""
+        return ray.data.from_arrow_refs(
+            [s.state_table.remote(col) for s in self.shards]
+        )
+
+    def state_dataset_with_stash(self, col: str, stash_name: str,
+                                 stash_col: str) -> ray.data.Dataset:
+        return ray.data.from_arrow_refs([
+            s.state_table_with_stash.remote(col, stash_name, stash_col)
+            for s in self.shards
+        ])
 
     def degree_dataset(self) -> ray.data.Dataset:
-        return ray.data.from_arrow(self.call_all("degree_table"))
+        return ray.data.from_arrow_refs(
+            [s.degree_table.remote() for s in self.shards]
+        )
 
 
 def build_graph(

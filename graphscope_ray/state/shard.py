@@ -464,6 +464,38 @@ class GraphShard:
     def state_max(self) -> float:
         return float(self.state.max()) if self.n_local else 0.0
 
+    # ------------------------------------------------- named state slots
+    # A second vertex-state buffer per shard. Needed when ONE pool plays
+    # two roles (hits() on an undirected graph uses the same CSR for A
+    # and Aᵀ): without a separate slot the authority vector would be
+    # overwritten by the hub half-step mid-iteration.
+    def stash_state(self, name: str) -> int:
+        if not hasattr(self, "_stash"):
+            self._stash = {}
+        self._stash[name] = self.state.copy()
+        return self.n_local
+
+    def stash_max(self, name: str) -> float:
+        s = self._stash[name]
+        return float(s.max()) if len(s) else 0.0
+
+    def stash_scale(self, name: str, factor: float) -> float:
+        """Scale the stashed vector; returns its (pre-scale) sum."""
+        s = self._stash[name]
+        tot = float(s.sum())
+        self._stash[name] = s * factor
+        return tot
+
+    def state_table_with_stash(self, col: str, stash_name: str,
+                               stash_col: str) -> pa.Table:
+        """(vid, col, stash_col) in one table — partition-aligned export
+        of two vertex vectors with no driver-side merge."""
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            col: pa.array(self.state),
+            stash_col: pa.array(self._stash[stash_name]),
+        })
+
     def save_snapshot(self) -> int:
         self._snap = self.state.copy()
         return self.n_local
@@ -501,10 +533,27 @@ class GraphShard:
         return self.load_state(pq.read_table(path), frontier_all)
 
     def load_state(self, table: pa.Table, frontier_all: bool = False):
-        """Restore vertex state from a checkpoint table (vid, value)."""
+        """Restore vertex state from a checkpoint table (vid, value).
+
+        The vid set must match this shard's local vertex array exactly —
+        a checkpoint from a different graph with the same (P, V, E)
+        config hash would otherwise silently scatter values to wrong
+        vertices and leave uninitialized slots (ADVICE r01)."""
         vid = table.column("vid").to_numpy(zero_copy_only=False)
         val = table.column(table.column_names[1]).to_numpy(zero_copy_only=False)
+        if len(vid) != self.n_local:
+            raise ValueError(
+                f"shard {self.fid}: checkpoint has {len(vid)} vertices, "
+                f"shard has {self.n_local} — wrong graph or partitioning"
+            )
         pos = np.searchsorted(self.local, vid)
+        if pos.max(initial=-1) >= self.n_local or not np.array_equal(
+            self.local[pos], vid
+        ):
+            raise ValueError(
+                f"shard {self.fid}: checkpoint vid set does not match the "
+                "shard's local vertex array — refusing to restore"
+            )
         st = np.empty(self.n_local, dtype=val.dtype)
         st[pos] = val
         self.state = st
