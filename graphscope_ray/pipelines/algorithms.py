@@ -63,11 +63,14 @@ def pagerank(
     if dangling is None:
         dangling = sum(graph.call_all("pagerank_init", n))
     rounds = []
+    # fused supersteps: round-0 scatter, then one apply+scatter RPC
+    # wave per round; the driver syncs only on the scalar partials
+    refs = graph.step_refs("pagerank_step", 0.0, alpha)
     for it in range(start_round, max_iter):
         t0 = time.perf_counter()
         base = (1.0 - alpha) / n + alpha * dangling / n
-        refs = graph.scatter_refs("pagerank_scatter")
-        parts = graph.apply_all("pagerank_apply", refs, base, alpha)
+        refs = graph.step_refs("pagerank_step", base, alpha, inbox=refs)
+        parts = graph.step_scalars(refs)
         delta = sum(p[0] for p in parts)
         dangling = sum(p[1] for p in parts)
         rounds.append({"round": it, "delta": delta, "seconds": time.perf_counter() - t0})
@@ -108,10 +111,11 @@ def wcc(
     else:
         graph.call_all("minprop_init")
     rounds = []
+    refs = graph.step_refs("minprop_step")
     for it in range(start_round, max_iter):
         t0 = time.perf_counter()
-        refs = graph.scatter_refs("minprop_scatter")
-        changed = sum(graph.apply_all("minprop_apply", refs))
+        refs = graph.step_refs("minprop_step", inbox=refs)
+        changed = sum(graph.step_scalars(refs))
         rounds.append({"round": it, "changed": changed,
                        "seconds": time.perf_counter() - t0})
         if ckpt_every and (it + 1) % ckpt_every == 0:
@@ -143,10 +147,11 @@ def cdlp(
     else:
         graph.call_all("cdlp_init")
     rounds = []
+    refs = graph.step_refs("cdlp_step")
     for it in range(start_round, max_round):
         t0 = time.perf_counter()
-        refs = graph.scatter_refs("cdlp_scatter")
-        changed = sum(graph.apply_all("cdlp_apply", refs))
+        refs = graph.step_refs("cdlp_step", inbox=refs)
+        changed = sum(graph.step_scalars(refs))
         rounds.append({"round": it, "changed": changed,
                        "seconds": time.perf_counter() - t0})
         if ckpt_every and (it + 1) % ckpt_every == 0:
@@ -249,10 +254,11 @@ def katz_centrality(
     n = graph.n_vertices
     graph.call_all("value_init", 0.0)
     rounds = []
+    refs = graph.step_refs("value_step", alpha, beta, False)
     for it in range(max_iter):
         t0 = time.perf_counter()
-        refs = graph.scatter_refs("value_scatter")
-        parts = graph.apply_all("value_apply", refs, alpha, beta, False)
+        refs = graph.step_refs("value_step", alpha, beta, False, inbox=refs)
+        parts = graph.step_scalars(refs)
         err = sum(p[0] for p in parts)
         rounds.append({"round": it, "delta": err,
                        "seconds": time.perf_counter() - t0})
@@ -337,9 +343,10 @@ def closeness_centrality(
     for lo in range(0, len(all_vids), batch_size):
         batch = all_vids[lo: lo + batch_size]
         graph.call_all("msbfs_init", batch)
+        refs = graph.step_refs("msbfs_step")
         for _ in range(10**6):
-            refs = graph.scatter_refs("msbfs_scatter")
-            changed = sum(graph.apply_all("msbfs_apply", refs))
+            refs = graph.step_refs("msbfs_step", inbox=refs)
+            changed = sum(graph.step_scalars(refs))
             if changed == 0:
                 break
         parts = graph.call_all("msbfs_column_sums")
@@ -356,9 +363,155 @@ def closeness_centrality(
                     val = val * (r / (n - 1))
         out_vid.append(batch)
         out_val.append(val)
+    graph.call_all("msbfs_free")
     col = "harmonic" if harmonic else "closeness"
     return pd.DataFrame({"vid": np.concatenate(out_vid),
                          col: np.concatenate(out_val)})
+
+
+def betweenness_centrality(
+    graph: ShardedGraph,
+    batch_size: int = 1024,
+    normalized: bool = True,
+    sources=None,
+):
+    """Brandes betweenness centrality via batched multi-source BFS
+    (reference apps/centrality/betweenness/betweenness_centrality.h:240,
+    networkx.betweenness_centrality semantics). Each source batch runs
+    a forward σ-counting sweep and a backward dependency sweep on the
+    shard pool (fused supersteps); per-shard BC accumulates across
+    batches. ``sources=None`` = exact (every vertex a source);
+    a sampled source list gives the networkx k-sample estimate
+    (scale ×n/k). Undirected (both-arcs) graphs only: the backward
+    sweep pushes along stored arcs.
+
+    Returns a Dataset (vid, betweenness)."""
+    import numpy as np
+    import ray
+
+    if graph.directed:
+        raise ValueError(
+            "betweenness_centrality currently requires an undirected "
+            "(both-arcs) graph: the dependency sweep pushes along stored "
+            "arcs; build a reversed twin for directed support"
+        )
+    if sources is None:
+        tables = graph.call_all("degree_table")
+        all_vids = np.sort(np.concatenate(
+            [t.column("vid").to_numpy(zero_copy_only=False) for t in tables]
+        ))
+    else:
+        all_vids = np.sort(np.asarray(sources, dtype=np.int64))
+    n = graph.n_vertices
+    graph.call_all("brandes_bc_init")
+    for lo in range(0, len(all_vids), batch_size):
+        batch = all_vids[lo: lo + batch_size]
+        graph.call_all("brandes_init", batch)
+        refs = graph.step_refs("brandes_fwd_step")
+        max_dist, r = 0, 0
+        while True:
+            r += 1
+            refs = graph.step_refs("brandes_fwd_step", inbox=refs)
+            if sum(graph.step_scalars(refs)) == 0:
+                break
+            max_dist = r
+        graph.call_all("brandes_bwd_init", max_dist)
+        if max_dist > 0:
+            refs = graph.step_refs("brandes_bwd_step")
+            for _ in range(max_dist):
+                refs = graph.step_refs("brandes_bwd_step", inbox=refs)
+            graph.step_scalars(refs)  # barrier: last level applied
+        graph.call_all("brandes_accumulate")
+    graph.call_all("msbfs_free")
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+    else:
+        scale = 0.5  # networkx _rescale: halve the two-direction count
+    if sources is not None and len(all_vids):
+        scale *= n / len(all_vids)
+    import ray.data
+
+    return ray.data.from_arrow_refs(
+        [s.brandes_bc_table.remote(scale) for s in graph.shards]
+    )
+
+
+def all_pairs_shortest_path_length(
+    graph: ShardedGraph,
+    sources=None,
+    batch_size: int = 2048,
+):
+    """All-pairs (or sources×all) BFS shortest-path lengths as a
+    Dataset (src, dst, length) — the matrix form of
+    apps/apsp/all_pairs_shortest_path_length.h:144, exposed row-wise.
+    O(V²) output: pass ``sources`` beyond small graphs."""
+    import numpy as np
+    import ray.data
+
+    if sources is None:
+        tables = graph.call_all("degree_table")
+        all_vids = np.sort(np.concatenate(
+            [t.column("vid").to_numpy(zero_copy_only=False) for t in tables]
+        ))
+    else:
+        all_vids = np.sort(np.asarray(sources, dtype=np.int64))
+    parts = []
+    for lo in range(0, len(all_vids), batch_size):
+        batch = all_vids[lo: lo + batch_size]
+        graph.call_all("msbfs_init", batch)
+        refs = graph.step_refs("msbfs_step")
+        while True:
+            refs = graph.step_refs("msbfs_step", inbox=refs)
+            if sum(graph.step_scalars(refs)) == 0:
+                break
+        parts.extend(s.msbfs_lengths_table.remote() for s in graph.shards)
+    out = ray.data.from_arrow_refs(parts)
+    # matrices freed lazily AFTER the export tables materialize
+    return out
+
+
+def sssp_path(graph: ShardedGraph, source: int, target: int | None = None,
+              weighted: bool = True, max_iter: int = 10**6):
+    """Shortest paths with parent pointers (apps/sssp/sssp_path.h:174).
+
+    Returns ``(table_dataset, path)`` where the dataset is
+    (vid, distance, parent) for every vertex and ``path`` is the
+    deterministic min-parent path source→target as a list of vids
+    (None when target is None or unreachable)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    graph.call_all("path_init", np.asarray([source], dtype=np.int64))
+    refs = graph.step_refs("path_step", weighted)
+    for _ in range(max_iter):
+        refs = graph.step_refs("path_step", weighted, inbox=refs)
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+    # deterministic parent re-pick: min vid among optimal predecessors
+    fin = graph.scatter_refs("path_finalize_scatter", weighted)
+    graph.apply_all("path_finalize_apply", fin)
+    table = ray.data.from_arrow_refs(
+        [s.path_table.remote() for s in graph.shards]
+    )
+    path = None
+    if target is not None:
+        from graphscope_ray.functions.hashing import partition_of
+
+        path, cur = [], int(target)
+        for _ in range(graph.n_vertices):
+            fid = int(partition_of(np.asarray([cur], dtype=np.int64), graph.P)[0])
+            hit = ray.get(graph.shards[fid].path_parent_of.remote(cur))
+            if hit is None or not np.isfinite(hit[1]):
+                path = None  # unreachable
+                break
+            path.append(cur)
+            if cur == source:
+                break
+            cur = hit[0]
+        if path is not None:
+            path = path[::-1]
+    return table, path
 
 
 def voterank(graph: ShardedGraph, num_nodes: int) -> list[int]:
@@ -422,10 +575,11 @@ def _dist_loop(graph, sources, weighted, max_iter, col):
 
     graph.call_all("dist_init", np.asarray(sources, dtype=np.int64))
     rounds = []
+    refs = graph.step_refs("dist_step", weighted)
     for it in range(max_iter):
         t0 = time.perf_counter()
-        refs = graph.scatter_refs("dist_scatter", weighted)
-        changed = sum(graph.apply_all("dist_apply", refs))
+        refs = graph.step_refs("dist_step", weighted, inbox=refs)
+        changed = sum(graph.step_scalars(refs))
         rounds.append({"round": it, "changed": changed,
                        "seconds": time.perf_counter() - t0})
         if changed == 0:

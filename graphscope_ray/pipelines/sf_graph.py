@@ -62,14 +62,39 @@ def part_vertices(sf_dir: str) -> ray.data.Dataset:
     return dedup_first(li, ["l_partkey"]).rename_columns({"l_partkey": "vid"})
 
 
+_GRAPH_CACHE: dict[tuple, ShardedGraph] = {}
+
+
+def _pool_alive(g: ShardedGraph) -> bool:
+    import ray
+
+    try:
+        return ray.get(g.shards[0].ingest.remote(None, None), timeout=30) == 0
+    except Exception:
+        return False
+
+
 def build_part_graph(sf_dir: str, num_partitions: int = 8) -> ShardedGraph:
-    """Undirected part graph incl. isolated parts (single-item orders)."""
-    return build_graph(
+    """Undirected part graph incl. isolated parts (single-item orders).
+
+    Session-cached per (sf_dir, P): the CSR shards are immutable after
+    build and every algorithm re-initialises its own vertex state, so
+    one actor pool serves all part_* queries (the reference keeps the
+    fragment resident in vineyard across RUN_APP calls for the same
+    reason — rebuild per query was over half the round-1 gate wall
+    time)."""
+    key = (sf_dir, num_partitions)
+    g = _GRAPH_CACHE.get(key)
+    if g is not None and _pool_alive(g):
+        return g
+    g = build_graph(
         part_cooccurrence_edges(sf_dir),
         num_partitions=num_partitions,
         directed=False,
         extra_vertices=part_vertices(sf_dir),
     )
+    _GRAPH_CACHE[key] = g
+    return g
 
 
 # --- query()-style entry points (one per algorithm) ---------------------

@@ -127,6 +127,79 @@ def degree_assortativity(edges: ray.data.Dataset) -> float:
     return float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
 
 
+def attribute_assortativity(
+    edges: ray.data.Dataset,
+    attrs: ray.data.Dataset,
+    attr_col: str,
+) -> float:
+    """Attribute (categorical) assortativity coefficient — networkx
+    ``attribute_assortativity_coefficient``, reference
+    ``apps/assortativity/attribute_assortativity.h:30-323``: build the
+    mixing matrix e[x][y] over arcs (both orientations on undirected
+    edges), then r = (Σe_ii − Σ a_i·b_i) / (1 − Σ a_i·b_i).
+
+    ``attrs`` is a (vid, attr_col) Dataset; the category vocabulary is
+    small but the vid→attr map is vertex-scale, so the pair counting is
+    a bucketed shuffle join on vid, and only the |categories|² mixing
+    matrix ever reaches the driver."""
+    canon = _canonical_edges(edges)
+    arcs = canon.map_batches(
+        lambda t: pa.table({
+            "vid": pa.concat_arrays([t.column("u").combine_chunks(),
+                                     t.column("v").combine_chunks()]),
+            "other": pa.concat_arrays([t.column("v").combine_chunks(),
+                                       t.column("u").combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    )
+    at = attrs.select_columns(["vid", attr_col])
+
+    def attach_src(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][["vid", "other"]]
+        right = g[g["_side"] == 1][["vid", attr_col]]
+        return left.merge(right, on="vid")[["other", attr_col]].rename(
+            columns={"other": "vid", attr_col: "x"}
+        )
+
+    def tag(ds, side, cols):
+        return ds.map_batches(
+            lambda t, s=side: t.append_column("_side", pa.array(
+                np.full(t.num_rows, s, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+
+    # arc (vid -> other) + attr(vid) = x; then rekey by the other
+    # endpoint and join its attr = y; count (x, y)
+    step1 = bucketed_group_apply(
+        tag(arcs, 0, None).union(tag(at, 1, None)), ["vid"], attach_src
+    )
+
+    def attach_dst(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][["vid", "x"]]
+        right = g[g["_side"] == 1][["vid", attr_col]]
+        m = left.merge(right, on="vid")
+        return (
+            m.groupby(["x", attr_col], sort=False).size()
+            .reset_index(name="n").rename(columns={attr_col: "y"})
+        )
+
+    counts = bucketed_group_apply(
+        tag(step1, 0, None).union(tag(at, 1, None)), ["vid"], attach_dst
+    ).to_pandas()
+    mix = counts.groupby(["x", "y"], sort=False)["n"].sum().reset_index()
+    total = float(mix["n"].sum())
+    if total == 0:
+        return float("nan")
+    mix["p"] = mix["n"] / total
+    tr = float(mix.loc[mix["x"] == mix["y"], "p"].sum())
+    a = mix.groupby("x")["p"].sum()
+    b = mix.groupby("y")["p"].sum()
+    cats = a.index.union(b.index)
+    ab = float((a.reindex(cats, fill_value=0.0)
+                * b.reindex(cats, fill_value=0.0)).sum())
+    return (tr - ab) / (1.0 - ab) if ab != 1.0 else float("nan")
+
+
 def average_degree_connectivity(edges: ray.data.Dataset) -> ray.data.Dataset:
     """knn(k) = average neighbor degree over all vertices of degree k
     (networkx average_degree_connectivity): Σ over arcs from deg-k

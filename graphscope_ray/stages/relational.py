@@ -105,15 +105,20 @@ def bucketed_group_apply(
                 h = h * np.uint64(1099511628211) ^ hash64_any(
                     b.column(k).to_numpy(zero_copy_only=False)
                 )
+        # strip schema metadata: parquet-scanned blocks carry a pandas
+        # metadata blob that defeats Ray's schema-dedup hash ("Failed
+        # to hash the schemas" log spam) and bloats every message
         return b.append_column(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        ).replace_schema_metadata(None)
 
     def run(g: pa.Table) -> pa.Table:
         # emit Arrow blocks: downstream operators (Project/Sort/union)
         # expect a uniform block type, and several assume Arrow
         pdf = g.drop_columns(["_bucket"]).to_pandas()
-        return pa.Table.from_pandas(fn(pdf), preserve_index=False)
+        return pa.Table.from_pandas(
+            fn(pdf), preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -79,6 +79,25 @@ class ShardedGraph:
             for s in self.shards
         ]
 
+    def step_refs(self, method: str, *args, inbox=None):
+        """Issue one fused apply+scatter superstep (shard.<method> with
+        ``num_returns=P+1``): refs[f][d] for d<P are f's messages to d,
+        refs[f][P] is f's scalar partial. ``inbox`` is the previous
+        round's refs (None for the round-0 scatter). One RPC wave per
+        round — the merged scatter+apply path."""
+        out = []
+        for d, s in enumerate(self.shards):
+            msgs = [inbox[src][d] for src in range(self.P)] if inbox is not None else []
+            out.append(
+                getattr(s, method).options(num_returns=self.P + 1).remote(*args, *msgs)
+            )
+        return out
+
+    def step_scalars(self, refs):
+        """Reduce point: fetch each shard's scalar partial (the P+1-th
+        return of a fused step)."""
+        return ray.get([r[self.P] for r in refs])
+
     def apply_all(self, method: str, refs, *args):
         """Route refs[src][dst] into each destination shard's apply."""
         out = []

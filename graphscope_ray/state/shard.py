@@ -285,6 +285,96 @@ class GraphShard:
         self._frontier[pos] = True
         return int(better.sum())
 
+    # --------------------- SSSP with parent pointers (path reconstruction)
+    # The dist loop plus a parent column (apps/sssp/sssp_path.h:174).
+    # During relaxation the parent follows the accepted (strictly
+    # better) distance; a final fix-point pass re-picks parent = min
+    # vid among ALL optimal predecessors, making the parent array (and
+    # hence every reconstructed path) deterministic regardless of
+    # arrival order.
+    def path_init(self, roots: np.ndarray) -> int:
+        n = self.dist_init(roots)
+        self._parent = np.full(self.n_local, -1, dtype=np.int64)
+        return n
+
+    def _path_emit(self, mask, vals):
+        """Per-destination (dst, val, parent) with min-(val, parent)
+        combine."""
+        parents = self.local[self.e_src_pos]
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            m = mask[lo:hi]
+            if not m.any():
+                out.append(None)
+                continue
+            dsts = self.e_dst[lo:hi][m]
+            v = vals[lo:hi][m]
+            p = parents[lo:hi][m]
+            order = np.lexsort((p, v, dsts))
+            dsts, v, p = dsts[order], v[order], p[order]
+            first = np.flatnonzero(
+                np.concatenate(([True], dsts[1:] != dsts[:-1]))
+            )
+            out.append((dsts[first], v[first], p[first]))
+        return out if self.P > 1 else out[0]
+
+    def path_step(self, weighted: bool, *inbox):
+        changed = 0
+        if inbox:
+            dst, val, par = _concat_msgs(inbox, (np.int64, np.float64, np.int64))
+            self._frontier = np.zeros(self.n_local, dtype=bool)
+            if len(dst):
+                order = np.lexsort((par, val, dst))
+                dst, val, par = dst[order], val[order], par[order]
+                first = np.flatnonzero(
+                    np.concatenate(([True], dst[1:] != dst[:-1]))
+                )
+                u, v, p = dst[first], val[first], par[first]
+                pos = np.searchsorted(self.local, u)
+                better = v < self.state[pos]
+                pos_b = pos[better]
+                self.state[pos_b] = v[better]
+                self._parent[pos_b] = p[better]
+                self._frontier[pos_b] = True
+                changed = int(better.sum())
+        mask = self._frontier[self.e_src_pos]
+        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        return self._msgs_tuple(self._path_emit(mask, vals)) + (changed,)
+
+    def path_finalize_scatter(self, weighted: bool):
+        """Emit candidate (dist, parent) along EVERY edge once — the
+        deterministic min-parent re-pick pass."""
+        finite = np.isfinite(self.state[self.e_src_pos])
+        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        return self._path_emit(finite, vals)
+
+    def path_finalize_apply(self, *inbox) -> int:
+        dst, val, par = _concat_msgs(inbox, (np.int64, np.float64, np.int64))
+        if not len(dst):
+            return 0
+        order = np.lexsort((par, val, dst))
+        dst, val, par = dst[order], val[order], par[order]
+        first = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+        u, v, p = dst[first], val[first], par[first]
+        pos = np.searchsorted(self.local, u)
+        tie = v == self.state[pos]
+        self._parent[pos[tie]] = p[tie]
+        return int(tie.sum())
+
+    def path_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "distance": pa.array(self.state),
+            "parent": pa.array(self._parent, pa.int64()),
+        })
+
+    def path_parent_of(self, vid: int):
+        pos = np.searchsorted(self.local, vid)
+        if pos >= self.n_local or self.local[pos] != vid:
+            return None
+        return (int(self._parent[pos]), float(self.state[pos]))
+
     # --------------------------- generic linear propagation (HITS/Katz/…)
     def value_init(self, value: float = 1.0) -> int:
         """state[v] = value for all local vertices."""
@@ -390,6 +480,156 @@ class GraphShard:
         self._frontier[pos[improved]] = True
         return int(improved.sum())
 
+    def _matrix_scatter(self, vertex_mask, rows, reduce_op):
+        """Push per-vertex matrix rows along out-edges of masked
+        vertices, segment-``reduce_op``-combined per destination —
+        the generic vector-valued scatter behind msbfs and Brandes."""
+        mask = vertex_mask[self.e_src_pos]
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            m = mask[lo:hi]
+            if not m.any():
+                out.append(None)
+                continue
+            dsts = self.e_dst[lo:hi][m]
+            r = rows[self.e_src_pos[lo:hi][m]]
+            order = np.argsort(dsts, kind="stable")
+            dsts, r = dsts[order], r[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], dsts[1:] != dsts[:-1]))
+            )
+            out.append((dsts[starts], reduce_op.reduceat(r, starts, axis=0)))
+        return out if self.P > 1 else out[0]
+
+    @staticmethod
+    def _concat_matrix_msgs(inbox):
+        dsts, rows = [], []
+        for p in inbox:
+            if p is None:
+                continue
+            dsts.append(p[0])
+            rows.append(p[1])
+        if not dsts:
+            return None, None
+        dst = np.concatenate(dsts)
+        mat = np.concatenate(rows, axis=0)
+        order = np.argsort(dst, kind="stable")
+        dst, mat = dst[order], mat[order]
+        starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+        return dst[starts], (starts, mat)
+
+    # ------------------- Brandes betweenness (batched multi-source BFS)
+    # Forward: level-synchronous BFS with σ path counting (all shortest
+    # paths to a vertex arrive in the same round, so σ is the plain sum
+    # of predecessor σ). Backward: dependency sweep by descending
+    # level, δ(v) += σ(v)·Σ_w (1+δ(w))/σ(w) over successors w. The
+    # reference's Brandes lives in
+    # apps/centrality/betweenness/betweenness_centrality.h (240 LoC).
+    def brandes_init(self, sources: np.ndarray) -> int:
+        self._msb_sources = np.asarray(sources, dtype=np.int64)
+        B = len(self._msb_sources)
+        self._msd = np.full((self.n_local, B), INF, dtype=np.float64)
+        self._msig = np.zeros((self.n_local, B), dtype=np.float64)
+        pos = np.searchsorted(self.local, self._msb_sources)
+        hit = pos < self.n_local
+        ok = np.where(hit)[0]
+        ok = ok[self.local[pos[ok]] == self._msb_sources[ok]]
+        self._msd[pos[ok], ok] = 0.0
+        self._msig[pos[ok], ok] = 1.0
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        self._frontier[pos[ok]] = True
+        self._fwd_r = 0
+        return int(len(ok))
+
+    def brandes_fwd_step(self, *inbox):
+        changed = 0
+        if inbox:
+            self._fwd_r += 1
+            u, packed = self._concat_matrix_msgs(inbox)
+            self._frontier = np.zeros(self.n_local, dtype=bool)
+            if u is not None:
+                starts, mat = packed
+                s = np.add.reduceat(mat, starts, axis=0)
+                pos = np.searchsorted(self.local, u)
+                new = (~np.isfinite(self._msd[pos])) & (s > 0)
+                if new.any():
+                    self._msd[pos] = np.where(new, float(self._fwd_r),
+                                              self._msd[pos])
+                    self._msig[pos] = np.where(new, s, self._msig[pos])
+                    imp = new.any(axis=1)
+                    self._frontier[pos[imp]] = True
+                    changed = int(imp.sum())
+        rows = np.where(self._msd == float(self._fwd_r), self._msig, 0.0)
+        msgs = self._matrix_scatter(self._frontier, rows, np.add)
+        return self._msgs_tuple(msgs) + (changed,)
+
+    def brandes_bwd_init(self, max_dist: int) -> int:
+        self._msdelta = np.zeros_like(self._msig)
+        self._bwd_r = int(max_dist)
+        return self._bwd_r
+
+    def brandes_bwd_step(self, *inbox):
+        """One backward level: receivers at dist r-1 fold in
+        Σ (1+δ(w))/σ(w) from senders at dist r (column-masked on both
+        sides), then the level counter drops and the new level
+        scatters. Requires both arcs stored (undirected graph)."""
+        if inbox:
+            u, packed = self._concat_matrix_msgs(inbox)
+            if u is not None:
+                starts, mat = packed
+                s = np.add.reduceat(mat, starts, axis=0)
+                pos = np.searchsorted(self.local, u)
+                recv = self._msd[pos] == float(self._bwd_r - 1)
+                self._msdelta[pos] += np.where(recv, s * self._msig[pos], 0.0)
+            self._bwd_r -= 1
+        level = self._msd == float(self._bwd_r)
+        vmask = level.any(axis=1)
+        sig = np.where(self._msig > 0, self._msig, 1.0)
+        rows = np.where(level, (1.0 + self._msdelta) / sig, 0.0)
+        msgs = self._matrix_scatter(vmask, rows, np.add)
+        return self._msgs_tuple(msgs) + (0,)
+
+    def brandes_bc_init(self) -> int:
+        self._bc = np.zeros(self.n_local, dtype=np.float64)
+        return self.n_local
+
+    def brandes_accumulate(self) -> int:
+        """Fold this batch's dependencies into the running BC vector
+        (δ at the source itself — dist 0 — is excluded, Brandes)."""
+        counted = np.isfinite(self._msd) & (self._msd > 0)
+        self._bc += np.where(counted, self._msdelta, 0.0).sum(axis=1)
+        return self.n_local
+
+    def brandes_bc_table(self, scale: float) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "betweenness": pa.array(self._bc * scale),
+        })
+
+    # -------------------------------- APSP lengths (msbfs matrix export)
+    def msbfs_lengths_table(self) -> pa.Table:
+        """(src, dst, length) rows for every finite entry of the current
+        multi-source distance matrix — the Dataset-exposed form of
+        apps/apsp/all_pairs_shortest_path_length.h:144."""
+        d = self._msd
+        finite = np.isfinite(d)
+        vi, sj = np.nonzero(finite)
+        return pa.table({
+            "src": pa.array(self._msb_sources[sj], pa.int64()),
+            "dst": pa.array(self.local[vi], pa.int64()),
+            "length": pa.array(d[vi, sj].astype(np.int64), pa.int64()),
+        })
+
+    def msbfs_free(self) -> int:
+        """Release the distance/aux matrices (the pool may be a cached
+        session graph — don't leave n_local × B doubles resident)."""
+        self._msd = None
+        for a in ("_msig", "_msdelta"):
+            if hasattr(self, a):
+                setattr(self, a, None)
+        return 0
+
     def msbfs_column_sums(self):
         """Per-source partials over local vertices: (Σ finite dist,
         #reached, Σ 1/dist for dist>0) — the closeness/harmonic inputs."""
@@ -463,6 +703,48 @@ class GraphShard:
 
     def state_max(self) -> float:
         return float(self.state.max()) if self.n_local else 0.0
+
+    # --------------------------------------------------- fused BSP steps
+    # One RPC wave per superstep instead of two: apply the previous
+    # round's inbox, then immediately scatter the next round's messages
+    # from the same task. Callers pass ``num_returns=P+1``: the first P
+    # returns are the per-destination message objects (object-store
+    # direct to the next round's consumers), the last is the scalar
+    # partial the driver reduces (grape::Communicator role). Round 0
+    # (no inbox) scatters only. This halves per-round actor round-trip
+    # latency — the dominant superstep cost at small shard sizes
+    # (BASELINE.md round-1 measurement).
+    def _msgs_tuple(self, msgs):
+        return tuple(msgs) if self.P > 1 else (msgs,)
+
+    def pagerank_step(self, base: float, alpha: float, *inbox):
+        scal = self.pagerank_apply(base, alpha, *inbox) if inbox else (0.0, 0.0)
+        return self._msgs_tuple(self.pagerank_scatter()) + (scal,)
+
+    def minprop_step(self, *inbox):
+        changed = self.minprop_apply(*inbox) if inbox else self.n_local
+        return self._msgs_tuple(self.minprop_scatter()) + (changed,)
+
+    def cdlp_step(self, *inbox):
+        changed = self.cdlp_apply(*inbox) if inbox else self.n_local
+        return self._msgs_tuple(self.cdlp_scatter()) + (changed,)
+
+    def dist_step(self, weighted: bool, *inbox):
+        changed = self.dist_apply(*inbox) if inbox else 0
+        return self._msgs_tuple(self.dist_scatter(weighted)) + (changed,)
+
+    def value_step(self, alpha: float, beta: float, plus_state: bool, *inbox):
+        """Fused linear-propagation round (Katz: no mid-round global
+        normalization, so apply+scatter fuse soundly)."""
+        scal = (
+            self.value_apply(alpha, beta, plus_state, *inbox)
+            if inbox else (0.0, 0.0, 0.0, 0.0)
+        )
+        return self._msgs_tuple(self.value_scatter()) + (scal,)
+
+    def msbfs_step(self, *inbox):
+        changed = self.msbfs_apply(*inbox) if inbox else 0
+        return self._msgs_tuple(self.msbfs_scatter()) + (changed,)
 
     # ------------------------------------------------- named state slots
     # A second vertex-state buffer per shard. Needed when ONE pool plays
