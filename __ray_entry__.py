@@ -73,6 +73,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_node_boundary": sf_graph.q_part_node_boundary,
         "part_edge_boundary": sf_graph.q_part_edge_boundary,
         "part_kcore": sf_graph.q_part_kcore,
+        "part_kshell": sf_graph.q_part_kshell,
+        "part_betweenness": sf_graph.q_part_betweenness,
+        "part_apsp": sf_graph.q_part_apsp,
+        "part_bfs_path": sf_graph.q_part_bfs_path,
+        "part_sssp_path": sf_graph.q_part_sssp_path,
+        "part_attr_assortativity": sf_graph.q_part_attr_assortativity,
         "part_closeness": sf_graph.q_part_closeness,
         "part_harmonic": sf_graph.q_part_harmonic,
         "part_louvain": sf_graph.q_part_louvain,
@@ -173,24 +179,102 @@ def _cdlp_sql() -> str:
     )
 
 
+def _kcore_chain(k: int, rounds: int, p: str) -> str:
+    """CTE chain (prefix ``p``) peeling to the k-core; final core vids
+    live in ``{p}core``."""
+    parts = [f", {p}a0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM arcs)"]
+    for i in range(rounds):
+        parts.append(f"""
+, {p}d{i} AS MATERIALIZED (SELECT u AS vid, count(*) AS d FROM {p}a{i} GROUP BY u)
+, {p}k{i} AS MATERIALIZED (SELECT vid FROM {p}d{i} WHERE d >= {k})
+, {p}a{i + 1} AS MATERIALIZED (
+  SELECT a.u, a.v FROM {p}a{i} a JOIN {p}k{i} x ON x.vid = a.u
+  JOIN {p}k{i} y ON y.vid = a.v)""")
+    parts.append(f"""
+, {p}core AS MATERIALIZED (
+  SELECT vid FROM (SELECT u AS vid, count(*) AS d FROM {p}a{rounds} GROUP BY u)
+  WHERE d >= {k})""")
+    return "".join(parts)
+
+
 def _kcore_sql(k: int = 80, rounds: int = 8) -> str:
     """k-core peeling unrolled to a fixed round count (fixpoint is
     stable, so extra rounds are no-ops; the gate data needs ≤5)."""
-    parts = [_GRAPH_CTES,
-             ", a0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM arcs)"]
-    for i in range(rounds):
-        parts.append(f"""
-, d{i} AS MATERIALIZED (SELECT u AS vid, count(*) AS d FROM a{i} GROUP BY u)
-, k{i} AS MATERIALIZED (SELECT vid FROM d{i} WHERE d >= {k})
-, a{i + 1} AS MATERIALIZED (
-  SELECT a.u, a.v FROM a{i} a JOIN k{i} x ON x.vid = a.u
-  JOIN k{i} y ON y.vid = a.v)""")
+    return ("WITH " + _GRAPH_CTES + _kcore_chain(k, rounds, "c")
+            + "\nSELECT vid FROM ccore")
+
+
+def _kshell_sql(k: int = 65, rounds: int = 12) -> str:
+    """k-shell = k-core minus (k+1)-core, both peelings unrolled."""
     return (
-        "WITH " + "".join(parts)
-        + f"""
-SELECT vid FROM (SELECT u AS vid, count(*) AS d FROM a{rounds} GROUP BY u)
-WHERE d >= {k}"""
+        "WITH " + _GRAPH_CTES
+        + _kcore_chain(k, rounds, "lo")
+        + _kcore_chain(k + 1, rounds, "hi")
+        + "\nSELECT vid FROM locore WHERE vid NOT IN (SELECT vid FROM hicore)"
     )
+
+
+def _apsp_sql(max_depth: int = 30) -> str:
+    """Multi-source BFS lengths from the vid % 97 == 0 source sample."""
+    return f"""
+WITH RECURSIVE {_GRAPH_CTES.strip()},
+srcs AS (SELECT vid FROM verts WHERE vid % 97 = 0),
+walk(s, v, d) AS (
+  SELECT vid, vid, 0 FROM srcs
+  UNION
+  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v
+  WHERE w.d < {max_depth})
+SELECT s AS src, v AS dst, min(d) AS length FROM walk GROUP BY s, v"""
+
+
+def _bfs_path_sql(max_depth: int = 30) -> str:
+    """Min-parent BFS shortest path from min part key to the max
+    reachable part key, reconstructed by walking the min-predecessor
+    parent table (the SQL twin of sssp_path's deterministic re-pick)."""
+    return f"""
+WITH RECURSIVE {_GRAPH_CTES.strip()},
+root AS (SELECT CAST(min(l_partkey) AS BIGINT) AS vid FROM lineitem),
+walk(vid, d) AS (
+  SELECT vid, 0 FROM root
+  UNION
+  SELECT a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.vid
+  WHERE w.d < {max_depth}),
+dist AS MATERIALIZED (SELECT vid, min(d) AS d FROM walk GROUP BY vid),
+par AS MATERIALIZED (
+  SELECT a.dst AS vid, min(a.src) AS parent
+  FROM arcs a JOIN dist du ON du.vid = a.src
+  JOIN dist dv ON dv.vid = a.dst AND dv.d = du.d + 1
+  GROUP BY a.dst),
+tgt AS (SELECT max(vid) AS vid FROM dist),
+path(vid, d) AS (
+  SELECT t.vid, (SELECT d.d FROM dist d WHERE d.vid = t.vid) FROM tgt t
+  UNION
+  SELECT p.parent, pa.d - 1 FROM path pa JOIN par p ON p.vid = pa.vid
+  WHERE pa.d > 0)
+SELECT d AS seq, vid FROM path"""
+
+
+def _attr_assort_sql() -> str:
+    """Integer-exact mixing-matrix assortativity of p_brand:
+    r = (tr·T − S) / (T² − S) over arc counts (both orientations)."""
+    return """
+WITH """ + _GRAPH_CTES + """,
+battr AS MATERIALIZED (SELECT p_partkey AS vid, p_brand AS attr FROM part),
+mix AS MATERIALIZED (
+  SELECT ba.attr AS x, bb.attr AS y, CAST(count(*) AS HUGEINT) AS n
+  FROM arcs a JOIN battr ba ON ba.vid = a.src
+  JOIN battr bb ON bb.vid = a.dst
+  GROUP BY ba.attr, bb.attr),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS v FROM mix),
+tr AS (SELECT CAST(COALESCE(sum(n), 0) AS HUGEINT) AS v FROM mix WHERE x = y),
+ra AS (SELECT x, CAST(sum(n) AS HUGEINT) AS rs FROM mix GROUP BY x),
+cb AS (SELECT y, CAST(sum(n) AS HUGEINT) AS cs FROM mix GROUP BY y),
+s AS (SELECT CAST(COALESCE(sum(ra.rs * cb.cs), 0) AS HUGEINT) AS v
+      FROM ra JOIN cb ON cb.y = ra.x)
+SELECT printf('%.6f',
+  CAST((SELECT v FROM tr) * (SELECT v FROM t) - (SELECT v FROM s) AS DOUBLE)
+  / CAST((SELECT v FROM t) * (SELECT v FROM t) - (SELECT v FROM s) AS DOUBLE))
+  AS attr_assortativity"""
 
 
 def _lang_sql() -> str:
@@ -407,6 +491,13 @@ def _all_oracle_sql() -> dict[str, str]:
         "        AS h FROM sp GROUP BY s)\n"
         "SELECT vid, printf('%.6f', h) AS harmonic FROM agg",
         "part_kcore": _kcore_sql(80, 8),
+        "part_kshell": _kshell_sql(65, 12),
+        "part_apsp": _apsp_sql(),
+        "part_bfs_path": _bfs_path_sql(),
+        "part_attr_assortativity": _attr_assort_sql(),
+        # part_betweenness / part_sssp_path: rows-only (per-source DAG
+        # sweeps / weighted SSSP have no tractable SQL twin; exactness
+        # is pinned vs networkx in pytest)
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),

@@ -371,7 +371,7 @@ def closeness_centrality(
 
 def betweenness_centrality(
     graph: ShardedGraph,
-    batch_size: int = 1024,
+    batch_size: int = 512,
     normalized: bool = True,
     sources=None,
 ):

@@ -300,6 +300,94 @@ def q_part_voterank(sf_dir: str, k: int = 20, num_partitions: int = 8
                          "vid": np.asarray(elected, dtype=np.int64)})
 
 
+def q_part_betweenness(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Exact Brandes betweenness for every part (normalized, 6dp fixed
+    strings). No SQL twin (per-source DAG dependency sweeps explode in
+    SQL); exact networkx parity is pinned in pytest at sf0.001."""
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    bc = algorithms.betweenness_centrality(g, batch_size=512)
+    return fixed_cols(bc, {"betweenness": 6})
+
+
+def q_part_apsp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Multi-source shortest-path lengths (src, dst, length) from the
+    deterministic source sample vid % 97 == 0 — the Dataset form of
+    all_pairs_shortest_path_length over a source subset (full APSP is
+    O(V²) output; the sample keeps the SQL twin tractable)."""
+    import numpy as np
+
+    g = build_part_graph(sf_dir, num_partitions)
+    vs = part_vertices(sf_dir).to_pandas()["vid"].to_numpy(np.int64)
+    sources = np.sort(vs[vs % 97 == 0])
+    return algorithms.all_pairs_shortest_path_length(g, sources=sources)
+
+
+def q_part_bfs_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Deterministic shortest path (min-parent BFS tree) from the min
+    part key to the max reachable part key: rows (seq, vid) where seq
+    is the hop index (= BFS depth). SQL twin reconstructs the same
+    path from the min-predecessor parent table."""
+    import numpy as np
+
+    g = build_part_graph(sf_dir, num_partitions)
+    src = int(min(b["vid"].min() for b in
+                  part_vertices(sf_dir).iter_batches(batch_format="pandas")))
+    # target = max vid reachable from src (computable on both sides)
+    depth, _ = algorithms.bfs(g, source=src)
+    reach = depth.to_pandas()
+    reach = reach[np.isfinite(reach["depth"])]
+    target = int(reach["vid"].max())
+    _, path = algorithms.sssp_path(g, source=src, target=target,
+                                   weighted=False)
+    return ray.data.from_pandas(pd.DataFrame({
+        "seq": np.arange(len(path), dtype=np.int64),
+        "vid": np.asarray(path, dtype=np.int64),
+    }))
+
+
+def q_part_sssp_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Weighted shortest path (min-parent, apps/sssp/sssp_path.h:174)
+    from the min to the max part key; rows (seq, vid). Rows-only at the
+    gate (weighted SSSP explodes in SQL); validity + optimality of the
+    path is pytest-checked against networkx dijkstra."""
+    import numpy as np
+
+    g = build_part_graph(sf_dir, num_partitions)
+    vs = part_vertices(sf_dir).to_pandas()["vid"]
+    src, tgt = int(vs.min()), int(vs.max())
+    _, path = algorithms.sssp_path(g, source=src, target=tgt, weighted=True)
+    path = path or []
+    return ray.data.from_pandas(pd.DataFrame({
+        "seq": np.arange(len(path), dtype=np.int64),
+        "vid": np.asarray(path, dtype=np.int64),
+    }))
+
+
+def q_part_kshell(sf_dir: str, k: int = 65) -> ray.data.Dataset:
+    """k-shell membership (in k-core, not in (k+1)-core); k=65 keeps
+    the shell non-empty (non-vacuous gate) at both sf0.001 and sf0.01
+    (core-number histograms: max core 68 / 82)."""
+    from graphscope_ray.pipelines.structure import kshell
+
+    return kshell(part_cooccurrence_edges(sf_dir), k)
+
+
+def q_part_attr_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Categorical assortativity of p_brand over the part graph
+    (apps/assortativity/attribute_assortativity.h:30-323) — exact
+    integer mixing-matrix arithmetic, bit-identical to the SQL twin."""
+    from graphscope_ray.functions.format import fixed_str
+    from graphscope_ray.pipelines.structure import attribute_assortativity
+
+    attrs = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).rename_columns({"p_partkey": "vid", "p_brand": "brand"})
+    v = attribute_assortativity(part_cooccurrence_edges(sf_dir), attrs, "brand")
+    return pd.DataFrame({"attr_assortativity": fixed_str([v], 6)})
+
+
 def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     """Weighted shortest paths from the min part key (edge length =
     co-occurrence weight). No SQL oracle (recursive weighted SSSP

@@ -140,64 +140,57 @@ def attribute_assortativity(
 
     ``attrs`` is a (vid, attr_col) Dataset; the category vocabulary is
     small but the vid→attr map is vertex-scale, so the pair counting is
-    a bucketed shuffle join on vid, and only the |categories|² mixing
+    two hash-shuffle joins on vid, and only the |categories|² mixing
     matrix ever reaches the driver."""
     canon = _canonical_edges(edges)
     arcs = canon.map_batches(
         lambda t: pa.table({
-            "vid": pa.concat_arrays([t.column("u").combine_chunks(),
-                                     t.column("v").combine_chunks()]),
+            "avid": pa.concat_arrays([t.column("u").combine_chunks(),
+                                      t.column("v").combine_chunks()]),
             "other": pa.concat_arrays([t.column("v").combine_chunks(),
                                        t.column("u").combine_chunks()]),
         }),
         batch_format="pyarrow",
     )
-    at = attrs.select_columns(["vid", attr_col])
-
-    def attach_src(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0][["vid", "other"]]
-        right = g[g["_side"] == 1][["vid", attr_col]]
-        return left.merge(right, on="vid")[["other", attr_col]].rename(
-            columns={"other": "vid", attr_col: "x"}
-        )
-
-    def tag(ds, side, cols):
-        return ds.map_batches(
-            lambda t, s=side: t.append_column("_side", pa.array(
-                np.full(t.num_rows, s, dtype=np.int8))),
-            batch_format="pyarrow",
-        )
-
-    # arc (vid -> other) + attr(vid) = x; then rekey by the other
-    # endpoint and join its attr = y; count (x, y)
-    step1 = bucketed_group_apply(
-        tag(arcs, 0, None).union(tag(at, 1, None)), ["vid"], attach_src
+    # normalize to Arrow blocks: Project ops (select/rename) on 2.49
+    # assume Arrow when chained after a join, and from_pandas datasets
+    # carry pandas blocks
+    at = attrs.select_columns(["vid", attr_col]).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    # arc (avid → other) ⋈ attr(avid) = x; rekey by the other endpoint
+    # and join its attr = y; partial-count (x, y) per batch
+    step1 = arcs.join(
+        at, join_type="inner", num_partitions=8,
+        on=("avid",), right_on=("vid",),
+    ).select_columns(["other", attr_col]).rename_columns(
+        {attr_col: "x"}
+    )
+    step2 = step1.join(
+        at.rename_columns({attr_col: "y"}), join_type="inner",
+        num_partitions=8, on=("other",), right_on=("vid",),
     )
 
-    def attach_dst(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0][["vid", "x"]]
-        right = g[g["_side"] == 1][["vid", attr_col]]
-        m = left.merge(right, on="vid")
-        return (
-            m.groupby(["x", attr_col], sort=False).size()
-            .reset_index(name="n").rename(columns={attr_col: "y"})
-        )
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["x", "y"], sort=False).size().reset_index(name="n")
 
-    counts = bucketed_group_apply(
-        tag(step1, 0, None).union(tag(at, 1, None)), ["vid"], attach_dst
-    ).to_pandas()
+    counts = step2.map_batches(partial, batch_format="pandas").to_pandas()
     mix = counts.groupby(["x", "y"], sort=False)["n"].sum().reset_index()
-    total = float(mix["n"].sum())
+    # exact integer arithmetic until the single final division, so any
+    # engine counting the same arcs (incl. the SQL twin) produces the
+    # bit-identical coefficient: r = (tr·T − S) / (T² − S) with
+    # T = Σn, tr = Σ n_ii, S = Σ_i rowsum_i · colsum_i
+    total = int(mix["n"].sum())
     if total == 0:
         return float("nan")
-    mix["p"] = mix["n"] / total
-    tr = float(mix.loc[mix["x"] == mix["y"], "p"].sum())
-    a = mix.groupby("x")["p"].sum()
-    b = mix.groupby("y")["p"].sum()
+    tr_n = int(mix.loc[mix["x"] == mix["y"], "n"].sum())
+    a = mix.groupby("x")["n"].sum()
+    b = mix.groupby("y")["n"].sum()
     cats = a.index.union(b.index)
-    ab = float((a.reindex(cats, fill_value=0.0)
-                * b.reindex(cats, fill_value=0.0)).sum())
-    return (tr - ab) / (1.0 - ab) if ab != 1.0 else float("nan")
+    s = int((a.reindex(cats, fill_value=0).astype(object)
+             * b.reindex(cats, fill_value=0).astype(object)).sum())
+    denom = total * total - s
+    return (tr_n * total - s) / denom if denom else float("nan")
 
 
 def average_degree_connectivity(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -316,7 +309,12 @@ def kcore(edges: ray.data.Dataset, k: int, max_iter: int = 10**6
 
 def kshell(edges: ray.data.Dataset, k: int) -> ray.data.Dataset:
     """k-shell = in k-core but not in (k+1)-core (gs::KShell)."""
-    core_k = set(kcore(edges, k).to_pandas()["vid"])
-    core_k1 = set(kcore(edges, k + 1).to_pandas()["vid"])
+
+    def vids(ds):
+        df = ds.to_pandas()
+        return set(df["vid"]) if "vid" in df.columns else set()
+
+    core_k = vids(kcore(edges, k))
+    core_k1 = vids(kcore(edges, k + 1))
     out = np.array(sorted(core_k - core_k1), dtype=np.int64)
     return ray.data.from_arrow(pa.table({"vid": pa.array(out, pa.int64())}))

@@ -1,0 +1,138 @@
+"""Betweenness / APSP / sssp_path / attribute assortativity vs
+networkx oracles (the round-2 additions), on random graphs at several
+partition counts — partition invariance is part of the contract."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.pipelines import algorithms
+from graphscope_ray.pipelines.structure import attribute_assortativity
+from graphscope_ray.state.graph import build_graph
+
+
+@pytest.fixture(scope="module")
+def wgraph():
+    """Random weighted graph (two components + isolated vertex)."""
+    rng = np.random.default_rng(17)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 30, (90, 2))
+                    if a != b} | {(40, 41), (41, 42)})
+    w = {e: float(rng.integers(1, 6)) for e in edges}
+    g = nx.Graph()
+    for (a, b), wt in w.items():
+        g.add_edge(a, b, weight=wt)
+    g.add_node(50)
+    verts = sorted(g.nodes)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "src": [a for a, _ in edges], "dst": [b for _, b in edges],
+        "weight": [w[e] for e in edges]}))
+    vds = ray.data.from_items([{"vid": int(v)} for v in verts])
+    return g, ds, vds, verts
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_betweenness_vs_networkx(wgraph, P):
+    g, ds, vds, verts = wgraph
+    sg = build_graph(ds, num_partitions=P, directed=False, extra_vertices=vds)
+    for normalized in (True, False):
+        got = algorithms.betweenness_centrality(
+            sg, batch_size=7, normalized=normalized
+        ).to_pandas().set_index("vid")["betweenness"].to_dict()
+        want = nx.betweenness_centrality(g, normalized=normalized)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (v, normalized)
+
+
+def test_betweenness_sampled_sources(wgraph):
+    g, ds, vds, verts = wgraph
+    sg = build_graph(ds, num_partitions=2, directed=False, extra_vertices=vds)
+    srcs = verts[::3]
+    got = algorithms.betweenness_centrality(
+        sg, batch_size=5, sources=srcs
+    ).to_pandas().set_index("vid")["betweenness"].to_dict()
+    # oracle: restrict Brandes accumulation to the sampled sources and
+    # apply the networkx k-sample rescale (×n/k)
+    n = len(verts)
+    want = {v: 0.0 for v in verts}
+    for s in srcs:
+        dist = nx.single_source_shortest_path_length(g, s)
+        # sigma + dependency via networkx internals-free recompute
+        sigma = {v: 0.0 for v in verts}
+        sigma[s] = 1.0
+        order = sorted(dist, key=lambda v: dist[v])
+        for v in order:
+            for u in g.neighbors(v):
+                if dist.get(u, -2) == dist[v] - 1:
+                    sigma[v] += sigma[u]
+        delta = {v: 0.0 for v in verts}
+        for v in reversed(order):
+            for u in g.neighbors(v):
+                if dist.get(u, -2) == dist[v] - 1:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if v != s:
+                want[v] += delta[v]
+    scale = 1.0 / ((n - 1) * (n - 2)) * (n / len(srcs))
+    for v in want:
+        assert got[v] == pytest.approx(want[v] * scale, abs=1e-9), v
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_apsp_lengths(wgraph, P):
+    g, ds, vds, verts = wgraph
+    sg = build_graph(ds, num_partitions=P, directed=False, extra_vertices=vds)
+    ap = algorithms.all_pairs_shortest_path_length(sg, batch_size=11).to_pandas()
+    got = {}
+    for r in ap.itertuples():
+        got.setdefault(r.src, {})[r.dst] = r.length
+    want = {s: dict(d) for s, d in nx.all_pairs_shortest_path_length(g)}
+    assert got == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_sssp_path_weighted(wgraph, P):
+    g, ds, vds, verts = wgraph
+    sg = build_graph(ds, num_partitions=P, directed=False, extra_vertices=vds)
+    src = verts[0]
+    dist_want = nx.single_source_dijkstra_path_length(g, src)
+    table, path = algorithms.sssp_path(sg, source=src, target=verts[5],
+                                       weighted=True)
+    df = table.to_pandas().set_index("vid")
+    # distances exact vs dijkstra
+    for v, d in dist_want.items():
+        assert df.loc[v, "distance"] == pytest.approx(d, abs=1e-12)
+    # path validity + optimality (edge-by-edge, total = dijkstra dist)
+    assert path is not None and path[0] == src and path[-1] == verts[5]
+    tot = 0.0
+    for a, b in zip(path, path[1:]):
+        assert g.has_edge(a, b)
+        tot += g[a][b]["weight"]
+    assert tot == pytest.approx(dist_want[verts[5]], abs=1e-12)
+    # parent array: every finite non-source vertex has an optimal,
+    # minimal predecessor
+    for v, d in dist_want.items():
+        if v == src:
+            continue
+        p = int(df.loc[v, "parent"])
+        opt = [u for u in g.neighbors(v)
+               if dist_want.get(u, np.inf) + g[u][v]["weight"]
+               == pytest.approx(d, abs=1e-12)]
+        assert p == min(opt), v
+    # unreachable target
+    _, nopath = algorithms.sssp_path(sg, source=src, target=50, weighted=True)
+    assert nopath is None
+
+
+def test_attribute_assortativity_vs_networkx(wgraph):
+    g, ds, vds, verts = wgraph
+    attr = {v: ("red" if v % 3 == 0 else "blue" if v % 3 == 1 else "green")
+            for v in verts}
+    nx.set_node_attributes(g, attr, "color")
+    adf = ray.data.from_pandas(pd.DataFrame({
+        "vid": verts, "color": [attr[v] for v in verts]}))
+    got = attribute_assortativity(ds, adf, "color")
+    want = nx.attribute_assortativity_coefficient(g, "color")
+    assert got == pytest.approx(want, abs=1e-12)
