@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_path": sf_graph.q_part_bfs_path,
         "part_sssp_path": sf_graph.q_part_sssp_path,
         "part_attr_assortativity": sf_graph.q_part_attr_assortativity,
+        "part_dfs": sf_graph.q_part_dfs,
+        "part_simple_paths": sf_graph.q_part_simple_paths,
+        "part_is_simple_path": sf_graph.q_part_is_simple_path,
+        "part_sampling_path": sf_graph.q_part_sampling_path,
+        "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_closeness": sf_graph.q_part_closeness,
         "part_harmonic": sf_graph.q_part_harmonic,
         "part_louvain": sf_graph.q_part_louvain,
@@ -99,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang": textproc.q_doc_lang,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
+        "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
@@ -252,6 +258,79 @@ path(vid, d) AS (
   SELECT p.parent, pa.d - 1 FROM path pa JOIN par p ON p.vid = pa.vid
   WHERE pa.d > 0)
 SELECT d AS seq, vid FROM path"""
+
+
+def _simple_paths_sql() -> str:
+    """All simple paths of ≤2 edges between the min and max part keys:
+    the direct edge plus every common-neighbor 2-path."""
+    return f"""
+WITH {_GRAPH_CTES.strip()},
+st AS (SELECT CAST(min(vid) AS BIGINT) AS s, CAST(max(vid) AS BIGINT) AS t
+       FROM verts),
+p1 AS (SELECT CAST(a.src AS VARCHAR) || '-' || CAST(a.dst AS VARCHAR) AS path
+       FROM arcs a JOIN st ON a.src = st.s AND a.dst = st.t),
+p2 AS (SELECT CAST(a1.src AS VARCHAR) || '-' || CAST(a1.dst AS VARCHAR)
+              || '-' || CAST(a2.dst AS VARCHAR) AS path
+       FROM st JOIN arcs a1 ON a1.src = st.s
+       JOIN arcs a2 ON a2.src = a1.dst AND a2.dst = st.t
+       WHERE a1.dst <> st.s AND a1.dst <> st.t)
+SELECT path FROM p1 UNION ALL SELECT path FROM p2"""
+
+
+def _is_simple_path_sql() -> str:
+    """Twin of q_part_is_simple_path: case 1 = (min vid, its smallest
+    neighbor) — a real edge; case 2 repeats the start vertex."""
+    return f"""
+WITH {_GRAPH_CTES.strip()},
+lo AS (SELECT CAST(min(vid) AS BIGINT) AS v FROM verts),
+nb AS (SELECT min(a.dst) AS v FROM arcs a JOIN lo ON a.src = lo.v)
+SELECT 1 AS "case",
+       CASE WHEN EXISTS (SELECT 1 FROM arcs a JOIN lo ON a.src = lo.v
+                         JOIN nb ON a.dst = nb.v)
+            THEN 1 ELSE 0 END AS is_simple
+UNION ALL
+SELECT 2, 0"""
+
+
+def _lpa_u2i_sql(rounds: int = 2) -> str:
+    """Unrolled LPAU2I twin on the customer→part bipartite graph
+    (lpa_u2i.h:167-236 semantics; seeds 0/1 pinned)."""
+    parts = ["""
+be AS MATERIALIZED (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_partkey),
+dg AS MATERIALIZED (SELECT u, count(*) AS outdeg FROM be GROUP BY u),
+ind AS MATERIALIZED (SELECT i, count(*) AS indeg FROM be GROUP BY i),
+ond AS MATERIALIZED (
+  SELECT be.u, sum(ind.indeg) AS ond FROM be
+  JOIN ind ON ind.i = be.i GROUP BY be.u),
+lab0 AS MATERIALIZED (
+  SELECT c_custkey AS u,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0
+              WHEN c_mktsegment = 'MACHINERY' THEN 1.0
+              ELSE 0.5 END AS lab
+  FROM customer)"""]
+    for r in range(rounds):
+        parts.append(f"""
+, il{r} AS MATERIALIZED (
+  SELECT be.i, sum(l.lab * be.w) AS ilab
+  FROM be JOIN lab{r} l ON l.u = be.u GROUP BY be.i),
+tmp{r} AS MATERIALIZED (
+  SELECT be.u, sum(il.ilab * be.w) AS tmp
+  FROM be JOIN il{r} il ON il.i = be.i GROUP BY be.u),
+lab{r + 1} AS MATERIALIZED (
+  SELECT l.u,
+         CASE WHEN l.lab = 0.0 OR l.lab = 1.0 THEN l.lab
+              WHEN COALESCE(o.ond, 0) - COALESCE(d.outdeg, 0) <> 0
+              THEN (COALESCE(t.tmp, 0) - COALESCE(d.outdeg, 0) * l.lab)
+                   / (COALESCE(o.ond, 0) - COALESCE(d.outdeg, 0))
+              ELSE l.lab END AS lab
+  FROM lab{r} l LEFT JOIN tmp{r} t ON t.u = l.u
+  LEFT JOIN dg d ON d.u = l.u LEFT JOIN ond o ON o.u = l.u)""")
+    return ("WITH " + "".join(parts)
+            + f"\nSELECT u, printf('%.6f', lab) AS label FROM lab{rounds}")
 
 
 def _attr_assort_sql() -> str:
@@ -495,9 +574,13 @@ def _all_oracle_sql() -> dict[str, str]:
         "part_apsp": _apsp_sql(),
         "part_bfs_path": _bfs_path_sql(),
         "part_attr_assortativity": _attr_assort_sql(),
-        # part_betweenness / part_sssp_path: rows-only (per-source DAG
-        # sweeps / weighted SSSP have no tractable SQL twin; exactness
-        # is pinned vs networkx in pytest)
+        "part_simple_paths": _simple_paths_sql(),
+        "part_is_simple_path": _is_simple_path_sql(),
+        "lpa_u2i": _lpa_u2i_sql(2),
+        # part_betweenness / part_sssp_path / part_dfs /
+        # part_sampling_path: rows-only (per-source DAG sweeps, weighted
+        # SSSP, serial DFS token walks and seeded hash picks have no
+        # tractable SQL twin; exactness is pinned vs oracles in pytest)
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),

@@ -29,6 +29,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_REPOS = int(os.environ.get("GRAFT_BENCH_REPOS", "8000"))
+# Shard count is a DATA-size choice, not a cluster-size one (VERDICT
+# r01: P=f(cpus) inflates the P² message-object cost at small arc
+# counts). Default: one shard per ~2.5M arcs, clamped to [8, 32]; the
+# scaling protocol pins the same P at both parallelism levels so the
+# superstep work is identical and only the resources differ.
+SHARDS = os.environ.get("GRAFT_SHARDS")
 
 
 def _init_ray():
@@ -49,13 +55,18 @@ def _init_ray():
     tune_for_session()
 
 
+BODY_TOKENS = int(os.environ.get("GRAFT_BODY_TOKENS", "4"))
+
+
 def _corpus_dir() -> str:
     from graphscope_ray.sources.generator import CorpusSpec, write_corpus
 
-    d = f"/tmp/gsr_bench_corpus_{N_REPOS}"
+    suffix = "" if BODY_TOKENS == 4 else f"_bt{BODY_TOKENS}"
+    d = f"/tmp/gsr_bench_corpus_{N_REPOS}{suffix}"
     spec = CorpusSpec(
         n_repos=N_REPOS, n_communities=max(4, N_REPOS // 500),
         keys_per_community=8, n_hub_keys=4, n_hub_repos=4, seed=42,
+        body_tokens=BODY_TOKENS,
     )
     write_corpus(d, spec, repos_per_file=2000)  # skips existing shards
     return d
@@ -82,12 +93,15 @@ def headline() -> dict:
 
     _ray.get([_noop.remote() for _ in range(2 * NUM_CPUS)])
 
+    # P sized to the data (≈2.5M arcs/shard at 64.7 arcs/repo derived
+    # rate), not the cpu count; override via GRAFT_SHARDS
+    P = int(SHARDS) if SHARDS else max(8, min(32, N_REPOS * 65 // 2_500_000))
     t0 = time.perf_counter()
     corpus = ray.data.read_parquet(d, columns=["repo", "path", "content"])
     n_rows = with_sha256(corpus).count()  # ingest + invariant column
     t_ingest = time.perf_counter()
     graph, vmap = build_repo_graph(
-        corpus, num_partitions=min(NUM_CPUS, 32), directed=False, cap_per_key=64
+        corpus, num_partitions=P, directed=False, cap_per_key=64
     )
     t_build = time.perf_counter()
     # one undirected build serves both algorithms (CSR is immutable;
@@ -165,35 +179,68 @@ def main():
 
 
 def scaling():
-    """Same job (ingest -> derive -> build -> PageRank 1e-6 + WCC) on the
-    same input at num_cpus=8 and 32 in fresh processes (sandbox proxy
-    for N vs 4N nodes, BASELINE.md protocol). The scaling corpus is
-    sized so vectorized compute, not per-stage fixed overhead,
-    dominates (GRAFT_SCALING_REPOS, default 48000 repos)."""
-    n_repos = os.environ.get("GRAFT_SCALING_REPOS", "48000")
-    out = {}
-    for n in (8, 32):
+    """Same job (ingest -> derive -> build -> PageRank 1e-6 + WCC) on
+    the same input at num_cpus=N and 4N in fresh processes (sandbox
+    proxy for N vs 4N nodes, BASELINE.md protocol). Shard count P is
+    pinned identical at both levels (data-sized partitioning), so the
+    two legs run the same plan with different resources.
+
+    The sandbox host is co-tenant-noisy (round-1 legs varied 26-59 s
+    on identical input), so the protocol runs the leg PAIR
+    back-to-back ``GRAFT_SCALING_RUNS`` times (default 3) and reports
+    per-pair efficiencies plus the median — pairing time-localizes the
+    noise. Env knobs: GRAFT_SCALING_N (default 8),
+    GRAFT_SCALING_REPOS (default 600000)."""
+    n_repos = os.environ.get("GRAFT_SCALING_REPOS", "600000")
+    n_lo = int(os.environ.get("GRAFT_SCALING_N", "8"))
+    n_hi = 4 * n_lo
+    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    shards = os.environ.get("GRAFT_SHARDS", "16")
+    # realistic per-file content (~700 B) for the scaling corpus: the
+    # round-1 60-byte bodies made the job shuffle/IPC-bound, which on
+    # this steal-heavy sandbox host measures the hypervisor, not the
+    # engine (BASELINE.md, utilization evidence)
+    body_tokens = os.environ.get("GRAFT_BODY_TOKENS", "64")
+
+    def leg(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
-                   GRAFT_BENCH_REPOS=n_repos, GRAFT_SKIP_QUERIES="1")
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                           capture_output=True, text=True, check=True,
+                   GRAFT_BENCH_REPOS=n_repos, GRAFT_SKIP_QUERIES="1",
+                   GRAFT_SHARDS=shards, GRAFT_BODY_TOKENS=body_tokens)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
-        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
-    # wall-clock throughput ratio normalized by the 4x resource ratio
-    eff = (t8 / t32) / (32 / 8)
-    b8 = out[8]["detail"]["graph_build_sec"]
-    b32 = out[32]["detail"]["graph_build_sec"]
-    eps8 = out[8]["detail"]["pagerank_edges_per_sec"]
-    eps32 = out[32]["detail"]["pagerank_edges_per_sec"]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    pairs = []
+    for i in range(runs):
+        lo = leg(n_lo)
+        hi = leg(n_hi)
+        pairs.append({
+            "run": i,
+            f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+            "eff_wall": round((lo["value"] / hi["value"]) / 4, 3),
+            "eff_build": round(
+                (lo["detail"]["graph_build_sec"]
+                 / hi["detail"]["graph_build_sec"]) / 4, 3),
+            "detail_lo": lo["detail"], "detail_hi": hi["detail"],
+        })
+    effs = sorted(p["eff_wall"] for p in pairs)
+    med = effs[len(effs) // 2] if runs % 2 else (
+        effs[runs // 2 - 1] + effs[runs // 2]) / 2
+    beffs = sorted(p["eff_build"] for p in pairs)
+    bmed = beffs[len(beffs) // 2] if runs % 2 else (
+        beffs[runs // 2 - 1] + beffs[runs // 2]) / 2
     print(json.dumps({
-        "n_repos": int(n_repos),
-        "sec_8": t8, "sec_32": t32,
-        "detail_8": out[8]["detail"], "detail_32": out[32]["detail"],
-        "pagerank_eps_8": round(eps8), "pagerank_eps_32": round(eps32),
-        "scaling_efficiency_wall": round(eff, 3),
-        "scaling_efficiency_build": round((b8 / b32) / 4, 3),
-        "scaling_efficiency_pagerank_eps": round((eps32 / eps8) / 4, 3),
+        "n_repos": int(n_repos), "n_lo": n_lo, "n_hi": n_hi,
+        "shards": int(shards), "runs": runs,
+        "pairs": [{k: v for k, v in p.items()
+                   if not k.startswith("detail")} for p in pairs],
+        "scaling_efficiency_wall_median": med,
+        "scaling_efficiency_build_median": bmed,
+        "scaling_efficiency_wall": med,
+        "detail_lo_last": pairs[-1]["detail_lo"],
+        "detail_hi_last": pairs[-1]["detail_hi"],
     }))
 
 

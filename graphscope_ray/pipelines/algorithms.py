@@ -369,6 +369,28 @@ def closeness_centrality(
                          col: np.concatenate(out_val)})
 
 
+def kcore_pool(graph: ShardedGraph, k: int):
+    """k-core membership by BSP degree-decrement peeling on the shard
+    pool (gs::KCore, apps/kcore/kcore.h:130): each round the newly
+    sub-k vertices die and push −1 along their arcs; fixpoint when no
+    vertex dies. Fused supersteps; no per-round driver-side degree
+    table (the Dataset-peeling variant in pipelines/structure.py keeps
+    the edge-table API). Undirected (both-arcs) graphs only."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("kcore_pool requires an undirected (both-arcs) graph")
+    graph.call_all("kcore_init", k)
+    refs = graph.step_refs("kcore_step")
+    changed = sum(graph.step_scalars(refs))
+    while changed:
+        refs = graph.step_refs("kcore_step", inbox=refs)
+        changed = sum(graph.step_scalars(refs))
+    return ray.data.from_arrow_refs(
+        [s.kcore_table.remote() for s in graph.shards]
+    )
+
+
 def betweenness_centrality(
     graph: ShardedGraph,
     batch_size: int = 512,

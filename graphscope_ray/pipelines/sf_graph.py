@@ -221,13 +221,14 @@ def q_part_edge_boundary(sf_dir: str) -> ray.data.Dataset:
     return edge_boundary(part_cooccurrence_edges(sf_dir), _boundary_set(sf_dir))
 
 
-def q_part_kcore(sf_dir: str, k: int = 80) -> ray.data.Dataset:
-    """k-core membership. k=80 actually peels on the driver data (k=8
-    kept the whole graph — a vacuous gate); the SQL twin unrolls the
-    peeling rounds as CTEs (bounded: the gate data converges in ≤5)."""
-    from graphscope_ray.pipelines.structure import kcore
-
-    return kcore(part_cooccurrence_edges(sf_dir), k)
+def q_part_kcore(sf_dir: str, k: int = 80, num_partitions: int = 8
+                 ) -> ray.data.Dataset:
+    """k-core membership by BSP peeling on the (cached) shard pool.
+    k=80 actually peels on the driver data (k=8 kept the whole graph —
+    a vacuous gate); the SQL twin unrolls the peeling rounds as CTEs
+    (bounded: the gate data converges in ≤5)."""
+    g = build_part_graph(sf_dir, num_partitions)
+    return algorithms.kcore_pool(g, k)
 
 
 def q_part_hits(sf_dir: str, num_partitions: int = 8, iters: int = 10
@@ -386,6 +387,112 @@ def q_part_attr_assortativity(sf_dir: str) -> pd.DataFrame:
     ).rename_columns({"p_partkey": "vid", "p_brand": "brand"})
     v = attribute_assortativity(part_cooccurrence_edges(sf_dir), attrs, "brand")
     return pd.DataFrame({"attr_assortativity": fixed_str([v], 6)})
+
+
+def q_part_dfs(sf_dir: str) -> ray.data.Dataset:
+    """DFS preorder rank + parent from the min part key (deterministic
+    min-vid-first order; apps/dfs/dfs.h:227 — serial token walk there
+    too). Rows-only at the gate; preorder-validity is pytest-checked."""
+    from graphscope_ray.pipelines.paths import dfs
+
+    src = int(min(b["vid"].min() for b in
+                  part_vertices(sf_dir).iter_batches(batch_format="pandas")))
+    return dfs(part_cooccurrence_edges(sf_dir), src, directed=False)
+
+
+def q_part_simple_paths(sf_dir: str) -> ray.data.Dataset:
+    """All simple paths (≤2 edges) between the min and max part keys
+    (apps/simple_path/all_simple_paths.h:279), rows ('-'-joined vids)."""
+    from graphscope_ray.pipelines.paths import all_simple_paths
+
+    vs = part_vertices(sf_dir).to_pandas()["vid"]
+    return all_simple_paths(part_cooccurrence_edges(sf_dir),
+                            int(vs.min()), int(vs.max()), cutoff=2,
+                            directed=False)
+
+
+def q_part_is_simple_path(sf_dir: str) -> pd.DataFrame:
+    """is_simple_path over two fixed probe node lists (one real path,
+    one broken), as a 2-row (case, is_simple) table
+    (apps/simple_path/is_simple_path.h:103)."""
+    from graphscope_ray.pipelines.paths import is_simple_path
+
+    vs = part_vertices(sf_dir).to_pandas()["vid"]
+    lo = int(vs.min())
+    edges = part_cooccurrence_edges(sf_dir).materialize()
+    # probe 1: lo plus its two smallest neighbors chained; probe 2 has
+    # a guaranteed repeat
+    nbrs = sorted(
+        b for blk in edges.iter_batches(batch_format="pandas")
+        for b in blk.loc[blk["src"] == lo, "dst"].tolist()
+    )[:2]
+    p1 = [lo] + nbrs[:1]
+    p2 = [lo, nbrs[0] if nbrs else lo, lo]
+    return pd.DataFrame({
+        "case": np.asarray([1, 2], dtype=np.int64),
+        "is_simple": np.asarray(
+            [int(is_simple_path(edges, p1)), int(is_simple_path(edges, p2))],
+            dtype=np.int64),
+    })
+
+
+def q_part_sampling_path(sf_dir: str) -> ray.data.Dataset:
+    """Seeded deterministic path samples from the min part key
+    (apps/sampling_path/sampling_path.h:142). Rows-only (the seeded
+    hash pick has no SQL twin); determinism + validity in pytest."""
+    from graphscope_ray.pipelines.paths import sampling_path
+
+    vs = part_vertices(sf_dir).to_pandas()["vid"]
+    return sampling_path(part_cooccurrence_edges(sf_dir), int(vs.min()),
+                         length=3, num_paths=8, seed=42, directed=False)
+
+
+def bipartite_customer_part_edges(sf_dir: str) -> ray.data.Dataset:
+    """(u=custkey, i=partkey, weight=#lineitems) via orders⋈lineitem."""
+    from graphscope_ray.stages.relational import grouped_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    ol = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    pairs = ol.map_batches(
+        lambda t: pa.table({"u": t.column("o_custkey").cast(pa.int64()),
+                            "i": t.column("l_partkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    cnt = grouped_agg(pairs, ["u", "i"], {"weight": (None, "size")})
+    return cnt.map_batches(
+        lambda t: pa.table({"u": t.column("u"), "i": t.column("i"),
+                            "weight": t.column("weight").cast(pa.float64())}),
+        batch_format="pyarrow")
+
+
+def q_lpa_u2i(sf_dir: str, rounds: int = 2) -> ray.data.Dataset:
+    """Bipartite weighted LPA (gs::LPAU2I) on the customer→part graph:
+    seeds label 0 (BUILDING) / 1 (MACHINERY), 0.5 elsewhere; returns
+    (u, label) after ``rounds`` u2i/i2u pairs, 6dp fixed strings."""
+    from graphscope_ray.functions.format import fixed_cols
+    from graphscope_ray.pipelines.lpa_u2i import lpa_u2i
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def seed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        seg = t.column("c_mktsegment")
+        lab = pc.if_else(
+            pc.equal(seg, "BUILDING"), pa.scalar(0.0),
+            pc.if_else(pc.equal(seg, "MACHINERY"), pa.scalar(1.0),
+                       pa.scalar(0.5)))
+        return pa.table({"u": t.column("c_custkey").cast(pa.int64()),
+                         "label": lab})
+
+    labels = cust.map_batches(seed, batch_format="pyarrow")
+    out = lpa_u2i(bipartite_customer_part_edges(sf_dir), labels,
+                  rounds=rounds)
+    return fixed_cols(out, {"label": 6})
 
 
 def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:

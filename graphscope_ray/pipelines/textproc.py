@@ -82,6 +82,23 @@ def q_doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32, concurrency=4)
 
 
+def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH candidates verified by DISTRIBUTED exact n-gram
+    Jaccard (stages/dedup.verify_jaccard_pairs — co-grouped shingle
+    exchange, no driver-side text dict): (a, b, jaccard 5dp)."""
+    from graphscope_ray.stages.dedup import verify_jaccard_pairs
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32,
+                              concurrency=4)
+    out = verify_jaccard_pairs(pairs, _docs(sf_dir), threshold=0.5)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": b["a"], "b": b["b"],
+                             "jaccard": _fx(b["jaccard"], 5)})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:
     return simhash_table(_docs(sf_dir), concurrency=4)
 

@@ -56,58 +56,114 @@ def _canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
                        ["u", "v"])
 
 
-def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """(src, dst) Dataset → (vid, triangles) Dataset (exact, undirected)."""
+BROADCAST_LIMIT_ROWS = 20_000_000  # vertex table rows; ≈300 MB broadcast
+
+
+def triangle_counts(edges: ray.data.Dataset,
+                    broadcast_degrees: bool | None = None) -> ray.data.Dataset:
+    """(src, dst) Dataset → (vid, triangles) Dataset (exact, undirected).
+
+    ``broadcast_degrees``: True ships the vertex-degree table once via
+    ``ray.put`` (fast, O(V) driver+task heap); False attaches degrees
+    with two bucketed shuffle joins and carries them through the wedge
+    stage (no vertex-scale driver state — the >1e8-vertex path). None
+    auto-selects by vertex count (BROADCAST_LIMIT_ROWS)."""
     canon = _canonical_edges(edges).materialize()
 
-    # --- degrees (vertex-scale) -> broadcast ---------------------------
     def endpoints(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False)
         v = batch.column("v").to_numpy(zero_copy_only=False)
         return pa.table({"vid": pa.array(np.concatenate([u, v]), pa.int64())})
 
-    from graphscope_ray.stages.relational import grouped_agg
-
-    deg_df = (
-        grouped_agg(canon.map_batches(endpoints, batch_format="pyarrow"),
-                    ["vid"], {"degree": (None, "size")})
-        .to_pandas()
-        .sort_values("vid")
-    )
-    deg_ref = ray.put(
-        (deg_df["vid"].to_numpy(np.int64), deg_df["degree"].to_numpy(np.int64))
+    from graphscope_ray.stages.relational import (
+        bucketed_group_apply,
+        cogroup_join,
+        grouped_agg,
     )
 
-    def deg_of(arr: np.ndarray) -> np.ndarray:
-        vids, degs = _resolve(deg_ref)
-        return degs[np.searchsorted(vids, arr)]
+    deg_ds = grouped_agg(
+        canon.map_batches(endpoints, batch_format="pyarrow"),
+        ["vid"], {"degree": (None, "size")},
+    ).materialize()
+    if broadcast_degrees is None:
+        broadcast_degrees = deg_ds.count() <= BROADCAST_LIMIT_ROWS
 
-    # --- orient low->high by (deg, id) ---------------------------------
-    def orient(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        du, dv = deg_of(u), deg_of(v)
-        u_first = (du < dv) | ((du == dv) & (u < v))
-        a = np.where(u_first, u, v)
-        b = np.where(u_first, v, u)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    if broadcast_degrees:
+        deg_df = deg_ds.to_pandas().sort_values("vid")
+        deg_ref = ray.put(
+            (deg_df["vid"].to_numpy(np.int64),
+             deg_df["degree"].to_numpy(np.int64))
+        )
 
-    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+        def deg_of(arr: np.ndarray) -> np.ndarray:
+            vids, degs = _resolve(deg_ref)
+            return degs[np.searchsorted(vids, arr)]
+
+        def orient(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            du, dv = deg_of(u), deg_of(v)
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            a = np.where(u_first, u, v)
+            b = np.where(u_first, v, u)
+            db = np.where(u_first, dv, du)
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(b, pa.int64()),
+                             "db": pa.array(db, pa.int64())})
+
+        oriented = canon.map_batches(orient, batch_format="pyarrow"
+                                     ).materialize()
+    else:
+        # shuffle path: two cogroup joins attach endpoint degrees; the
+        # wedge-stage orientation then reads the carried db column —
+        # no vertex-scale broadcast anywhere
+        e1 = cogroup_join(
+            canon,
+            deg_ds.map_batches(
+                lambda t: pa.table({"vid": t.column("vid"),
+                                    "du": t.column("degree")}),
+                batch_format="pyarrow"),
+            on="u", right_on="vid")
+        e2 = cogroup_join(
+            e1,
+            deg_ds.map_batches(
+                lambda t: pa.table({"vid": t.column("vid"),
+                                    "dv": t.column("degree")}),
+                batch_format="pyarrow"),
+            on="v", right_on="vid")
+
+        def orient2(batch: pa.Table) -> pa.Table:
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            du = batch.column("du").to_numpy(zero_copy_only=False)
+            dv = batch.column("dv").to_numpy(zero_copy_only=False)
+            u_first = (du < dv) | ((du == dv) & (u < v))
+            a = np.where(u_first, u, v)
+            b = np.where(u_first, v, u)
+            db = np.where(u_first, dv, du)
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(b, pa.int64()),
+                             "db": pa.array(db, pa.int64())})
+
+        oriented = e2.map_batches(orient2, batch_format="pyarrow"
+                                  ).materialize()
 
     # --- wedges per center (bucketed: one vectorized self-merge emits
-    # the out-neighbor pairs of every center in the bucket) --------------
-    from graphscope_ray.stages.relational import bucketed_group_apply
-
+    # the out-neighbor pairs of every center in the bucket); the (deg,
+    # id) filter reads the carried db column, so no lookup is needed ----
     def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="a")
+        m = g[["a", "b", "db"]].merge(g[["a", "b", "db"]], on="a")
         bx = m["b_x"].to_numpy(np.int64)
         by = m["b_y"].to_numpy(np.int64)
-        dx, dy = deg_of(bx), deg_of(by)
+        dx = m["db_x"].to_numpy(np.int64)
+        dy = m["db_y"].to_numpy(np.int64)
         keep = (dx < dy) | ((dx == dy) & (bx < by))  # (deg,id) orientation
         return pd.DataFrame({"x": bx[keep], "y": by[keep],
                              "center": m["a"].to_numpy(np.int64)[keep]})
 
-    wedges = bucketed_group_apply(oriented, ["a"], wedges_of, num_buckets=64)
+    wedges = bucketed_group_apply(
+        oriented.select_columns(["a", "b", "db"]), ["a"], wedges_of,
+        num_buckets=64)
 
     # --- close wedges against the oriented edge set (tagged union) -----
     def as_edge_rows(t: pa.Table) -> pa.Table:
@@ -117,7 +173,8 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
              "center": pa.array(np.full(t.num_rows, _EDGE_SENTINEL), pa.int64())}
         )
 
-    edge_rows = oriented.map_batches(as_edge_rows, batch_format="pyarrow")
+    edge_rows = oriented.select_columns(["a", "b"]).map_batches(
+        as_edge_rows, batch_format="pyarrow")
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         # whole (x, y) groups per bucket: a wedge closes iff its pair
@@ -139,10 +196,11 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     # --- per-vertex sum + zero rows for triangle-free vertices ----------
-    zeros = ray.data.from_arrow(
-        pa.table({"vid": pa.array(deg_df["vid"].to_numpy(np.int64)),
-                  "cnt": pa.array(np.zeros(len(deg_df), np.int64))})
-    )
+    zeros = deg_ds.map_batches(
+        lambda t: pa.table({
+            "vid": t.column("vid"),
+            "cnt": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
     return grouped_agg(
         hits.union(zeros), ["vid"], {"triangles": ("cnt", "sum")}
     )

@@ -57,6 +57,7 @@ class CorpusSpec:
         frac_leaf: float = 0.15,
         mean_files: int = 8,
         seed: int = 42,
+        body_tokens: int = 4,
     ):
         self.n_repos = n_repos
         self.n_communities = n_communities
@@ -67,6 +68,10 @@ class CorpusSpec:
         self.n_leaf = max(1, int(n_repos * frac_leaf))
         self.mean_files = mean_files
         self.seed = seed
+        # filler tokens per file body: 4 ≈ 100 B/file (round-1 corpora);
+        # raise for realistic source-file sizes (64 ≈ 700 B, 256 ≈ 2.5 KB)
+        # so the sha256+regex ingest is a representative compute share
+        self.body_tokens = body_tokens
 
     # --- repo-level pure derivations ------------------------------------
     def repo_name(self, i: int) -> str:
@@ -136,7 +141,11 @@ def _rows_for_repo(spec: CorpusSpec, i: int):
                 includes.append(hub_keys[(h >> 24) % len(hub_keys)])
         body = [f"// {repo}:{path}"]
         body += [f'#include "{inc}"' for inc in includes]
-        body += [f"tok_{(h >> (4 * j)) & 0xFFFF}" for j in range(4)]
+        # first 4 tokens keep the round-1 formula so existing cached
+        # corpora stay byte-identical at body_tokens=4
+        body += [f"tok_{(h >> (4 * j)) & 0xFFFF}" for j in range(min(4, spec.body_tokens))]
+        body += [f"tok_{(h * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) % (1 << 24):x}"
+                 for j in range(4, spec.body_tokens)]
         rows.append((repo, path, commit, lang, "\n".join(body) + "\n"))
     return rows
 

@@ -67,13 +67,33 @@ def read_edge_list(path: str, comment: str = "#") -> ray.data.Dataset:
 def read_edges_orc(path: str, src: str = "src", dst: str = "dst",
                    weight: str | None = None) -> ray.data.Dataset:
     """ORC edge reader (the reference's loader lists ORC as a first-
-    class format, python/graphscope/framework/loader.py:99-160) —
-    ``ray.data.read_orc`` with the same column mapping as parquet."""
-    ds = ray.data.read_orc(path)
+    class format, python/graphscope/framework/loader.py:99-160).
+
+    Ray 2.49 has no ``read_orc``; files are decoded with pyarrow.orc
+    inside ``map_batches`` over the file list — one task per file
+    (parallel, streaming; the same shape a native reader would have)."""
+    import glob
+    import os
+
+    paths = (sorted(glob.glob(os.path.join(path, "*.orc")))
+             if os.path.isdir(path) else [path])
+    if not paths:
+        raise FileNotFoundError(f"no .orc files under {path}")
+    cols = [src, dst] + ([weight] if weight else [])
     ren = {src: "src", dst: "dst"}
     if weight:
         ren[weight] = "weight"
-    return ds.select_columns(list(ren)).rename_columns(ren)
+
+    def load(b: pd.DataFrame) -> pa.Table:
+        from pyarrow import orc
+
+        tabs = [orc.read_table(p, columns=cols) for p in b["p"]]
+        t = pa.concat_tables(tabs)
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    return ray.data.from_items([{"p": p} for p in paths]).map_batches(
+        load, batch_format="pandas", batch_size=1
+    )
 
 
 def from_pandas_edges(df: pd.DataFrame) -> ray.data.Dataset:

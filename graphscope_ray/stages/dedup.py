@@ -217,6 +217,97 @@ def verify_jaccard(
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+def verify_jaccard_pairs(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed exact-Jaccard verification of an (a, b) candidate
+    Dataset against the documents Dataset — the scale path of
+    :func:`verify_jaccard` (which holds all candidate texts on the
+    driver). Two bucketed co-groups:
+
+    1. bucket by doc id: pair-sides meet their document, shingle hashes
+       computed once per doc per bucket (vectorized `_batch_shingles`);
+    2. bucket by pair: the two shingle arrays meet, exact Jaccard per
+       pair (per-pair numpy set-intersection — inherently pairwise).
+
+    No driver-side text dict; shuffle payloads are uint64 hash lists,
+    never raw text (beyond stage 1's doc-keyed delivery)."""
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).combine_chunks()
+        b = t.column("b").cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "doc": pa.concat_arrays([a, b]),
+            "a": pa.concat_arrays([a, a]),
+            "b": pa.concat_arrays([b, b]),
+            "text": pa.nulls(2 * t.num_rows, pa.string()),
+            "side": pa.array(np.zeros(2 * t.num_rows, np.int8)),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": t.column(id_col).cast(pa.int64()),
+            "a": pa.nulls(t.num_rows, pa.int64()),
+            "b": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column(text_col).cast(pa.string()),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+
+    both = (pairs.map_batches(tag_pairs, batch_format="pyarrow")
+            .union(docs.map_batches(tag_docs, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0][["doc", "a", "b"]]
+        d = g[g["side"] == 1][["doc", "text"]]
+        d = d[d["doc"].isin(p["doc"])]
+        if not len(d) or not len(p):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "doc": pd.Series([], dtype=np.int64),
+                                 "sh": pd.Series([], dtype=object)})
+        flat, bounds = _batch_shingles(d["text"], shingle_k)
+        # bounds has n_docs+1 cumulative offsets into flat
+        sh = {int(doc): np.unique(flat[bounds[i]: bounds[i + 1]])
+              for i, doc in enumerate(d["doc"])}
+        m = p[p["doc"].isin(sh)]
+        return pd.DataFrame({
+            "a": m["a"].to_numpy(np.int64),
+            "b": m["b"].to_numpy(np.int64),
+            "doc": m["doc"].to_numpy(np.int64),
+            "sh": [sh[int(x)] for x in m["doc"]],
+        })
+
+    sides = bucketed_group_apply(both, ["doc"], attach, num_buckets)
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (a, b), grp in g.groupby(["a", "b"], sort=True):
+            if len(grp) != 2:
+                continue  # one side's doc was missing
+            sa, sb = grp["sh"].iloc[0], grp["sh"].iloc[1]
+            sa = np.asarray(sa, dtype=np.uint64)
+            sb = np.asarray(sb, dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out.append((a, b, j))
+        return pd.DataFrame(out, columns=["a", "b", "jaccard"]).astype(
+            {"a": np.int64, "b": np.int64, "jaccard": np.float64})
+
+    return bucketed_group_apply(sides, ["a", "b"], judge, num_buckets)
+
+
 # -------------------------------------------------------------- simhash
 
 

@@ -144,6 +144,53 @@ def modify_edges(
     return out.drop_columns(["_v", "_nv"])
 
 
+def modify_vertices(
+    vertices: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    key: str = "vid",
+    delete: bool = False,
+) -> ray.data.Dataset:
+    """MODIFY_VERTICES (grape_instance.cc:361-452, ``modifyVertices``):
+    upsert = union + dedup-by-key with last-write-wins; delete =
+    broadcast anti-join on the update keys. The vertex-side twin of
+    :func:`modify_edges` (immutable-snapshot semantics)."""
+    if delete:
+        dead = updates.select_columns([key]).to_pandas()[key].to_numpy()
+        return broadcast_semi_join(vertices, np.unique(dead), on=key,
+                                   anti=True)
+
+    def tag(version):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_nv"] = np.int64(-version)
+            return b
+
+        return f
+
+    merged = vertices.map_batches(tag(0), batch_format="pandas").union(
+        updates.map_batches(tag(1), batch_format="pandas")
+    )
+    out = dedup_first(merged, [key], order_by=["_nv"])
+    return out.drop_columns(["_nv"])
+
+
+def add_labels(
+    catalog: dict[str, ray.data.Dataset],
+    new_tables: dict[str, ray.data.Dataset],
+) -> dict[str, ray.data.Dataset]:
+    """ADD_LABELS (grape_instance.cc:1170-1193): append vertex/edge
+    label tables to the graph's catalog (label → Dataset). Labels are
+    namespaced Datasets here — the property-graph analogue of the
+    reference's per-label Arrow tables; duplicate label names are an
+    error (the reference refuses duplicate labels at graph build)."""
+    dup = set(catalog) & set(new_tables)
+    if dup:
+        raise ValueError(f"labels already present: {sorted(dup)}")
+    out = dict(catalog)
+    out.update(new_tables)
+    return out
+
+
 def consolidate_columns(
     ds: ray.data.Dataset, cols: list[str], out: str, sep: str = "|"
 ) -> ray.data.Dataset:

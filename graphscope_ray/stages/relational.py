@@ -199,6 +199,252 @@ def topk(ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
     ).limit(k)
 
 
+def cogroup_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Inner equi-join on an int64 key via bucketed co-group.
+
+    Ray 2.49's hash-shuffle ``Dataset.join`` crashes on the near-empty
+    partitions a small input produces (pyarrow "no match for key field"
+    in empty schema-less blocks), so iterative operators whose frontier
+    can shrink to a handful of rows join through the same
+    ``bucketed_group_apply`` shuffle the aggregates use. Column sets
+    must be disjoint apart from the keys; the right key column is
+    dropped from the output."""
+    right_on = right_on or on
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+    overlap = (set(lcols) - {on}) & (set(rcols) - {right_on})
+    if overlap:
+        raise ValueError(f"cogroup_join column collision: {sorted(overlap)}")
+    ltypes = {f.name: f.type for f in left.schema().base_schema}
+    rtypes = {f.name: f.type for f in right.schema().base_schema}
+    payload = {c: ltypes[c] for c in lcols if c != on}
+    payload.update({c: rtypes[c] for c in rcols if c != right_on})
+
+    def tag(side, key):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {"_k": t.column(key).cast(pa.int64())}
+            for c, typ in payload.items():
+                cols[c] = (t.column(c) if c in t.column_names
+                           else pa.nulls(t.num_rows, typ))
+            cols["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols)
+
+        return f
+
+    both = (left.map_batches(tag(0, on), batch_format="pyarrow")
+            .union(right.map_batches(tag(1, right_on), batch_format="pyarrow")))
+    lpay = [c for c in lcols if c != on]
+    rpay = [c for c in rcols if c != right_on]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][["_k"] + lpay]
+        r = g[g["_side"] == 1][["_k"] + rpay]
+        m = l.merge(r, on="_k")
+        # the union frame null-pads each side's payload, which promotes
+        # integer columns to float64 — cast back to the declared Arrow
+        # type so downstream key hashing/joining sees stable dtypes
+        for c, typ in payload.items():
+            if pa.types.is_integer(typ) and c in m.columns:
+                m[c] = m[c].astype(np.int64)
+        return m.rename(columns={"_k": on})
+
+    return bucketed_group_apply(both, ["_k"], merge, num_buckets)
+
+
+def intersect_lists(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    out: str,
+) -> ray.data.Dataset:
+    """GIE Intersect (algebra.proto:100): per-row intersection of keyed
+    array columns, emitted as a new list column. The per-row set
+    intersection is inherently rowwise; each is a numpy operation over
+    that row's lists (bounded by list length, not table size)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        vals = []
+        for row in zip(*(b[c] for c in cols)):
+            acc = np.asarray(row[0])
+            for other in row[1:]:
+                acc = np.intersect1d(acc, np.asarray(other))
+            vals.append(acc.tolist())
+        b = b.drop(columns=cols)
+        b[out] = vals
+        return b
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def path_expand(
+    edges: ray.data.Dataset,
+    starts: ray.data.Dataset,
+    min_hops: int,
+    max_hops: int,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE PathExpand (algebra.proto:314), EndV+distinct semantics:
+    (start, end, hops) pairs reachable in min_hops..max_hops arcs,
+    keeping the MINIMUM hop count per (start, end) — iterated
+    cogroup joins of the frontier against the arc table. ``starts``
+    has one ``vid`` column."""
+    arcs = edges.select_columns(["src", "dst"])
+    frontier = starts.map_batches(
+        lambda t: pa.table({
+            "start": t.column("vid").cast(pa.int64()),
+            "cur": t.column("vid").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    # hop 0 is "seen": dist(start, start) = 0, so the start must not
+    # re-enter as an end at a later hop
+    seen = frontier.materialize()
+    out = []
+    for hop in range(1, max_hops + 1):
+        ext = cogroup_join(frontier, arcs, on="cur", right_on="src",
+                           num_buckets=num_buckets)
+        frontier = ext.map_batches(
+            lambda t: pa.table({
+                "start": t.column("start"),
+                "cur": t.column("dst").cast(pa.int64()),
+            }), batch_format="pyarrow")
+        # min-hop dedup per (start, end): drop ends already reached
+        frontier = dedup_first(frontier, ["start", "cur"]).materialize()
+
+        def unseen(g: pd.DataFrame) -> pd.DataFrame:
+            f = g[g["_s"] == 0][["start", "cur"]]
+            s = g[g["_s"] == 1][["start", "cur"]].assign(_hit=1)
+            m = f.merge(s, on=["start", "cur"], how="left")
+            m = m[m["_hit"].isna()]
+            return pd.DataFrame({
+                "start": m["start"].to_numpy(np.int64),
+                "cur": m["cur"].to_numpy(np.int64)})
+
+        tagged = (frontier.map_batches(
+            lambda t: t.append_column(
+                "_s", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow")
+            .union(seen.map_batches(
+                lambda t: t.append_column(
+                    "_s", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow")))
+        frontier = bucketed_group_apply(
+            tagged, ["start", "cur"], unseen, num_buckets).materialize()
+        seen = seen.union(frontier).materialize()
+        if frontier.count() == 0:
+            break
+        if hop >= min_hops:
+            out.append(frontier.map_batches(
+                lambda t, h=hop: pa.table({
+                    "start": t.column("start"),
+                    "end": t.column("cur"),
+                    "hops": pa.array(np.full(t.num_rows, h, np.int64)),
+                }), batch_format="pyarrow"))
+    if not out:
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array([], pa.int64()),
+            "end": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64())}))
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res
+
+
+def apply_correlate(
+    ds: ray.data.Dataset,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+) -> ray.data.Dataset:
+    """GIE Apply (algebra.proto:387): correlated subquery — ``fn`` maps
+    each input batch to its (possibly multi-row-per-input) expansion;
+    express per-row subplans as vectorized batch logic."""
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def segment_apply(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE SegmentApply (algebra.proto:405): apply a subplan per key
+    segment — co-located whole groups via the bucketed shuffle."""
+    return bucketed_group_apply(ds, keys, fn, num_buckets)
+
+
+def match_pattern(
+    edges: ray.data.Dataset,
+    pattern: list[tuple[str, str]],
+    distinct: bool = True,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE Pattern (algebra.proto:407): match a small edge pattern
+    given as (var_u, var_v) arcs, e.g. triangle =
+    ``[("a","b"), ("b","c"), ("a","c")]``. Left-deep join chain over
+    the arc table; every pattern edge after the first must touch an
+    already-bound variable (no cross products). ``distinct`` enforces
+    pairwise-distinct variable bindings (isomorphic matching)."""
+    arcs = edges.select_columns(["src", "dst"]).materialize()
+    bind: ray.data.Dataset | None = None
+    bound: list[str] = []
+    for u, v in pattern:
+        e = arcs.map_batches(
+            lambda t, a=u, b=v: pa.table({
+                a + "__e": t.column("src").cast(pa.int64()),
+                b + "__e": t.column("dst").cast(pa.int64()),
+            }), batch_format="pyarrow")
+        if bind is None:
+            bind = e.map_batches(
+                lambda t, a=u, b=v: pa.table({
+                    a: t.column(a + "__e"), b: t.column(b + "__e")}),
+                batch_format="pyarrow")
+            bound = [u, v]
+            continue
+        if u in bound and v in bound:
+            j = cogroup_join(bind, e, on=u, right_on=u + "__e",
+                             num_buckets=num_buckets)
+            j = select_expr(j, lambda t, b=v: __import__(
+                "pyarrow").compute.equal(t.column(b), t.column(b + "__e")))
+            bind = j.drop_columns([v + "__e"])
+        elif u in bound:
+            j = cogroup_join(bind, e, on=u, right_on=u + "__e",
+                             num_buckets=num_buckets)
+            bind = j.map_batches(
+                lambda t, b=v: t.rename_columns(
+                    [b if c == b + "__e" else c for c in t.column_names]),
+                batch_format="pyarrow")
+            bound.append(v)
+        elif v in bound:
+            j = cogroup_join(bind, e, on=v, right_on=v + "__e",
+                             num_buckets=num_buckets)
+            bind = j.map_batches(
+                lambda t, a=u: t.rename_columns(
+                    [a if c == a + "__e" else c for c in t.column_names]),
+                batch_format="pyarrow")
+            bound.append(u)
+        else:
+            raise ValueError(
+                f"pattern edge ({u},{v}) touches no bound variable "
+                "(cross products unsupported)")
+        if distinct:
+            def alldiff(t: pa.Table, cols=tuple(bound)) -> pa.Table:
+                import pyarrow.compute as pc
+
+                mask = pa.array(np.ones(t.num_rows, bool))
+                for i in range(len(cols)):
+                    for j2 in range(i + 1, len(cols)):
+                        mask = pc.and_(mask, pc.not_equal(
+                            t.column(cols[i]), t.column(cols[j2])))
+                return t.filter(mask)
+
+            bind = bind.map_batches(alldiff, batch_format="pyarrow")
+        bind = bind.materialize()
+    return bind
+
+
 def apply_expr(
     ds: ray.data.Dataset,
     out_col: str,

@@ -78,6 +78,16 @@ class GraphShard:
             self._vbuf.append(np.asarray(vertices, dtype=np.int64))
         return n
 
+    def ingest_blocks(self, *tables: pa.Table) -> int:
+        """Buffer many pre-split edge sub-tables at once (the split-task
+        routing path: one actor call per shard for the whole build)."""
+        n = 0
+        for t in tables:
+            if t is not None and t.num_rows:
+                self._ebuf.append(t)
+                n += t.num_rows
+        return n
+
     def ingest_vertices(self, table: pa.Table) -> int:
         v = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
         self._vbuf.append(v)
@@ -640,6 +650,39 @@ class GraphShard:
         with np.errstate(divide="ignore"):
             inv = np.where(finite & (d > 0), 1.0 / np.where(d > 0, d, 1.0), 0.0)
         return s, r.astype(np.int64), inv.sum(axis=0)
+
+    # ------------------------------------------------- k-core peeling (BSP)
+    # gs::KCore (apps/kcore/kcore.h:130) as degree-decrement rounds on
+    # the pool: newly sub-k vertices die and send −1 along their arcs;
+    # receivers decrement; fixpoint when nobody dies. Replaces the
+    # driver-round-trip peeling (per-round O(V) degree table pulls).
+    def kcore_init(self, k: int) -> int:
+        self._kc_alive = np.ones(self.n_local, dtype=bool)
+        # undirected graphs store both arcs ⇒ out_deg IS the degree
+        self._kc_deg = self.out_deg.astype(np.int64).copy()
+        self._kc_k = int(k)
+        return self.n_local
+
+    def kcore_step(self, *inbox):
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                pos = np.searchsorted(self.local, u)
+                self._kc_deg[pos] += s  # s is negative
+        newly = self._kc_alive & (self._kc_deg < self._kc_k)
+        changed = int(newly.sum())
+        self._kc_alive[newly] = False
+        mask = newly[self.e_src_pos]
+        msgs = self._emit_per_part(
+            mask, np.full(self.n_edges, -1, dtype=np.int64), np.add
+        )
+        return self._msgs_tuple(msgs) + (changed,)
+
+    def kcore_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local[self._kc_alive], pa.int64())
+        })
 
     # ------------------------------------------------------------ VoteRank
     def voterank_init(self) -> int:

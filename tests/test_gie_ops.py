@@ -1,0 +1,105 @@
+"""GIE operator additions: cogroup_join, Intersect, PathExpand,
+Apply/SegmentApply, Pattern — vs pandas/networkx oracles."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.stages.relational import (
+    apply_correlate,
+    cogroup_join,
+    intersect_lists,
+    match_pattern,
+    path_expand,
+    segment_apply,
+)
+
+
+def _arrow(df):
+    return ray.data.from_pandas(df).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+
+
+@pytest.fixture(scope="module")
+def ggraph():
+    rng = np.random.default_rng(11)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 20, (70, 2))
+                    if a != b})
+    G = nx.DiGraph()
+    G.add_edges_from(edges)
+    ds = _arrow(pd.DataFrame({"src": [a for a, _ in edges],
+                              "dst": [b for _, b in edges]}))
+    return G, ds
+
+
+def test_cogroup_join_tiny_left(ggraph):
+    _, ds = ggraph
+    left = _arrow(pd.DataFrame({"k": [3], "tagv": ["x"]}))
+    out = cogroup_join(left, ds, on="k", right_on="src").to_pandas()
+    want = ds.to_pandas()
+    want = want[want["src"] == 3]
+    assert sorted(out["dst"]) == sorted(want["dst"])
+    assert (out["tagv"] == "x").all()
+
+
+def test_intersect_lists():
+    ds = _arrow(pd.DataFrame({
+        "id": [1, 2],
+        "xs": [[1, 2, 3], [5, 6]],
+        "ys": [[2, 3, 4], [7]],
+    }))
+    out = intersect_lists(ds, ["xs", "ys"], "both").to_pandas()
+    got = {r.id: list(r.both) for r in out.itertuples()}
+    assert got == {1: [2, 3], 2: []}
+
+
+def test_path_expand(ggraph):
+    G, ds = ggraph
+    starts = _arrow(pd.DataFrame({"vid": [0, 5]}))
+    out = path_expand(ds, starts, min_hops=1, max_hops=3).to_pandas()
+    got = {(r.start, r.end): r.hops for r in out.itertuples()}
+    want = {}
+    for s in (0, 5):
+        ln = nx.single_source_shortest_path_length(G, s, cutoff=3)
+        for v, d in ln.items():
+            if 1 <= d <= 3:
+                want[(s, v)] = d
+    assert got == want
+
+
+def test_apply_and_segment_apply():
+    ds = _arrow(pd.DataFrame({"g": [1, 1, 2], "x": [1, 2, 10]}))
+
+    def explode_twice(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([b.assign(rep=0), b.assign(rep=1)])
+
+    out = apply_correlate(ds, explode_twice).to_pandas()
+    assert len(out) == 6
+
+    def seg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [g["g"].iloc[0]], "s": [g["x"].sum()]})
+
+    out2 = segment_apply(ds, ["g"], seg_sum).to_pandas().sort_values("g")
+    assert out2["s"].tolist() == [3, 10]
+
+
+def test_match_pattern_triangle(ggraph):
+    G, ds = ggraph
+    out = match_pattern(ds, [("a", "b"), ("b", "c"), ("a", "c")]).to_pandas()
+    got = set(map(tuple, out[["a", "b", "c"]].to_numpy()))
+    want = {(a, b, c) for a in G for b in G.successors(a)
+            for c in G.successors(b) if G.has_edge(a, c)
+            and len({a, b, c}) == 3}
+    assert got == want
+
+
+def test_match_pattern_wedge_into_bound(ggraph):
+    G, ds = ggraph
+    # 2-hop path a->b->c with both ends distinct
+    out = match_pattern(ds, [("a", "b"), ("b", "c")]).to_pandas()
+    got = set(map(tuple, out[["a", "b", "c"]].to_numpy()))
+    want = {(a, b, c) for a in G for b in G.successors(a)
+            for c in G.successors(b) if len({a, b, c}) == 3}
+    assert got == want

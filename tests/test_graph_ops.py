@@ -95,3 +95,49 @@ def test_sssp_helpers():
     assert sssp_average_length(g(), 0) == sum(want.values()) / len(want)
     assert sssp_has_path(g(), 0, 10) is True
     assert sssp_has_path(g(), 0, 11) is False
+
+
+def test_modify_vertices_upsert_and_delete():
+    from graphscope_ray.stages.graph_ops import modify_vertices
+
+    base = ray.data.from_pandas(pd.DataFrame(
+        {"vid": [1, 2, 3], "w": [1.0, 2.0, 3.0]}))
+    upd = ray.data.from_pandas(pd.DataFrame(
+        {"vid": [2, 4], "w": [20.0, 40.0]}))
+    got = modify_vertices(base, upd).to_pandas().sort_values(
+        "vid").reset_index(drop=True)
+    assert got["vid"].tolist() == [1, 2, 3, 4]
+    assert got["w"].tolist() == [1.0, 20.0, 3.0, 40.0]   # last-write-wins
+    dele = modify_vertices(base, upd, delete=True).to_pandas()
+    assert sorted(dele["vid"]) == [1, 3]
+
+
+def test_add_labels():
+    import pytest as _pytest
+
+    from graphscope_ray.stages.graph_ops import add_labels
+
+    cat = {"person": ray.data.from_items([{"vid": 1}])}
+    out = add_labels(cat, {"company": ray.data.from_items([{"vid": 9}])})
+    assert set(out) == {"person", "company"}
+    assert "company" not in cat                    # original untouched
+    with _pytest.raises(ValueError):
+        add_labels(out, {"person": ray.data.from_items([{"vid": 2}])})
+
+
+def test_read_edges_orc(tmp_path):
+    import pyarrow as pa
+    from pyarrow import orc
+
+    from graphscope_ray.sources.readers import read_edges_orc
+
+    tbl = pa.table({"from": pa.array([1, 2, 3], pa.int64()),
+                    "to": pa.array([2, 3, 1], pa.int64()),
+                    "w": pa.array([0.5, 1.5, 2.5], pa.float64())})
+    p = str(tmp_path / "edges.orc")
+    orc.write_table(tbl, p)
+    ds = read_edges_orc(p, src="from", dst="to", weight="w")
+    df = ds.to_pandas().sort_values("src").reset_index(drop=True)
+    assert list(df.columns) == ["src", "dst", "weight"]
+    assert df["src"].tolist() == [1, 2, 3]
+    assert df["weight"].tolist() == [0.5, 1.5, 2.5]

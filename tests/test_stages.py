@@ -163,3 +163,20 @@ def test_multimodal_plumbing():
     # deterministic fake decode
     dec2 = decode_images(ds).to_pandas().sort_values("media_id")
     assert (dec["pixel_mean"].to_numpy() == dec2["pixel_mean"].to_numpy()).all()
+
+
+def test_verify_jaccard_pairs_matches_driver(docs_df):
+    from graphscope_ray.stages.dedup import verify_jaccard_pairs
+
+    pairs = minhash_lsh_pairs(
+        ray.data.from_pandas(docs_df), num_perm=64, bands=32
+    )
+    want = verify_jaccard(pairs.to_pandas(), docs_df, threshold=0.5)
+    got = verify_jaccard_pairs(
+        pairs, ray.data.from_pandas(docs_df), threshold=0.5
+    ).to_pandas()
+    ws = want.sort_values(["a", "b"]).reset_index(drop=True)
+    gs = got.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(ws) == len(gs) and len(gs) > 0
+    assert (ws["a"] == gs["a"]).all() and (ws["b"] == gs["b"]).all()
+    assert np.allclose(ws["jaccard"], gs["jaccard"], atol=1e-12)

@@ -202,3 +202,15 @@ def test_closeness_random():
     want = nx.closeness_centrality(g)
     for v in want:
         assert gm[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_pool_matches_dataset_peeling(rgraph, k):
+    from graphscope_ray.pipelines.algorithms import kcore_pool
+    from graphscope_ray.state.graph import build_graph
+
+    g, ds = rgraph
+    want = sorted(nx.k_core(g, k).nodes)
+    sg = build_graph(ds, num_partitions=3, directed=False)
+    got = sorted(kcore_pool(sg, k).to_pandas()["vid"])
+    assert got == want

@@ -37,3 +37,25 @@ def test_triangles_random(seed):
     want = oracle_triangles(edges, [])
     want = {v: c for v, c in want.items() if v in got}
     assert got == want
+
+
+def test_triangles_no_broadcast_matches():
+    """The shuffle-join degree path (the >1e8-vertex fallback) must
+    produce identical counts to the broadcast path."""
+    import networkx as nx
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    edges = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 60, (300, 2)) if a != b})
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    got_b = triangle_counts(ds, broadcast_degrees=True).to_pandas()
+    got_j = triangle_counts(ds, broadcast_degrees=False).to_pandas()
+    mb = dict(zip(got_b["vid"], got_b["triangles"]))
+    mj = dict(zip(got_j["vid"], got_j["triangles"]))
+    assert mb == mj
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    want = nx.triangles(g)
+    assert mb == want
