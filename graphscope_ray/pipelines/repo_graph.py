@@ -54,16 +54,20 @@ def build_repo_graph(
     files share no keys become isolated vertices — they must exist, as
     in the reference's vertex map, global_vertex_map.h:44-68).
     """
-    # unweighted derive: multigraph pair rows ship as-is; the exact
-    # (src,dst) dedup happens shard-locally at build (all copies of an
-    # arc hash to the same owner) — one less edge-scale shuffle
-    pairs = extract_dep_keys(corpus)
-    edges_oid = derive_edges(pairs, cap_per_key=cap_per_key, weighted=False)
-    vmap = build_vertex_map(corpus.select_columns(["repo"]), "repo")
-    edges = add_vid_columns(edges_oid, {"src": "src_vid", "dst": "dst_vid"})
-    edges = edges.drop_columns(["src", "dst"]).rename_columns(
-        {"src_vid": "src", "dst_vid": "dst"}
+    # int64 fast path: repo→vid and key→hash computed AT EXTRACT (both
+    # pure functions, identical to the vertex map's), so the derive and
+    # routing shuffles move 17-byte int rows instead of two strings and
+    # no oid→vid join stage exists. Unweighted multigraph pair rows
+    # ship as-is; the exact (src,dst) dedup happens shard-locally at
+    # build (all copies of an arc hash to the same owner).
+    from graphscope_ray.stages.derive import (
+        derive_edges_vids,
+        extract_dep_keys_vids,
     )
+
+    pairs = extract_dep_keys_vids(corpus)
+    edges = derive_edges_vids(pairs, cap_per_key=cap_per_key)
+    vmap = build_vertex_map(corpus.select_columns(["repo"]), "repo")
     graph = build_graph(
         edges,
         num_partitions=num_partitions,

@@ -142,11 +142,24 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.4
 
 def q_embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
     """Hyperplane-LSH near-dup pairs at cosine ≥ 0.9 — the sub-quadratic
-    scale path (rows-only; recall/precision pinned in pytest with
-    planted duplicates)."""
+    scale path. The gate data's max off-diagonal cosine is ~0.51, so the
+    input is augmented with an id-shifted copy of itself (vec_id +
+    1_000_000): every (i, i+1M) pair is an exact duplicate the LSH MUST
+    emit — a provably non-vacuous gate (the round-1 version returned 0
+    rows against this data). Rows-only; recall/precision pinned in
+    pytest."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(emb, threshold=0.9)
+
+    def shift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"), 1_000_000),
+            "embedding": t.column("embedding")})
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    return embedding_neardup_pairs(both, threshold=0.9)
 
 
 def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
