@@ -40,6 +40,18 @@ SHARDS = os.environ.get("GRAFT_SHARDS")
 def _init_ray():
     import logging
 
+    # Honest parallelism bound: ray.init(num_cpus=N) throttles TASK
+    # concurrency but actors compute unthrottled on every host thread
+    # (seal/BSP phases measured identical at num_cpus=2 and 32). Pin
+    # the whole process tree (raylet + workers + actors inherit the
+    # driver's affinity) to N hardware threads so an "N-cpu leg" is a
+    # faithful proxy for an N-core cluster slice.
+    if os.environ.get("GRAFT_AFFINITY", "1") == "1":
+        try:
+            os.sched_setaffinity(0, range(min(NUM_CPUS, os.cpu_count())))
+        except (AttributeError, OSError):
+            pass
+
     import ray
 
     ray.init(

@@ -42,3 +42,48 @@ def test_closeness_harmonic_sql_parity_small():
     got_h = q_part_harmonic(SF).to_pandas().sort_values("vid").reset_index(drop=True)
     want_h = con.sql(sqls["part_harmonic"]).df().sort_values("vid").reset_index(drop=True)
     assert (got_h["harmonic"].to_numpy() == want_h["harmonic"].to_numpy()).all()
+
+
+def test_betweenness_networkx_parity_small():
+    """No tractable SQL twin for Brandes — exact networkx parity is
+    pinned here at sf0.001 (the gate records rows-only)."""
+    import networkx as nx
+
+    from graphscope_ray.pipelines.sf_graph import (
+        part_cooccurrence_edges,
+        q_part_betweenness,
+    )
+
+    got = q_part_betweenness(SF).to_pandas()
+    e = part_cooccurrence_edges(SF).to_pandas()
+    g = nx.Graph()
+    g.add_nodes_from(got["vid"])
+    g.add_edges_from(zip(e["src"], e["dst"]))
+    want = nx.betweenness_centrality(g, normalized=True)
+    m = dict(zip(got["vid"], got["betweenness"]))
+    assert set(m) == set(want)
+    for v, w in want.items():
+        assert m[v] == f"{w:.6f}", v
+
+
+def test_dfs_gate_is_valid_preorder():
+    """part_dfs (rows-only gate): ranks are a permutation 0..n-1, the
+    root has rank 0 / parent -1, and every non-root's parent is an
+    adjacent vertex with a smaller rank."""
+    from graphscope_ray.pipelines.sf_graph import (
+        part_cooccurrence_edges,
+        q_part_dfs,
+    )
+
+    df = q_part_dfs(SF).to_pandas()
+    assert sorted(df["rank"]) == list(range(len(df)))
+    root = df[df["rank"] == 0].iloc[0]
+    assert root["parent"] == -1
+    e = part_cooccurrence_edges(SF).to_pandas()
+    adj = set(zip(e["src"], e["dst"])) | set(zip(e["dst"], e["src"]))
+    rank = dict(zip(df["vid"], df["rank"]))
+    for r in df.itertuples():
+        if r.rank == 0:
+            continue
+        assert (r.parent, r.vid) in adj, r.vid
+        assert rank[r.parent] < r.rank, r.vid
