@@ -5,9 +5,13 @@ SURVEY.md §2 (graph algorithms over the part co-occurrence graph,
 relational/TPC-H operators, streaming-shaped windows, and the
 training-data ops: dedup family, ANN, text analysis, multimodal).
 ``oracle_sql()`` provides DuckDB twins — iterative algorithms are
-expressed as unrolled CTE chains (PageRank, CDLP) or recursive CTEs
-(WCC, BFS); genuinely non-SQL ops (weighted SSSP, MinHash, simhash,
-fingerprints, lang-id, vector near-dup) are rows-only by design.
+expressed as unrolled CTE chains (PageRank, CDLP, HITS, Katz,
+eigenvector, k-core/k-shell peeling, Bellman-Ford SSSP, VoteRank
+elections, LPAU2I) or recursive CTEs (WCC, BFS, APSP, BFS-path
+reconstruction); the remaining rows-only entries (Brandes sweeps,
+serial DFS, seeded sampling, MinHash/SimHash/LSH hash pipelines,
+Louvain) have no tractable SQL twin and are pinned against
+networkx/pandas oracles in pytest instead.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init/shutdown here or in the library.
@@ -333,6 +337,80 @@ lab{r + 1} AS MATERIALIZED (
             + f"\nSELECT u, printf('%.6f', lab) AS label FROM lab{rounds}")
 
 
+def _sssp_sql(rounds: int = 60) -> str:
+    """Weighted SSSP as UNROLLED Bellman-Ford (fixed-round relaxation —
+    linear in rounds, unlike the exploding recursive-CTE path
+    enumeration). The Ray side runs min-relaxation to fixpoint; with
+    ``rounds`` ≥ the max hop count of any optimal path both sides reach
+    the identical fixpoint, and edge weights are integer counts so the
+    distance sums are exact in float64."""
+    parts = [
+        _GRAPH_CTES,
+        """
+, d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT CAST(min(vid) AS BIGINT) FROM verts)
+                   THEN CAST(0.0 AS DOUBLE) END AS d
+  FROM verts)""",
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+, n{i} AS MATERIALIZED (
+  SELECT a.dst AS vid, min(d.d + a.weight) AS nd
+  FROM arcs a JOIN d{i} d ON d.vid = a.src
+  WHERE d.d IS NOT NULL GROUP BY a.dst)
+, d{i + 1} AS MATERIALIZED (
+  SELECT d.vid,
+         CASE WHEN d.d IS NULL THEN n.nd
+              WHEN n.nd IS NULL THEN d.d
+              ELSE least(d.d, n.nd) END AS d
+  FROM d{i} d LEFT JOIN n{i} n ON n.vid = d.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT vid, d AS distance FROM d{rounds} WHERE d IS NOT NULL"""
+    )
+
+
+def _voterank_sql(k: int = 20) -> str:
+    """VoteRank unrolled to k elections: per round score(v) = Σ ability
+    of in-neighbors (elected scores excluded), argmax with min-vid tie
+    break, elected ability zeroed, its out-neighbors decremented by
+    1/⟨k⟩ clamped at 0 (networkx semantics; arcs are distinct, so each
+    neighbor decrements once)."""
+    parts = [
+        _GRAPH_CTES,
+        """
+, dlt AS (SELECT CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM verts) AS avg_deg FROM arcs)
+, ab0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS ab FROM verts)
+, el0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS vid WHERE 1 = 0)""",
+    ]
+    for e in range(k):
+        parts.append(f"""
+, sc{e} AS MATERIALIZED (
+  SELECT a.dst AS vid, sum(ab.ab) AS s
+  FROM arcs a JOIN ab{e} ab ON ab.vid = a.src
+  WHERE a.dst NOT IN (SELECT vid FROM el{e} WHERE vid IS NOT NULL)
+  GROUP BY a.dst)
+, b{e} AS MATERIALIZED (
+  SELECT vid, s FROM sc{e} ORDER BY s DESC, vid LIMIT 1)
+, el{e + 1} AS MATERIALIZED (
+  SELECT vid FROM el{e} UNION ALL SELECT vid FROM b{e})
+, ab{e + 1} AS MATERIALIZED (
+  SELECT ab.vid,
+         CASE WHEN ab.vid = (SELECT vid FROM b{e}) THEN CAST(0.0 AS DOUBLE)
+              WHEN ab.vid IN (SELECT a.dst FROM arcs a
+                              WHERE a.src = (SELECT vid FROM b{e}))
+              THEN greatest(ab.ab - 1.0 / (SELECT avg_deg FROM dlt),
+                            CAST(0.0 AS DOUBLE))
+              ELSE ab.ab END AS ab
+  FROM ab{e} ab)""")
+    sel = " UNION ALL ".join(
+        f"SELECT {e} AS rank, (SELECT vid FROM b{e}) AS vid" for e in range(k)
+    )
+    return "WITH " + "".join(parts) + "\n" + sel
+
+
 def _attr_assort_sql() -> str:
     """Integer-exact mixing-matrix assortativity of p_brand:
     r = (tr·T − S) / (T² − S) over arc counts (both orientations)."""
@@ -584,8 +662,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),
-        # part_sssp: no SQL oracle (weighted SSSP explodes in pure SQL;
-        # the pytest dijkstra oracle covers it)
+        "part_sssp": _sssp_sql(60),
+        "part_voterank": _voterank_sql(20),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        printf('%.4f', sum(l_quantity)) AS sum_qty,
