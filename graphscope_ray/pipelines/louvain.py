@@ -91,15 +91,29 @@ def _vertex_degrees(level_edges: ray.data.Dataset):
     return df["vid"].to_numpy(np.int64), df["k"].to_numpy(np.float64)
 
 
+LOCAL_MOVE_DRIVER_LIMIT = 5_000_000  # arcs; levels above stay distributed
+
+
 def _local_move_level(arcs, vids, kv, m2, max_rounds):
-    """Local moving. Returns (community array aligned to vids, #moves)."""
+    """Local moving. Returns (community array aligned to vids, #moves).
+
+    Two data paths with IDENTICAL per-round math: arcs ≤
+    ``LOCAL_MOVE_DRIVER_LIMIT`` run the rounds on one in-process numpy
+    frame (a ~24-round loop of 2 Ray shuffles over a small table is
+    pure fixed overhead — measured ~140 s at sf0.01 for ~2 s of
+    compute); larger levels keep the per-round shuffle (level-0 of a
+    100-TB graph is edge-scale, but contraction shrinks levels
+    geometrically, so deep levels always take the local path)."""
     comm = vids.copy()
     total_moves = 0
     empty_parity_rounds = 0
+    n_arcs = arcs.count()
+    arcs_df = arcs.to_pandas() if n_arcs <= LOCAL_MOVE_DRIVER_LIMIT else None
     for rnd in range(max_rounds):
         tot = pd.Series(kv).groupby(comm).sum()
-        state = ray.put((vids, comm.copy(), tot.index.to_numpy(np.int64),
-                         tot.to_numpy(np.float64), kv))
+        packed = (vids, comm.copy(), tot.index.to_numpy(np.int64),
+                  tot.to_numpy(np.float64), kv)
+        state = packed if arcs_df is not None else ray.put(packed)
 
         def annotate(t: pa.Table) -> pa.Table:
             v_, c_, _, _, _ = _resolve(state)
@@ -110,10 +124,6 @@ def _local_move_level(arcs, vids, kv, m2, max_rounds):
                 "w": t.column("w"),
             })
 
-        cand = grouped_agg(
-            arcs.map_batches(annotate, batch_format="pyarrow"),
-            ["src", "cnbr"], {"wvc": ("w", "sum")},
-        )
         parity = rnd % 2
 
         def choose(g: pd.DataFrame) -> pd.DataFrame:
@@ -157,8 +167,25 @@ def _local_move_level(arcs, vids, kv, m2, max_rounds):
             return pd.DataFrame({"src": out["src"].to_numpy(np.int64),
                                  "newc": out["cn"].to_numpy(np.int64)})
 
-        moves = bucketed_group_apply(cand, ["src"], choose, num_buckets=32
-                                     ).to_pandas()
+        if arcs_df is not None:
+            # in-process: same annotate→group-sum→choose, one frame
+            v_, c_ = packed[0], packed[1]
+            cnbr = c_[np.searchsorted(v_, arcs_df["dst"].to_numpy(np.int64))]
+            cand_df = (
+                pd.DataFrame({"src": arcs_df["src"].to_numpy(np.int64),
+                              "cnbr": cnbr,
+                              "w": arcs_df["w"].to_numpy(np.float64)})
+                .groupby(["src", "cnbr"], sort=True)["w"].sum()
+                .reset_index().rename(columns={"w": "wvc"})
+            )
+            moves = choose(cand_df)
+        else:
+            cand = grouped_agg(
+                arcs.map_batches(annotate, batch_format="pyarrow"),
+                ["src", "cnbr"], {"wvc": ("w", "sum")},
+            )
+            moves = bucketed_group_apply(cand, ["src"], choose,
+                                         num_buckets=32).to_pandas()
         if moves.empty or "src" not in moves.columns:
             empty_parity_rounds += 1
             if empty_parity_rounds >= 2:  # both parities settled
