@@ -78,3 +78,115 @@ def decode_images(
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage over decoded ``thumb`` list columns:
+    vectorized nearest-neighbor downsample (the decode is the stub —
+    the resize math on decoded arrays is real)."""
+
+    def __init__(self, src_side: int = 8, dst_side: int = 4):
+        self.src = src_side
+        self.dst = dst_side
+        step = src_side / dst_side
+        idx = (np.arange(dst_side) * step).astype(np.int64)
+        self.gather = (idx[:, None] * src_side + idx[None, :]).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("thumb")
+        flat = np.asarray(col.combine_chunks().flatten(), dtype=np.uint8)
+        mat = flat.reshape(-1, self.src * self.src)
+        small = mat[:, self.gather]
+        return batch.append_column(
+            "thumb_small",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(small.reshape(-1), pa.uint8()),
+                self.dst * self.dst,
+            ),
+        )
+
+
+def resize_images(ds: ray.data.Dataset, src_side: int = 8, dst_side: int = 4,
+                  concurrency: int = 2, batch_size: int = 64
+                  ) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"src_side": src_side,
+                                             "dst_side": dst_side},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video frame sampling: pick ``n_frames`` deterministic byte
+    offsets per payload and emit per-frame digest rows (one row per
+    sampled frame — the flat_map shape a real codec stage would have;
+    the codec itself is the stub)."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 16):
+        self.n = n_frames
+        self.fb = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, digests = [], [], []
+        id_col = batch.column_names[0]
+        for rid, p in zip(batch.column(id_col).to_pylist(),
+                          batch.column("payload").to_pylist()):
+            span = max(len(p) - self.fb, 1)
+            for j in range(self.n):
+                off = (j * span) // self.n
+                chunk = p[off: off + self.fb]
+                ids.append(rid)
+                frames.append(j)
+                digests.append(hashlib.sha256(chunk).hexdigest()[:12])
+        return pa.table({
+            id_col: pa.array(ids),
+            "frame": pa.array(frames, pa.int32()),
+            "frame_digest": pa.array(digests, pa.string()),
+        })
+
+
+def sample_frames(ds: ray.data.Dataset, n_frames: int = 4,
+                  concurrency: int = 2, batch_size: int = 64
+                  ) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class AudioFeaturizer:
+    """Audio feature extraction: interpret payload bytes as uint8
+    samples (the codec stub) and compute real windowed RMS / zero-cross
+    features vectorized over the batch."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms_rows = []
+        zc = []
+        for p in batch.column("payload").to_pylist():
+            x = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+            if len(x) < self.n:
+                x = np.pad(x, (0, self.n - len(x)))
+            x = x - x.mean()
+            win = len(x) // self.n
+            trimmed = x[: win * self.n].reshape(self.n, win)
+            rms_rows.append(np.sqrt((trimmed ** 2).mean(axis=1)))
+            zc.append(int((np.diff(np.signbit(x)) != 0).sum()))
+        return batch.append_column(
+            "rms", pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(rms_rows), pa.float64()), self.n)
+        ).append_column("zero_crossings", pa.array(zc, pa.int64()))
+
+
+def extract_audio_features(ds: ray.data.Dataset, n_windows: int = 8,
+                           concurrency: int = 2, batch_size: int = 64
+                           ) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs={"n_windows": n_windows},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -180,3 +180,39 @@ def test_verify_jaccard_pairs_matches_driver(docs_df):
     assert len(ws) == len(gs) and len(gs) > 0
     assert (ws["a"] == gs["a"]).all() and (ws["b"] == gs["b"]).all()
     assert np.allclose(ws["jaccard"], gs["jaccard"], atol=1e-12)
+
+
+def test_multimodal_resize_frames_audio():
+    from graphscope_ray.stages.multimodal import (
+        decode_images,
+        extract_audio_features,
+        resize_images,
+        sample_frames,
+    )
+
+    import pyarrow as pa
+
+    payloads = [bytes(range(i, i + 96)) for i in range(5)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    dec = decode_images(ds, concurrency=1)
+    rs = resize_images(dec, concurrency=1).to_pandas()
+    assert len(rs) == 5 and all(len(t) == 16 for t in rs["thumb_small"])
+    # deterministic: nearest-neighbor picks the gathered source pixels
+    t0 = np.asarray(list(rs.sort_values("doc_id")["thumb"].iloc[0]))
+    s0 = np.asarray(list(rs.sort_values("doc_id")["thumb_small"].iloc[0]))
+    gather = (np.arange(4) * 2)[:, None] * 8 + (np.arange(4) * 2)[None, :]
+    assert (s0 == t0[gather.reshape(-1)]).all()
+
+    fr = sample_frames(ds, n_frames=3, concurrency=1).to_pandas()
+    assert len(fr) == 15
+    assert sorted(fr["frame"].unique()) == [0, 1, 2]
+    fr2 = sample_frames(ds, n_frames=3, concurrency=1).to_pandas()
+    assert fr.sort_values(["doc_id", "frame"])["frame_digest"].tolist() == \
+        fr2.sort_values(["doc_id", "frame"])["frame_digest"].tolist()
+
+    au = extract_audio_features(ds, n_windows=4, concurrency=1).to_pandas()
+    assert len(au) == 5 and all(len(r) == 4 for r in au["rms"])
+    assert (au["zero_crossings"] >= 0).all()
