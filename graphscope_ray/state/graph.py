@@ -21,19 +21,6 @@ from graphscope_ray.functions.hashing import partition_of
 from graphscope_ray.state.shard import GraphShard
 
 
-def _as_undirected_arcs(batch: pa.Table) -> pa.Table:
-    """Emit both arcs of each undirected edge (grape stores undirected
-    graphs as symmetric in/out CSRs; we store both arcs in one CSR)."""
-    cols = {"src": pa.concat_arrays([batch.column("src").combine_chunks(),
-                                     batch.column("dst").combine_chunks()]),
-            "dst": pa.concat_arrays([batch.column("dst").combine_chunks(),
-                                     batch.column("src").combine_chunks()])}
-    if "weight" in batch.column_names:
-        w = batch.column("weight").combine_chunks()
-        cols["weight"] = pa.concat_arrays([w, w])
-    return pa.table(cols)
-
-
 def _route_groups(ds: ray.data.Dataset, shards, fid_col: str,
                   send) -> int:
     """Shuffle ``ds`` by owner partition and deliver each fid's whole
@@ -148,9 +135,8 @@ def build_graph(
     then skipped entirely (a large routing saving at high P).
     """
     shards = [GraphShard.remote(f, num_partitions) for f in range(num_partitions)]
+    P = num_partitions
     ds = edges
-    if not directed:
-        ds = ds.map_batches(_as_undirected_arcs, batch_format="pyarrow")
 
     def add_fid(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -158,10 +144,24 @@ def build_graph(
             "_fid", pa.array(partition_of(src, num_partitions), pa.int32())
         )
 
+    # undirected graphs route each edge ONCE (by fid(src)); the mirror
+    # arcs are exchanged shard→shard at seal (reverse_slices /
+    # ingest_arrays below) — half the bytes through the generic Dataset
+    # shuffle, which is the expensive leg of the build
     _route_groups(
         ds.map_batches(add_fid, batch_format="pyarrow"), shards, "_fid",
         lambda shard, tab: shard.ingest.remote(tab, None),
     )
+    if not directed:
+        if P == 1:
+            refs = [[shards[0].reverse_slices.remote()]]
+        else:
+            refs = [s.reverse_slices.options(num_returns=P).remote()
+                    for s in shards]
+        ray.get([
+            s.ingest_arrays.remote(*[refs[src][d] for src in range(P)])
+            for d, s in enumerate(shards)
+        ])
     if extra_vertices is None:
         # register dst-only vertices (dangling sinks) with their owners
         def dst_fid(t: pa.Table) -> pa.Table:

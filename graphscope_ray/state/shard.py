@@ -88,6 +88,52 @@ class GraphShard:
                 n += t.num_rows
         return n
 
+    def reverse_slices(self):
+        """Seal-time reverse-arc exchange (undirected builds route each
+        edge ONCE by fid(src); the mirror arcs travel here, shard →
+        shard through the object store, skipping a second edge-scale
+        Dataset shuffle). Concatenates the buffered tables into pending
+        arrays and returns per-destination (dst, src, w) numpy slices —
+        reversed arcs keyed by their new owner fid(dst)."""
+        if self._ebuf:
+            e = pa.concat_tables(self._ebuf)
+            src = e.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = e.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            if "weight" in e.column_names:
+                w = e.column("weight").to_numpy(zero_copy_only=False).astype(
+                    np.float64)
+            else:
+                w = np.ones(len(src), dtype=np.float64)
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.float64)
+        self._ebuf = []
+        self._pend = (src, dst, w)
+        fid = partition_of(dst, self.P)
+        order = np.argsort(fid, kind="stable")
+        ds_, ss_, ws_ = dst[order], src[order], w[order]
+        fid = fid[order]
+        bounds = np.searchsorted(fid, np.arange(self.P + 1))
+        out = tuple(
+            (ds_[bounds[f]: bounds[f + 1]], ss_[bounds[f]: bounds[f + 1]],
+             ws_[bounds[f]: bounds[f + 1]])
+            for f in range(self.P)
+        )
+        return out if self.P > 1 else out[0]
+
+    def ingest_arrays(self, *parts) -> int:
+        """Buffer (src, dst, w) numpy triples (the reverse-exchange
+        receive side)."""
+        if not hasattr(self, "_abuf"):
+            self._abuf = []
+        n = 0
+        for p in parts:
+            if p is None or len(p[0]) == 0:
+                continue
+            self._abuf.append(p)
+            n += len(p[0])
+        return n
+
     def ingest_vertices(self, table: pa.Table) -> int:
         v = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
         self._vbuf.append(v)
@@ -101,14 +147,36 @@ class GraphShard:
         copy of an arc hashes to this shard, so shard-local dedup is
         exact and costs no extra shuffle (the reference loader dedups
         at the same point, global_vertex_map.h:45-52)."""
+        srcs, dsts, ws = [], [], []
         if self._ebuf:
             e = pa.concat_tables(self._ebuf)
-            src = e.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = e.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            srcs.append(e.column("src").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            dsts.append(e.column("dst").to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
             if "weight" in e.column_names:
-                w = e.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+                ws.append(e.column("weight").to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
             else:
-                w = np.ones(len(src), dtype=np.float64)
+                ws.append(np.ones(len(srcs[-1]), dtype=np.float64))
+        if getattr(self, "_pend", None) is not None:
+            s_, d_, w_ = self._pend
+            srcs.append(s_)
+            dsts.append(d_)
+            ws.append(w_)
+            self._pend = None
+        for s_, d_, w_ in getattr(self, "_abuf", []):
+            # reverse-exchange triples arrive as (dst, src, w) slices of
+            # the sender's arcs — already reversed to THIS shard's
+            # ownership key, so they land as (src=dst_of_sender, ...)
+            srcs.append(np.asarray(s_, dtype=np.int64))
+            dsts.append(np.asarray(d_, dtype=np.int64))
+            ws.append(np.asarray(w_, dtype=np.float64))
+        self._abuf = []
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            w = np.concatenate(ws)
         else:
             src = dst = np.empty(0, dtype=np.int64)
             w = np.empty(0, dtype=np.float64)
