@@ -404,18 +404,20 @@ def betweenness_centrality(
     shard pool (fused supersteps); per-shard BC accumulates across
     batches. ``sources=None`` = exact (every vertex a source);
     a sampled source list gives the networkx k-sample estimate
-    (scale ×n/k). Undirected (both-arcs) graphs only: the backward
-    sweep pushes along stored arcs.
+    (scale ×n/k). Undirected (both-arcs) graphs work directly; directed
+    graphs need a bidi build (``build_graph(directed=True,
+    with_reverse=True)``) — the backward dependency sweep then pushes
+    along the dir=1 mirror arcs.
 
     Returns a Dataset (vid, betweenness)."""
     import numpy as np
     import ray
 
-    if graph.directed:
+    if graph.directed and not graph.has_reverse:
         raise ValueError(
-            "betweenness_centrality currently requires an undirected "
-            "(both-arcs) graph: the dependency sweep pushes along stored "
-            "arcs; build a reversed twin for directed support"
+            "directed betweenness needs a bidi graph: rebuild with "
+            "build_graph(directed=True, with_reverse=True) so the "
+            "dependency sweep has mirror arcs"
         )
     if sources is None:
         tables = graph.call_all("degree_table")
@@ -447,8 +449,10 @@ def betweenness_centrality(
     graph.call_all("msbfs_free")
     if normalized:
         scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
-    else:
+    elif not graph.directed:
         scale = 0.5  # networkx _rescale: halve the two-direction count
+    else:
+        scale = 1.0  # directed raw counts are single-direction already
     if sources is not None and len(all_vids):
         scale *= n / len(all_vids)
     import ray.data

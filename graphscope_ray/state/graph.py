@@ -45,12 +45,15 @@ class ShardedGraph:
     """Handle to a built actor-pool graph; owns shard handles + counts."""
 
     def __init__(self, shards, num_partitions: int, n_vertices: int, n_edges: int,
-                 directed: bool):
+                 directed: bool, has_reverse: bool = False):
         self.shards = shards
         self.P = num_partitions
         self.n_vertices = n_vertices
         self.n_edges = n_edges
         self.directed = directed
+        # bidi graph: mirror arcs tagged dir=1 ride in the same CSR so
+        # reverse sweeps (Brandes dependency pass) work on directed graphs
+        self.has_reverse = has_reverse
 
     # -- message plumbing ------------------------------------------------
     def scatter_refs(self, method: str, *args):
@@ -122,6 +125,7 @@ def build_graph(
     directed: bool = True,
     extra_vertices: ray.data.Dataset | None = None,
     dedup_arcs: bool = False,
+    with_reverse: bool = False,
 ) -> ShardedGraph:
     """Partition an (src,dst[,weight]) int64 edge Dataset into GraphShard
     actors and seal per-shard CSRs.
@@ -152,7 +156,7 @@ def build_graph(
         ds.map_batches(add_fid, batch_format="pyarrow"), shards, "_fid",
         lambda shard, tab: shard.ingest.remote(tab, None),
     )
-    if not directed:
+    if (not directed) or with_reverse:
         if P == 1:
             refs = [[shards[0].reverse_slices.remote()]]
         else:
@@ -187,7 +191,9 @@ def build_graph(
         vsrc, shards, "_fid",
         lambda shard, tab: shard.ingest_vertices.remote(tab),
     )
-    stats = ray.get([s.build.remote(dedup_arcs) for s in shards])
+    mirror_dir = 1 if (directed and with_reverse) else 0
+    stats = ray.get([s.build.remote(dedup_arcs, mirror_dir) for s in shards])
     n_vertices = sum(s["vertices"] for s in stats)
     n_edges = sum(s["edges"] for s in stats)
-    return ShardedGraph(shards, num_partitions, n_vertices, n_edges, directed)
+    return ShardedGraph(shards, num_partitions, n_vertices, n_edges, directed,
+                        has_reverse=bool(mirror_dir))

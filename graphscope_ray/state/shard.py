@@ -67,6 +67,7 @@ class GraphShard:
         self._vbuf: list[np.ndarray] = []
         self.local: np.ndarray | None = None  # sorted local vids
         self.state: np.ndarray | None = None
+        self.e_dir: np.ndarray | None = None  # bidi direction tags
 
     # ------------------------------------------------------------- build
     def ingest(self, edges: pa.Table | None, vertices: np.ndarray | None) -> int:
@@ -139,14 +140,20 @@ class GraphShard:
         self._vbuf.append(v)
         return len(v)
 
-    def build(self, dedup_arcs: bool = False) -> dict:
+    def build(self, dedup_arcs: bool = False, mirror_dir: int = 0) -> dict:
         """Seal the shard: dedupe vertices, sort edges grouped by
         (dst_fid, dst, src) for combined scatter, build out-degrees.
 
         ``dedup_arcs`` drops duplicate (src, dst) arcs locally — every
         copy of an arc hashes to this shard, so shard-local dedup is
         exact and costs no extra shuffle (the reference loader dedups
-        at the same point, global_vertex_map.h:45-52)."""
+        at the same point, global_vertex_map.h:45-52).
+
+        ``mirror_dir=1`` tags the reverse-exchanged mirror arcs with a
+        direction bit (bidi graph: one CSR holds fwd arcs dir=0 and rev
+        arcs dir=1, filtered per sweep — Brandes' backward pass on
+        directed graphs). ``mirror_dir=0`` (undirected) treats both arc
+        sets identically and keeps no dir array."""
         srcs, dsts, ws = [], [], []
         if self._ebuf:
             e = pa.concat_tables(self._ebuf)
@@ -165,6 +172,7 @@ class GraphShard:
             dsts.append(d_)
             ws.append(w_)
             self._pend = None
+        n_fwd = sum(len(a) for a in srcs)
         for s_, d_, w_ in getattr(self, "_abuf", []):
             # reverse-exchange triples arrive as (dst, src, w) slices of
             # the sender's arcs — already reversed to THIS shard's
@@ -180,6 +188,11 @@ class GraphShard:
         else:
             src = dst = np.empty(0, dtype=np.int64)
             w = np.empty(0, dtype=np.float64)
+        if mirror_dir:
+            edir = np.zeros(len(src), dtype=np.int8)
+            edir[n_fwd:] = 1
+        else:
+            edir = None
         self._ebuf = []
         verts = np.concatenate(self._vbuf) if self._vbuf else np.empty(0, np.int64)
         self._vbuf = []
@@ -187,19 +200,37 @@ class GraphShard:
         self.n_local = len(self.local)
 
         dst_fid = partition_of(dst, self.P)
-        perm = np.lexsort((src, dst, dst_fid))
+        if edir is None:
+            perm = np.lexsort((src, dst, dst_fid))
+        else:
+            perm = np.lexsort((edir, src, dst, dst_fid))
         src, dst, w, dst_fid = src[perm], dst[perm], w[perm], dst_fid[perm]
+        if edir is not None:
+            edir = edir[perm]
         if dedup_arcs and len(src):
-            keep = np.concatenate(
-                ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
-            )
+            same = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
+            if edir is not None:
+                same &= edir[1:] == edir[:-1]
+            keep = np.concatenate(([True], ~same))
             src, dst, w, dst_fid = src[keep], dst[keep], w[keep], dst_fid[keep]
+            if edir is not None:
+                edir = edir[keep]
         self.e_src_pos = np.searchsorted(self.local, src).astype(np.int64)
         self.e_dst = dst
         self.e_w = w
+        self.e_dir = edir
         self.part_bounds = np.searchsorted(dst_fid, np.arange(self.P + 1))
-        self.out_deg = np.bincount(self.e_src_pos, minlength=self.n_local).astype(np.int64)
-        self.n_edges = len(dst)
+        if edir is None:
+            self.out_deg = np.bincount(
+                self.e_src_pos, minlength=self.n_local).astype(np.int64)
+            self.n_edges = len(dst)
+        else:
+            fwd = edir == 0
+            # degree/edge counts describe the FORWARD graph; mirror arcs
+            # exist only for reverse sweeps
+            self.out_deg = np.bincount(
+                self.e_src_pos[fwd], minlength=self.n_local).astype(np.int64)
+            self.n_edges = int(fwd.sum())
         return {"fid": self.fid, "vertices": self.n_local, "edges": self.n_edges}
 
     def degree_table(self) -> pa.Table:
@@ -514,8 +545,11 @@ class GraphShard:
 
     def msbfs_scatter(self):
         """Push (dist row + 1) along out-edges from frontier vertices,
-        min-combined per destination (vector-valued hash-min)."""
+        min-combined per destination (vector-valued hash-min). On a
+        bidi graph only forward arcs carry distance."""
         mask = self._frontier[self.e_src_pos]
+        if self.e_dir is not None:
+            mask = mask & (self.e_dir == 0)
         out = []
         for d in range(self.P):
             lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
@@ -558,11 +592,15 @@ class GraphShard:
         self._frontier[pos[improved]] = True
         return int(improved.sum())
 
-    def _matrix_scatter(self, vertex_mask, rows, reduce_op):
+    def _matrix_scatter(self, vertex_mask, rows, reduce_op, use_dir=None):
         """Push per-vertex matrix rows along out-edges of masked
         vertices, segment-``reduce_op``-combined per destination —
-        the generic vector-valued scatter behind msbfs and Brandes."""
+        the generic vector-valued scatter behind msbfs and Brandes.
+        ``use_dir`` filters to one direction class of a bidi graph
+        (0 = forward arcs, 1 = mirror arcs; None = all)."""
         mask = vertex_mask[self.e_src_pos]
+        if use_dir is not None and self.e_dir is not None:
+            mask = mask & (self.e_dir == use_dir)
         out = []
         for d in range(self.P):
             lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
@@ -639,7 +677,7 @@ class GraphShard:
                     self._frontier[pos[imp]] = True
                     changed = int(imp.sum())
         rows = np.where(self._msd == float(self._fwd_r), self._msig, 0.0)
-        msgs = self._matrix_scatter(self._frontier, rows, np.add)
+        msgs = self._matrix_scatter(self._frontier, rows, np.add, use_dir=0)
         return self._msgs_tuple(msgs) + (changed,)
 
     def brandes_bwd_init(self, max_dist: int) -> int:
@@ -665,7 +703,9 @@ class GraphShard:
         vmask = level.any(axis=1)
         sig = np.where(self._msig > 0, self._msig, 1.0)
         rows = np.where(level, (1.0 + self._msdelta) / sig, 0.0)
-        msgs = self._matrix_scatter(vmask, rows, np.add)
+        # dependency flows to PREDECESSORS: along mirror arcs (dir=1)
+        # on a bidi graph; on undirected graphs every arc serves
+        msgs = self._matrix_scatter(vmask, rows, np.add, use_dir=1)
         return self._msgs_tuple(msgs) + (0,)
 
     def brandes_bc_init(self) -> int:

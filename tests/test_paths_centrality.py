@@ -136,3 +136,25 @@ def test_attribute_assortativity_vs_networkx(wgraph):
     got = attribute_assortativity(ds, adf, "color")
     want = nx.attribute_assortativity_coefficient(g, "color")
     assert got == pytest.approx(want, abs=1e-12)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_betweenness_directed_bidi(P):
+    rng = np.random.default_rng(29)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 25, (90, 2))
+                    if a != b})
+    G = nx.DiGraph()
+    G.add_edges_from(edges)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+    )).map_batches(lambda t: t.replace_schema_metadata(None),
+                   batch_format="pyarrow")
+    sg = build_graph(ds, num_partitions=P, directed=True, with_reverse=True)
+    for normalized in (True, False):
+        got = algorithms.betweenness_centrality(
+            sg, batch_size=9, normalized=normalized
+        ).to_pandas().set_index("vid")["betweenness"].to_dict()
+        want = nx.betweenness_centrality(G, normalized=normalized)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (v, normalized)
