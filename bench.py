@@ -156,6 +156,8 @@ def run_queries() -> dict:
         "events_window": tpch.q_events_window,
         "part_pagerank": sf_graph.q_part_pagerank,
         "part_wcc": sf_graph.q_part_wcc,
+        "part_kcore": sf_graph.q_part_kcore,
+        "part_apsp": sf_graph.q_part_apsp,
         "part_triangles": sf_graph.q_part_triangles,
         "doc_dedup": textproc.q_doc_dedup,
         "doc_simhash": textproc.q_doc_simhash,
