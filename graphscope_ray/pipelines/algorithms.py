@@ -369,6 +369,45 @@ def closeness_centrality(
                          col: np.concatenate(out_val)})
 
 
+def scc(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Strongly connected components by forward-backward max coloring
+    (the FLASH scc family, apps/flash/connectivity/scc*.h): per round,
+    unassigned vertices propagate color = max vid along FORWARD arcs to
+    fixpoint; every color root then sweeps BACKWARD within its color,
+    and vertices reached both ways commit that color as their SCC id.
+    All colors sweep simultaneously, so each round commits one SCC per
+    surviving color. Needs a bidi graph
+    (``build_graph(directed=True, with_reverse=True)``).
+
+    Returns a Dataset (vid, scc) with scc = max member vid."""
+    import ray.data
+
+    if not (graph.directed and graph.has_reverse):
+        raise ValueError(
+            "scc needs a directed bidi graph: build_graph(directed=True, "
+            "with_reverse=True)"
+        )
+    graph.call_all("scc_init")
+    for _ in range(max_rounds):
+        if sum(graph.call_all("scc_color_init")) == 0:
+            break
+        refs = graph.step_refs("scc_color_step")
+        while True:
+            refs = graph.step_refs("scc_color_step", inbox=refs)
+            if sum(graph.step_scalars(refs)) == 0:
+                break
+        graph.call_all("scc_back_init")
+        refs = graph.step_refs("scc_back_step")
+        while True:
+            refs = graph.step_refs("scc_back_step", inbox=refs)
+            if sum(graph.step_scalars(refs)) == 0:
+                break
+        graph.call_all("scc_commit")
+    return ray.data.from_arrow_refs(
+        [s.scc_table.remote() for s in graph.shards]
+    )
+
+
 def kcore_pool(graph: ShardedGraph, k: int):
     """k-core membership by BSP degree-decrement peeling on the shard
     pool (gs::KCore, apps/kcore/kcore.h:130): each round the newly

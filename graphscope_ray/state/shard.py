@@ -759,6 +759,88 @@ class GraphShard:
             inv = np.where(finite & (d > 0), 1.0 / np.where(d > 0, d, 1.0), 0.0)
         return s, r.astype(np.int64), inv.sum(axis=0)
 
+    # ------------------------------- SCC (forward-backward max coloring)
+    # The FLASH scc family (apps/flash/connectivity/scc*.h) reduces to
+    # repeated color/confirm sweeps: propagate color = max vid along
+    # FORWARD arcs among unassigned vertices; then from each color root
+    # sweep BACKWARD within the color — vertices reached both ways form
+    # the root's SCC. Requires a bidi graph (dir-tagged mirror arcs).
+    def scc_init(self) -> int:
+        self._scc = np.full(self.n_local, -1, dtype=np.int64)  # assigned
+        return self.n_local
+
+    def scc_color_init(self) -> int:
+        un = self._scc < 0
+        self._color = np.where(un, self.local, np.int64(-1))
+        self._frontier = un.copy()
+        return int(un.sum())
+
+    def scc_color_step(self, *inbox):
+        changed = 0
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            self._frontier = np.zeros(self.n_local, dtype=bool)
+            if len(dst):
+                u, m = _group_reduce(dst, val, np.maximum)
+                pos = np.searchsorted(self.local, u)
+                ok = (self._scc[pos] < 0) & (m > self._color[pos])
+                pos = pos[ok]
+                self._color[pos] = m[ok]
+                self._frontier[pos] = True
+                changed = int(ok.sum())
+        mask = self._frontier[self.e_src_pos]
+        if self.e_dir is not None:
+            mask = mask & (self.e_dir == 0)
+        # only color edges between unassigned vertices participate;
+        # receivers filter on their own assignment
+        msgs = self._emit_per_part(mask, self._color[self.e_src_pos],
+                                   np.maximum)
+        return self._msgs_tuple(msgs) + (changed,)
+
+    def scc_back_init(self) -> int:
+        """Roots (color == own vid, unassigned) start the backward
+        sweep confirmed."""
+        root = (self._scc < 0) & (self._color == self.local)
+        self._inscc = root.copy()
+        self._frontier = root.copy()
+        return int(root.sum())
+
+    def scc_back_step(self, *inbox):
+        changed = 0
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            self._frontier = np.zeros(self.n_local, dtype=bool)
+            if len(dst):
+                u, m = _group_reduce(dst, val, np.maximum)
+                pos = np.searchsorted(self.local, u)
+                ok = ((self._scc[pos] < 0) & (~self._inscc[pos])
+                      & (self._color[pos] == m))
+                pos = pos[ok]
+                self._inscc[pos] = True
+                self._frontier[pos] = True
+                changed = int(ok.sum())
+        mask = self._frontier[self.e_src_pos]
+        if self.e_dir is not None:
+            mask = mask & (self.e_dir == 1)
+        # send my color along REVERSE arcs; a receiver joins iff its
+        # color matches (max-combine is safe: acceptance needs equality)
+        msgs = self._emit_per_part(mask, self._color[self.e_src_pos],
+                                   np.maximum)
+        return self._msgs_tuple(msgs) + (changed,)
+
+    def scc_commit(self) -> int:
+        """Confirmed vertices take their color as SCC id; the rest stay
+        unassigned for the next round."""
+        take = (self._scc < 0) & self._inscc
+        self._scc[take] = self._color[take]
+        return int(take.sum())
+
+    def scc_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "scc": pa.array(self._scc, pa.int64()),
+        })
+
     # ------------------------------------------------- k-core peeling (BSP)
     # gs::KCore (apps/kcore/kcore.h:130) as degree-decrement rounds on
     # the pool: newly sub-k vertices die and send −1 along their arcs;

@@ -158,3 +158,24 @@ def test_betweenness_directed_bidi(P):
         assert set(got) == set(want)
         for v in want:
             assert got[v] == pytest.approx(want[v], abs=1e-9), (v, normalized)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_scc_vs_networkx(P):
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+                    if a != b})
+    G = nx.DiGraph()
+    G.add_nodes_from(range(40))
+    G.add_edges_from(edges)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}
+    )).map_batches(lambda t: t.replace_schema_metadata(None),
+                   batch_format="pyarrow")
+    vds = ray.data.from_items([{"vid": int(v)} for v in G.nodes])
+    sg = build_graph(ds, num_partitions=P, directed=True, with_reverse=True,
+                     extra_vertices=vds)
+    got = algorithms.scc(sg).to_pandas()
+    gm = dict(zip(got["vid"], got["scc"]))
+    want = {v: max(c) for c in nx.strongly_connected_components(G) for v in c}
+    assert gm == want
