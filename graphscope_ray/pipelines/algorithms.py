@@ -82,6 +82,37 @@ def pagerank(
     return graph.state_dataset("pagerank"), _metrics(rounds, graph.n_edges)
 
 
+def personalized_pagerank(
+    graph: ShardedGraph,
+    seeds,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+):
+    """Personalized PageRank (FLASH apps/flash/ranking/ppr.h; networkx
+    ``pagerank(personalization=...)`` with uniform weight over the seed
+    set): teleport and dangling mass both redistribute to the seeds.
+    Same fused supersteps and convergence test as :func:`pagerank`."""
+    import numpy as np
+
+    n = graph.n_vertices
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    dangling = sum(graph.call_all("ppr_init", seeds, len(seeds)))
+    rounds = []
+    refs = graph.step_refs("ppr_step", alpha, 0.0)
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        refs = graph.step_refs("ppr_step", alpha, dangling, inbox=refs)
+        parts = graph.step_scalars(refs)
+        delta = sum(p[0] for p in parts)
+        dangling = sum(p[1] for p in parts)
+        rounds.append({"round": it, "delta": delta,
+                       "seconds": time.perf_counter() - t0})
+        if tol > 0 and delta < tol * n:
+            break
+    return graph.state_dataset("ppr"), _metrics(rounds, graph.n_edges)
+
+
 def wcc(
     graph: ShardedGraph,
     max_iter: int = 10**6,

@@ -288,6 +288,47 @@ class GraphShard:
         dangling = float(new[self._dangling_mask].sum())
         return delta, dangling
 
+    # ------------------------------- personalized PageRank (FLASH ppr.h)
+    def ppr_init(self, seeds: np.ndarray, n_seeds_total: int) -> float:
+        """Teleport vector p = 1/|S| at seed vertices, 0 elsewhere
+        (networkx pagerank(personalization=...) semantics; dangling
+        mass also redistributes by p). Returns the shard's initial
+        dangling partial (state starts at p)."""
+        self._pvec = np.zeros(self.n_local, dtype=np.float64)
+        pos = np.searchsorted(self.local, seeds)
+        hit = pos < self.n_local
+        pos = pos[hit]
+        ok = self.local[pos] == np.asarray(seeds)[hit]
+        self._pvec[pos[ok]] = 1.0 / n_seeds_total
+        self.state = self._pvec.copy()
+        self._dangling_mask = self.out_deg == 0
+        return float(self.state[self._dangling_mask].sum())
+
+    def ppr_step(self, alpha: float, dangling: float, *inbox):
+        """Fused round: rank' = α·Σ_in rank/outdeg + (α·dangling +
+        (1−α))·p, then scatter the next round's contributions."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.float64))
+            acc = np.zeros(self.n_local, dtype=np.float64)
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                acc[np.searchsorted(self.local, u)] = s
+            new = alpha * acc + (alpha * dangling + (1.0 - alpha)) * self._pvec
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            scal = (delta, float(new[self._dangling_mask].sum()))
+        else:
+            scal = (0.0, 0.0)
+        contrib = np.zeros(self.n_local, dtype=np.float64)
+        nz = ~self._dangling_mask
+        contrib[nz] = self.state[nz] / self.out_deg[nz]
+        vals = contrib[self.e_src_pos]
+        if self.e_dir is not None:
+            msgs = self._emit_per_part(self.e_dir == 0, vals, np.add)
+        else:
+            msgs = self._emit_per_part(None, vals, np.add)
+        return self._msgs_tuple(msgs) + (scal,)
+
     # ------------------------------------------- hash-min propagation (WCC)
     def minprop_init(self):
         """comp = own vid (wcc_projected.h:76-81); everyone active."""

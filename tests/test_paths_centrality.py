@@ -179,3 +179,45 @@ def test_scc_vs_networkx(P):
     gm = dict(zip(got["vid"], got["scc"]))
     want = {v: max(c) for c in nx.strongly_connected_components(G) for v in c}
     assert gm == want
+
+
+@pytest.mark.parametrize("P,directed", [(1, False), (3, False), (3, True)])
+def test_personalized_pagerank(wgraph, P, directed):
+    g, ds, vds, verts = wgraph
+    sg = build_graph(ds, num_partitions=P, directed=directed,
+                     extra_vertices=vds)
+    seeds = [verts[0], verts[4], verts[9]]
+    got = algorithms.personalized_pagerank(
+        sg, seeds, alpha=0.85, tol=1e-10
+    )[0].to_pandas().set_index("vid")["ppr"].to_dict()
+    # pure-python replica of networkx._pagerank_python with
+    # personalization (scipy is absent in this container)
+    G = nx.DiGraph() if directed else nx.Graph()
+    G.add_nodes_from(verts)
+    # the undirected fixture's g.edges view flips some orientations;
+    # the engine consumed the canonical (a<b) rows — rebuild from those
+    G.add_edges_from(
+        (int(a), int(b))
+        for a, b in zip(ds.to_pandas()["src"], ds.to_pandas()["dst"]))
+    N = len(verts)
+    pvec = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    x = dict.fromkeys(verts, 1.0 / N)
+    out = {v: (G.out_degree(v) if directed else G.degree(v)) for v in verts}
+    succ = {v: (list(G.successors(v)) if directed else list(G.neighbors(v)))
+            for v in verts}
+    alpha = 0.85
+    for _ in range(200):
+        xlast = x
+        x = dict.fromkeys(verts, 0.0)
+        danglesum = alpha * sum(xlast[v] for v in verts if out[v] == 0)
+        for v in verts:
+            if out[v]:
+                share = alpha * xlast[v] / out[v]
+                for u in succ[v]:
+                    x[u] += share
+        for v in verts:
+            x[v] += danglesum * pvec[v] + (1 - alpha) * pvec[v]
+        if sum(abs(x[v] - xlast[v]) for v in verts) < N * 1e-12:
+            break
+    for v in verts:
+        assert got[v] == pytest.approx(x[v], abs=1e-6), v
