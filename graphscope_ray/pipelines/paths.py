@@ -56,6 +56,16 @@ def _dfs_walk(source: int, *tables: pa.Table) -> pa.Table:
     returns (vid, rank, parent) for visited vertices, rank = preorder
     index. Runs in ONE task (DFS is a serial token walk in the
     reference too, dfs.h:227)."""
+    # zero-row blocks from upstream bucketed unions can carry an EMPTY
+    # schema (no 'src'/'dst' fields) — drop them before gathering
+    tables = [t for t in tables
+              if t.num_rows > 0 and "src" in t.schema.names]
+    if not tables:
+        return pa.table({
+            "vid": pa.array([int(source)], pa.int64()),
+            "rank": pa.array([0], pa.int64()),
+            "parent": pa.array([-1], pa.int64()),
+        })
     src = np.concatenate([t.column("src").to_numpy(zero_copy_only=False)
                           for t in tables]).astype(np.int64)
     dst = np.concatenate([t.column("dst").to_numpy(zero_copy_only=False)
