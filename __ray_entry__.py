@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_closeness": sf_graph.q_part_closeness,
         "part_harmonic": sf_graph.q_part_harmonic,
+        "part_ppr": sf_graph.q_part_ppr,
+        "part_scc": sf_graph.q_part_scc,
         "part_louvain": sf_graph.q_part_louvain,
         "part_voterank": sf_graph.q_part_voterank,
         "part_hits": sf_graph.q_part_hits,
@@ -163,6 +165,88 @@ def _pagerank_sql() -> str:
         "WITH " + "".join(parts)
         + f"\nSELECT vid, printf('%.6f', r) AS pagerank FROM pr{PR_ITERS}"
     )
+
+
+def _ppr_sql() -> str:
+    """Personalized PageRank unrolled to PR_ITERS rounds: teleport AND
+    dangling mass redistribute over the vid % 97 == 0 seed set
+    (ppr_step semantics: r' = α·Σ_in r/outdeg + (α·dangling+(1−α))·p)."""
+    parts = [
+        _GRAPH_CTES,
+        ", deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg FROM arcs GROUP BY src)",
+        ", v AS MATERIALIZED (SELECT v.vid, COALESCE(d.outdeg, 0) AS outdeg"
+        "        FROM verts v LEFT JOIN deg d ON v.vid = d.vid)",
+        ", sds AS MATERIALIZED (SELECT vid FROM verts WHERE vid % 97 = 0)",
+        ", ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM sds)",
+        ", pv AS MATERIALIZED (SELECT v.vid,"
+        " CASE WHEN v.vid IN (SELECT vid FROM sds)"
+        " THEN 1.0/(SELECT c FROM ns) ELSE 0.0 END AS p FROM verts v)",
+        ", pr0 AS MATERIALIZED (SELECT vid, p AS r FROM pv)",
+    ]
+    for i in range(PR_ITERS):
+        parts.append(f"""
+, c{i} AS MATERIALIZED (
+  SELECT ar.dst AS vid, sum(p.r / vv.outdeg) AS s
+  FROM arcs ar JOIN pr{i} p ON p.vid = ar.src JOIN v vv ON vv.vid = ar.src
+  GROUP BY ar.dst)
+, d{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.r), 0) AS ds
+  FROM pr{i} p JOIN v vv ON vv.vid = p.vid WHERE vv.outdeg = 0)
+, pr{i + 1} AS MATERIALIZED (
+  SELECT pv.vid,
+         {ALPHA} * COALESCE(c.s, 0)
+         + ({ALPHA} * (SELECT ds FROM d{i}) + (1 - {ALPHA})) * pv.p AS r
+  FROM pv LEFT JOIN c{i} c ON c.vid = pv.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT vid, printf('%.6f', r) AS ppr FROM pr{PR_ITERS}"
+    )
+
+
+def _scc_sql() -> str:
+    """SCC = mutual-reachability closure over the deterministic
+    (u+v)-parity edge orientation; scc id = max mutually-reachable vid
+    (matches algorithms.scc's max coloring)."""
+    return f"""
+WITH RECURSIVE {_GRAPH_CTES.strip()},
+darcs AS MATERIALIZED (
+  SELECT CASE WHEN (src + dst) % 2 = 0 THEN src ELSE dst END AS s,
+         CASE WHEN (src + dst) % 2 = 0 THEN dst ELSE src END AS d
+  FROM edges),
+reach(s, v) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.s, a.d FROM reach r JOIN darcs a ON a.s = r.v)
+SELECT r1.s AS vid, max(r1.v) AS scc
+FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
+GROUP BY r1.s"""
+
+
+def _closeness_sql(harmonic: bool = False, max_depth: int = 30) -> str:
+    """WF-improved closeness / harmonic for the vid % 97 == 0 source
+    sample — exact per sampled vertex (distances to ALL parts via the
+    recursive walk, the same shape as _apsp_sql)."""
+    if harmonic:
+        agg = ("SELECT s AS vid, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END)"
+               " AS h FROM sp GROUP BY s")
+        sel = "SELECT vid, printf('%.6f', h) AS harmonic FROM agg"
+    else:
+        agg = "SELECT s AS vid, sum(d) AS tot, count(*) AS r FROM sp GROUP BY s"
+        sel = ("SELECT vid, printf('%.6f', CASE WHEN tot > 0 THEN\n"
+               "  ((r - 1) * 1.0 / tot) * ((r - 1) * 1.0 /\n"
+               "   ((SELECT count(*) FROM verts) - 1)) ELSE 0.0 END)"
+               " AS closeness\nFROM agg")
+    return f"""
+WITH RECURSIVE {_GRAPH_CTES.strip()},
+srcs AS (SELECT vid FROM verts WHERE vid % 97 = 0),
+walk(s, v, d) AS (
+  SELECT vid, vid, 0 FROM srcs
+  UNION
+  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v
+  WHERE w.d < {max_depth}),
+sp AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+agg AS ({agg})
+{sel}"""
 
 
 def _cdlp_sql() -> str:
@@ -621,32 +705,13 @@ def _all_oracle_sql() -> dict[str, str]:
         "       CASE WHEN src IN (SELECT vid FROM s) THEN dst ELSE src END AS v\n"
         "FROM edges\n"
         "WHERE (src IN (SELECT vid FROM s)) <> (dst IN (SELECT vid FROM s))",
-        # part_closeness / part_harmonic: SQL twins exist (see
-        # _closeness_sql/_harmonic_sql) but the all-pairs recursive CTE
-        # is O(V^2 * diam) and takes >9 min at sf0.01 — verified in
-        # pytest at sf0.001 instead; gate records rows-only here.
-        "_disabled_part_closeness": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
-        "walk(s, v, d) AS (\n"
-        "  SELECT vid, vid, 0 FROM verts\n"
-        "  UNION\n"
-        "  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v\n"
-        "  WHERE w.d < 20),\n"
-        "sp AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),\n"
-        "agg AS (SELECT s AS vid, sum(d) AS tot, count(*) AS r FROM sp GROUP BY s)\n"
-        "SELECT vid, printf('%.6f', CASE WHEN tot > 0 THEN\n"
-        "  ((r - 1) * 1.0 / tot) * ((r - 1) * 1.0 /\n"
-        "   ((SELECT count(*) FROM verts) - 1)) ELSE 0.0 END) AS closeness\n"
-        "FROM agg",
-        "_disabled_part_harmonic": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
-        "walk(s, v, d) AS (\n"
-        "  SELECT vid, vid, 0 FROM verts\n"
-        "  UNION\n"
-        "  SELECT w.s, a.dst, w.d + 1 FROM walk w JOIN arcs a ON a.src = w.v\n"
-        "  WHERE w.d < 20),\n"
-        "sp AS MATERIALIZED (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),\n"
-        "agg AS (SELECT s AS vid, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END)\n"
-        "        AS h FROM sp GROUP BY s)\n"
-        "SELECT vid, printf('%.6f', h) AS harmonic FROM agg",
+        # closeness/harmonic: exact per sampled source (vid % 97 == 0);
+        # the full all-pairs twin is O(V² · diam) and ran >9 min at
+        # sf0.01 — full-vertex exactness stays pinned in pytest.
+        "part_closeness": _closeness_sql(harmonic=False),
+        "part_harmonic": _closeness_sql(harmonic=True),
+        "part_ppr": _ppr_sql(),
+        "part_scc": _scc_sql(),
         "part_kcore": _kcore_sql(80, 8),
         "part_kshell": _kshell_sql(65, 12),
         "part_apsp": _apsp_sql(),

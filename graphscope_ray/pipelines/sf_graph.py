@@ -62,6 +62,24 @@ def part_vertices(sf_dir: str) -> ray.data.Dataset:
     return dedup_first(li, ["l_partkey"]).rename_columns({"l_partkey": "vid"})
 
 
+def part_directed_edges(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic orientation of the co-occurrence edges — u→v when
+    (u+v) is even, else v→u — giving a digraph with real cycles (a DAG
+    orientation like src<dst would make every SCC trivial)."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        fwd = (s + d) % 2 == 0
+        return pa.table({
+            "src": pa.array(np.where(fwd, s, d), pa.int64()),
+            "dst": pa.array(np.where(fwd, d, s), pa.int64()),
+        })
+
+    return part_cooccurrence_edges(sf_dir).map_batches(
+        orient, batch_format="pyarrow")
+
+
 _GRAPH_CACHE: dict[tuple, ShardedGraph] = {}
 
 
@@ -95,6 +113,31 @@ def build_part_graph(sf_dir: str, num_partitions: int = 8) -> ShardedGraph:
     )
     _GRAPH_CACHE[key] = g
     return g
+
+
+def build_part_digraph(sf_dir: str, num_partitions: int = 8) -> ShardedGraph:
+    """Directed bidi graph (mirror arcs for reverse sweeps) over the
+    deterministic edge orientation — serves SCC. Session-cached like
+    the undirected pool."""
+    key = (sf_dir, num_partitions, "directed")
+    g = _GRAPH_CACHE.get(key)
+    if g is not None and _pool_alive(g):
+        return g
+    g = build_graph(
+        part_directed_edges(sf_dir),
+        num_partitions=num_partitions,
+        directed=True,
+        with_reverse=True,
+        extra_vertices=part_vertices(sf_dir),
+    )
+    _GRAPH_CACHE[key] = g
+    return g
+
+
+def _sampled_sources(sf_dir: str) -> np.ndarray:
+    """Deterministic SQL-expressible source sample: vid % 97 == 0."""
+    vs = part_vertices(sf_dir).to_pandas()["vid"].to_numpy(np.int64)
+    return np.sort(vs[vs % 97 == 0])
 
 
 # --- query()-style entry points (one per algorithm) ---------------------
@@ -300,22 +343,54 @@ def q_part_eigenvector(sf_dir: str, num_partitions: int = 8, iters: int = 20
 
 
 def q_part_closeness(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
-    """Exact closeness centrality (WF-improved) for every part via
-    batched multi-source BFS; 6dp fixed strings."""
+    """Exact closeness centrality (WF-improved) for the deterministic
+    vid % 97 == 0 source sample — values are EXACT for those vertices
+    (distances to all parts via multi-source BFS); the sample keeps the
+    recursive-CTE SQL twin tractable (the full all-pairs twin ran >9
+    min at sf0.01). Full-vertex exactness is pinned vs networkx in
+    pytest at sf0.001."""
     from graphscope_ray.functions.format import fixed_cols
 
     g = build_part_graph(sf_dir, num_partitions)
-    df = algorithms.closeness_centrality(g, batch_size=4096)
+    df = algorithms.closeness_centrality(
+        g, sources=_sampled_sources(sf_dir), batch_size=4096)
     return fixed_cols(ray.data.from_pandas(df), {"closeness": 6})
 
 
 def q_part_harmonic(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
-    """Harmonic centrality for every part (6dp fixed strings)."""
+    """Harmonic centrality for the vid % 97 == 0 source sample (exact
+    per sampled vertex; 6dp fixed strings, SQL twin over the same
+    recursive walk as part_apsp)."""
     from graphscope_ray.functions.format import fixed_cols
 
     g = build_part_graph(sf_dir, num_partitions)
-    df = algorithms.closeness_centrality(g, batch_size=4096, harmonic=True)
+    df = algorithms.closeness_centrality(
+        g, sources=_sampled_sources(sf_dir), batch_size=4096, harmonic=True)
     return fixed_cols(ray.data.from_pandas(df), {"harmonic": 6})
+
+
+def q_part_ppr(sf_dir: str, num_partitions: int = 8, iters: int = 15
+               ) -> ray.data.Dataset:
+    """Personalized PageRank (FLASH apps/flash/ranking/ppr.h; networkx
+    personalization semantics) with the deterministic vid % 97 == 0
+    seed set, fixed ``iters`` rounds (tol=0) so the unrolled SQL twin
+    computes the identical sequence; 6dp fixed strings."""
+    from graphscope_ray.functions.format import fixed_cols
+
+    g = build_part_graph(sf_dir, num_partitions)
+    seeds = _sampled_sources(sf_dir)
+    state, _ = algorithms.personalized_pagerank(
+        g, seeds, alpha=0.85, max_iter=iters, tol=0.0)
+    return fixed_cols(state, {"ppr": 6})
+
+
+def q_part_scc(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Strongly connected components (FLASH fwd-bwd max coloring,
+    apps/flash/connectivity/scc*.h) on the deterministically oriented
+    part digraph; scc id = max member vid. SQL twin: mutual
+    reachability closure over the same orientation."""
+    g = build_part_digraph(sf_dir, num_partitions)
+    return algorithms.scc(g)
 
 
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
@@ -353,12 +428,9 @@ def q_part_apsp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     deterministic source sample vid % 97 == 0 — the Dataset form of
     all_pairs_shortest_path_length over a source subset (full APSP is
     O(V²) output; the sample keeps the SQL twin tractable)."""
-    import numpy as np
-
     g = build_part_graph(sf_dir, num_partitions)
-    vs = part_vertices(sf_dir).to_pandas()["vid"].to_numpy(np.int64)
-    sources = np.sort(vs[vs % 97 == 0])
-    return algorithms.all_pairs_shortest_path_length(g, sources=sources)
+    return algorithms.all_pairs_shortest_path_length(
+        g, sources=_sampled_sources(sf_dir))
 
 
 def q_part_bfs_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
