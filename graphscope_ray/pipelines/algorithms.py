@@ -461,6 +461,38 @@ def kcore_pool(graph: ShardedGraph, k: int):
     )
 
 
+def kshell_pool(graph: ShardedGraph, k: int):
+    """k-shell (in k-core, not in (k+1)-core; gs::KShell,
+    apps/kcore/kshell.h:139) as two BSP pool peels + a distributed
+    anti-join — no driver-side vertex sets (actor-task ordering makes
+    the first peel's membership tables compute before the second peel
+    re-initialises shard state)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, v, np.int8)))
+
+        return f
+
+    lo = kcore_pool(graph, k).map_batches(side(0), batch_format="pyarrow")
+    hi = kcore_pool(graph, k + 1).map_batches(side(1), batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        # (k+1)-core ⊆ k-core: keep vids never seen with _side=1
+        drop = g.loc[g["_side"] == 1, "vid"]
+        keep = g.loc[(g["_side"] == 0) & ~g["vid"].isin(drop), "vid"]
+        return pd.DataFrame({"vid": keep.to_numpy(np.int64)})
+
+    return bucketed_group_apply(lo.union(hi), ["vid"], anti, num_buckets=16)
+
+
 def betweenness_centrality(
     graph: ShardedGraph,
     batch_size: int = 512,

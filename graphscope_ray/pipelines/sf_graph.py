@@ -474,13 +474,15 @@ def q_part_sssp_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     }))
 
 
-def q_part_kshell(sf_dir: str, k: int = 65) -> ray.data.Dataset:
+def q_part_kshell(sf_dir: str, k: int = 65,
+                  num_partitions: int = 8) -> ray.data.Dataset:
     """k-shell membership (in k-core, not in (k+1)-core); k=65 keeps
     the shell non-empty (non-vacuous gate) at both sf0.001 and sf0.01
-    (core-number histograms: max core 68 / 82)."""
-    from graphscope_ray.pipelines.structure import kshell
-
-    return kshell(part_cooccurrence_edges(sf_dir), k)
+    (core-number histograms: max core 68 / 82). Two BSP pool peels +
+    distributed anti-join (algorithms.kshell_pool) — no per-round
+    driver degree tables."""
+    g = build_part_graph(sf_dir, num_partitions)
+    return algorithms.kshell_pool(g, k)
 
 
 def q_part_attr_assortativity(sf_dir: str) -> pd.DataFrame:

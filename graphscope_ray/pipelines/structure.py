@@ -21,35 +21,89 @@ import ray
 import ray.data
 
 from graphscope_ray.pipelines.degree import degree_table
-from graphscope_ray.pipelines.triangles import _canonical_edges, triangle_counts
+from graphscope_ray.pipelines.triangles import (
+    BROADCAST_LIMIT_ROWS,
+    _canonical_edges,
+    triangle_counts,
+)
 from graphscope_ray.stages.relational import (
     broadcast_semi_join,
     bucketed_group_apply,
+    cogroup_join,
     grouped_agg,
 )
 
 
-def _tri_deg(edges: ray.data.Dataset) -> ray.data.Dataset:
+def _edge_degrees(canon: ray.data.Dataset,
+                  broadcast: bool | None = None) -> ray.data.Dataset:
+    """(u, v, du, dv): canonical edges with both endpoint degrees.
+
+    ``broadcast=True`` ships the vertex-degree table once via
+    ``ray.put`` (O(V) driver heap); ``False`` attaches degrees with two
+    bucketed co-group shuffle joins — no vertex-scale driver state (the
+    >BROADCAST_LIMIT_ROWS path); ``None`` auto-selects by vertex count
+    (same policy as triangle_counts)."""
+    deg = degree_table(canon, mode="both", src="u", dst="v").materialize()
+    if broadcast is None:
+        broadcast = deg.count() <= BROADCAST_LIMIT_ROWS
+    if broadcast:
+        deg_df = deg.to_pandas().sort_values("vid")
+        ref = ray.put((deg_df["vid"].to_numpy(np.int64),
+                       deg_df["degree"].to_numpy(np.int64)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            vids, degs = ray.get(ref)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "u": t.column("u"), "v": t.column("v"),
+                "du": pa.array(degs[np.searchsorted(vids, u)], pa.int64()),
+                "dv": pa.array(degs[np.searchsorted(vids, v)], pa.int64()),
+            })
+
+        return canon.map_batches(attach, batch_format="pyarrow")
+    e1 = cogroup_join(
+        canon,
+        deg.map_batches(lambda t: pa.table({"vid": t.column("vid"),
+                                            "du": t.column("degree")}),
+                        batch_format="pyarrow"),
+        on="u", right_on="vid")
+    return cogroup_join(
+        e1,
+        deg.map_batches(lambda t: pa.table({"vid": t.column("vid"),
+                                            "dv": t.column("degree")}),
+                        batch_format="pyarrow"),
+        on="v", right_on="vid")
+
+
+def _tri_deg(edges: ray.data.Dataset,
+             broadcast: bool | None = None) -> ray.data.Dataset:
     """(vid, triangles, degree) over the undirected simple graph.
 
-    The degree table is vertex-scale → broadcast once and appended per
-    batch (same compromise as triangle_counts' orientation lookup;
-    avoids a shuffle join on two vertex-scale tables)."""
+    Degree attach follows the broadcast-vs-bucketed-join auto-select
+    (BROADCAST_LIMIT_ROWS): broadcast appends per batch; the shuffle
+    path co-groups the vertex-scale triangle and degree tables with no
+    driver-side vertex state."""
     canon = _canonical_edges(edges).materialize()
-    tri = triangle_counts(canon.rename_columns({"u": "src", "v": "dst"}))
-    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
-    deg_df = deg_df.sort_values("vid")
-    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
-                   deg_df["degree"].to_numpy(np.int64)))
+    tri = triangle_counts(canon.rename_columns({"u": "src", "v": "dst"}),
+                          broadcast_degrees=broadcast)
+    deg = degree_table(canon, mode="both", src="u", dst="v").materialize()
+    if broadcast is None:
+        broadcast = deg.count() <= BROADCAST_LIMIT_ROWS
+    if broadcast:
+        deg_df = deg.to_pandas().sort_values("vid")
+        ref = ray.put((deg_df["vid"].to_numpy(np.int64),
+                       deg_df["degree"].to_numpy(np.int64)))
 
-    def add_deg(t: pa.Table) -> pa.Table:
-        vids, degs = ray.get(ref)
-        v = t.column("vid").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "degree", pa.array(degs[np.searchsorted(vids, v)], pa.int64())
-        )
+        def add_deg(t: pa.Table) -> pa.Table:
+            vids, degs = ray.get(ref)
+            v = t.column("vid").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "degree", pa.array(degs[np.searchsorted(vids, v)], pa.int64())
+            )
 
-    return tri.map_batches(add_deg, batch_format="pyarrow")
+        return tri.map_batches(add_deg, batch_format="pyarrow")
+    return cogroup_join(tri, deg, on="vid")
 
 
 def clustering_coefficient(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -94,21 +148,18 @@ def transitivity(edges: ray.data.Dataset) -> float:
     return tri_sum / wedge_sum if wedge_sum else 0.0
 
 
-def degree_assortativity(edges: ray.data.Dataset) -> float:
+def degree_assortativity(edges: ray.data.Dataset,
+                         broadcast: bool | None = None) -> float:
     """Pearson correlation of endpoint degrees over undirected arcs
-    (each edge contributes both orientations, networkx convention)."""
+    (each edge contributes both orientations, networkx convention).
+    Degree attach via _edge_degrees (broadcast-vs-bucketed-join
+    auto-select); only 6 scalar moments ever reach the driver."""
     canon = _canonical_edges(edges).materialize()
-    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
-    deg_df = deg_df.sort_values("vid")
-    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
-                   deg_df["degree"].to_numpy(np.float64)))
+    ed = _edge_degrees(canon, broadcast=broadcast)
 
     def moments(t: pa.Table) -> pa.Table:
-        vids, degs = ray.get(ref)
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        du = degs[np.searchsorted(vids, u)]
-        dv = degs[np.searchsorted(vids, v)]
+        du = t.column("du").to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t.column("dv").to_numpy(zero_copy_only=False).astype(np.float64)
         # both orientations: (du,dv) and (dv,du)
         x = np.concatenate([du, dv])
         y = np.concatenate([dv, du])
@@ -119,7 +170,7 @@ def degree_assortativity(edges: ray.data.Dataset) -> float:
             "sxy": pa.array([(x * y).sum()]),
         })
 
-    agg = canon.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    agg = ed.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
     n, sx, sy = agg["n"], agg["sx"], agg["sy"]
     cov = agg["sxy"] / n - (sx / n) * (sy / n)
     vx = agg["sxx"] / n - (sx / n) ** 2
@@ -193,22 +244,19 @@ def attribute_assortativity(
     return (tr_n * total - s) / denom if denom else float("nan")
 
 
-def average_degree_connectivity(edges: ray.data.Dataset) -> ray.data.Dataset:
+def average_degree_connectivity(edges: ray.data.Dataset,
+                                broadcast: bool | None = None
+                                ) -> ray.data.Dataset:
     """knn(k) = average neighbor degree over all vertices of degree k
     (networkx average_degree_connectivity): Σ over arcs from deg-k
-    sources of dst degree / (k · #deg-k sources)."""
+    sources of dst degree / (k · #deg-k sources). Degree attach via
+    _edge_degrees (broadcast-vs-bucketed-join auto-select)."""
     canon = _canonical_edges(edges).materialize()
-    deg_df = degree_table(canon, mode="both", src="u", dst="v").to_pandas()
-    deg_df = deg_df.sort_values("vid")
-    ref = ray.put((deg_df["vid"].to_numpy(np.int64),
-                   deg_df["degree"].to_numpy(np.float64)))
+    ed = _edge_degrees(canon, broadcast=broadcast)
 
     def arcs(t: pa.Table) -> pa.Table:
-        vids, degs = ray.get(ref)
-        u = t.column("u").to_numpy(zero_copy_only=False)
-        v = t.column("v").to_numpy(zero_copy_only=False)
-        du = degs[np.searchsorted(vids, u)]
-        dv = degs[np.searchsorted(vids, v)]
+        du = t.column("du").to_numpy(zero_copy_only=False)
+        dv = t.column("dv").to_numpy(zero_copy_only=False)
         # keep degrees integral: the per-k sums stay exact int64, so
         # the final float division is bit-identical to any other engine
         # summing the same integers (no accumulation-order knife-edge)
@@ -217,7 +265,7 @@ def average_degree_connectivity(edges: ray.data.Dataset) -> ray.data.Dataset:
         return pa.table({"k": pa.array(k), "nbr_deg": pa.array(nbr)})
 
     sums = grouped_agg(
-        canon.map_batches(arcs, batch_format="pyarrow"),
+        ed.map_batches(arcs, batch_format="pyarrow"),
         ["k"], {"sum_nbr": ("nbr_deg", "sum"), "n_arcs": (None, "size")},
     )
 
@@ -308,13 +356,25 @@ def kcore(edges: ray.data.Dataset, k: int, max_iter: int = 10**6
 
 
 def kshell(edges: ray.data.Dataset, k: int) -> ray.data.Dataset:
-    """k-shell = in k-core but not in (k+1)-core (gs::KShell)."""
+    """k-shell = in k-core but not in (k+1)-core (gs::KShell) — a
+    distributed side-tagged anti-join over the two core memberships (no
+    driver-side vertex sets). This edge-Dataset variant exists for the
+    graph-less API; ``algorithms.kshell_pool`` (two BSP peels on the
+    shard pool) is the scale path and serves the gate."""
 
-    def vids(ds):
-        df = ds.to_pandas()
-        return set(df["vid"]) if "vid" in df.columns else set()
+    def side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, v, np.int8)))
 
-    core_k = vids(kcore(edges, k))
-    core_k1 = vids(kcore(edges, k + 1))
-    out = np.array(sorted(core_k - core_k1), dtype=np.int64)
-    return ray.data.from_arrow(pa.table({"vid": pa.array(out, pa.int64())}))
+        return f
+
+    lo = kcore(edges, k).map_batches(side(0), batch_format="pyarrow")
+    hi = kcore(edges, k + 1).map_batches(side(1), batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drop = g.loc[g["_side"] == 1, "vid"]
+        keep = g.loc[(g["_side"] == 0) & ~g["vid"].isin(drop), "vid"]
+        return pd.DataFrame({"vid": keep.to_numpy(np.int64)})
+
+    return bucketed_group_apply(lo.union(hi), ["vid"], anti, num_buckets=16)

@@ -361,6 +361,8 @@ def embedding_neardup_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate vector pairs by random-hyperplane LSH buckets +
     in-bucket exact cosine. Deterministic planes (seeded)."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
     rng = np.random.default_rng(42)
     planes = None  # lazily sized to the vector dim inside the first batch
 
@@ -393,8 +395,15 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"a": ids[i[keep]], "b": ids[j[keep]],
                              "cosine": S[i, j][keep]})
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
+    def pairs_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bucketed_group_apply hands a coarse hash-bucket holding many
+        # whole LSH buckets — one vectorized call per coarse bucket
+        # instead of one Python call per (tiny) LSH bucket
+        out = [pairs(sub) for _, sub in g.groupby("bucket", sort=False)]
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"a": [], "b": [], "cosine": []}))
+
+    return bucketed_group_apply(
+        ds.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], pairs_per_bucket, num_buckets=32,
     )

@@ -44,21 +44,36 @@ def test_clustering(rgraph):
     assert transitivity(ds) == pytest.approx(nx.transitivity(g), abs=1e-12)
 
 
-def test_assortativity(rgraph):
+@pytest.mark.parametrize("broadcast", [None, False])
+def test_assortativity(rgraph, broadcast):
+    # broadcast=False exercises the vertex-scale-safe bucketed
+    # co-group join path (no driver degree table)
     g, ds = rgraph
-    got = degree_assortativity(ds)
+    got = degree_assortativity(ds, broadcast=broadcast)
     want = nx.degree_assortativity_coefficient(g)
     assert got == pytest.approx(want, abs=1e-9)
 
 
-def test_avg_degree_connectivity(rgraph):
+@pytest.mark.parametrize("broadcast", [None, False])
+def test_avg_degree_connectivity(rgraph, broadcast):
     g, ds = rgraph
-    got = dict(zip(*(average_degree_connectivity(ds).to_pandas()[c]
-                     for c in ("k", "avg_nbr_degree"))))
+    got = dict(zip(*(average_degree_connectivity(ds, broadcast=broadcast)
+                     .to_pandas()[c] for c in ("k", "avg_nbr_degree"))))
     want = nx.average_degree_connectivity(g)
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_tri_deg_shuffle_path_matches_broadcast(rgraph):
+    from graphscope_ray.pipelines.structure import _tri_deg
+
+    _, ds = rgraph
+    a = _tri_deg(ds, broadcast=True).to_pandas().sort_values("vid")
+    b = _tri_deg(ds, broadcast=False).to_pandas().sort_values("vid")
+    b = b[a.columns]
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
 
 
 def test_boundaries(rgraph):
@@ -213,4 +228,17 @@ def test_kcore_pool_matches_dataset_peeling(rgraph, k):
     want = sorted(nx.k_core(g, k).nodes)
     sg = build_graph(ds, num_partitions=3, directed=False)
     got = sorted(kcore_pool(sg, k).to_pandas()["vid"])
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kshell_pool(rgraph, k):
+    from graphscope_ray.pipelines.algorithms import kshell_pool
+    from graphscope_ray.state.graph import build_graph
+
+    g, ds = rgraph
+    want = sorted(nx.k_shell(g, k).nodes)
+    sg = build_graph(ds, num_partitions=3, directed=False)
+    df = kshell_pool(sg, k).to_pandas()
+    got = sorted(df["vid"]) if "vid" in df.columns else []
     assert got == want
