@@ -133,6 +133,11 @@ def headline() -> dict:
         "headline_sec": t_wcc - t0,
         "ingest_sec": t_ingest - t0,
         "graph_build_sec": t_build - t_ingest,
+        # per-phase build walls (derive+route / mirror exchange / vertex
+        # route / per-shard seal) — the scaling table grades these
+        # separately (compute-bound vs bandwidth-bound, BASELINE.md)
+        **{f"build_{k}": round(v, 3)
+           for k, v in graph.build_phases.items()},
         "pagerank_sec": t_pr - t_build,
         "wcc_sec": t_wcc - t_pr,
         "corpus_rows": n_rows,

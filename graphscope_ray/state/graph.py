@@ -45,7 +45,8 @@ class ShardedGraph:
     """Handle to a built actor-pool graph; owns shard handles + counts."""
 
     def __init__(self, shards, num_partitions: int, n_vertices: int, n_edges: int,
-                 directed: bool, has_reverse: bool = False):
+                 directed: bool, has_reverse: bool = False,
+                 build_phases: dict | None = None):
         self.shards = shards
         self.P = num_partitions
         self.n_vertices = n_vertices
@@ -54,6 +55,10 @@ class ShardedGraph:
         # bidi graph: mirror arcs tagged dir=1 ride in the same CSR so
         # reverse sweeps (Brandes dependency pass) work on directed graphs
         self.has_reverse = has_reverse
+        # per-phase build wall times (route / exchange / verts / seal) —
+        # the scaling protocol grades bandwidth-bound and compute-bound
+        # phases separately (BASELINE.md)
+        self.build_phases = build_phases or {}
 
     # -- message plumbing ------------------------------------------------
     def scatter_refs(self, method: str, *args):
@@ -138,9 +143,13 @@ def build_graph(
     vertex id referenced by the edges — per-block dst registration is
     then skipped entirely (a large routing saving at high P).
     """
+    import time
+
     shards = [GraphShard.remote(f, num_partitions) for f in range(num_partitions)]
     P = num_partitions
     ds = edges
+    phases = {}
+    t0 = time.perf_counter()
 
     def add_fid(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -156,6 +165,8 @@ def build_graph(
         ds.map_batches(add_fid, batch_format="pyarrow"), shards, "_fid",
         lambda shard, tab: shard.ingest.remote(tab, None),
     )
+    phases["route_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     if (not directed) or with_reverse:
         if P == 1:
             refs = [[shards[0].reverse_slices.remote()]]
@@ -166,6 +177,8 @@ def build_graph(
             s.ingest_arrays.remote(*[refs[src][d] for src in range(P)])
             for d, s in enumerate(shards)
         ])
+    phases["exchange_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     if extra_vertices is None:
         # register dst-only vertices (dangling sinks) with their owners
         def dst_fid(t: pa.Table) -> pa.Table:
@@ -191,9 +204,16 @@ def build_graph(
         vsrc, shards, "_fid",
         lambda shard, tab: shard.ingest_vertices.remote(tab),
     )
+    phases["verts_sec"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     mirror_dir = 1 if (directed and with_reverse) else 0
-    stats = ray.get([s.build.remote(dedup_arcs, mirror_dir) for s in shards])
+    stats = ray.get([
+        s.build.remote(dedup_arcs, mirror_dir,
+                       verts_complete=extra_vertices is not None)
+        for s in shards
+    ])
+    phases["seal_sec"] = time.perf_counter() - t0
     n_vertices = sum(s["vertices"] for s in stats)
     n_edges = sum(s["edges"] for s in stats)
     return ShardedGraph(shards, num_partitions, n_vertices, n_edges, directed,
-                        has_reverse=bool(mirror_dir))
+                        has_reverse=bool(mirror_dir), build_phases=phases)

@@ -45,13 +45,16 @@ def _concat_msgs(parts, dtypes):
     return [np.concatenate(c) for c in cols]
 
 
-def _group_reduce(dst, val, op):
+def _group_reduce(dst, val, op, presorted=False):
     """Segment-reduce val by dst. dst need not be sorted; a stable sort
-    pins reduction order (determinism contract)."""
+    pins reduction order (determinism contract). ``presorted=True``
+    skips the sort — valid for CSR slices, whose dst is sealed sorted
+    (and any boolean-masked subset of them, masks preserve order)."""
     if len(dst) == 0:
         return dst, val
-    order = np.argsort(dst, kind="stable")
-    dst, val = dst[order], val[order]
+    if not presorted:
+        order = np.argsort(dst, kind="stable")
+        dst, val = dst[order], val[order]
     starts = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
     return dst[starts], op.reduceat(val, starts)
 
@@ -63,18 +66,59 @@ class GraphShard:
     def __init__(self, fid: int, num_partitions: int):
         self.fid = fid
         self.P = num_partitions
-        self._ebuf: list[pa.Table] = []
+        # per-dst-fid chunk buckets, split at INGEST (one O(chunk)
+        # counting pass each) so seal never runs an edge-scale
+        # partition-key sort: _fwd[d] holds this shard's arcs whose dst
+        # is owned by d; _mir[f] holds mirror arcs received from sender
+        # f (every reversed arc from f has fid(dst)=f, so the bucket
+        # assignment on the receive side is free)
+        self._fwd: list[list] = [[] for _ in range(num_partitions)]
+        self._mir: list[list] = [[] for _ in range(num_partitions)]
         self._vbuf: list[np.ndarray] = []
         self.local: np.ndarray | None = None  # sorted local vids
         self.state: np.ndarray | None = None
         self.e_dir: np.ndarray | None = None  # bidi direction tags
+        self.e_w: np.ndarray | None = None    # edge weights (None = all 1)
 
     # ------------------------------------------------------------- build
+    def _bucketize(self, src, dst, w) -> None:
+        """Counting-split one arc chunk by fid(dst) into the _fwd
+        buckets (stable, so later dedup tie-breaks match the pre-split
+        ingest order)."""
+        if self.P == 1:
+            self._fwd[0].append((src, dst, w))
+            return
+        fid = partition_of(dst, self.P)
+        counts = np.bincount(fid, minlength=self.P)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        order = np.argsort(fid, kind="stable")
+        so, do = src[order], dst[order]
+        wo = None if w is None else w[order]
+        for d in range(self.P):
+            lo, hi = bounds[d], bounds[d + 1]
+            if hi > lo:
+                self._fwd[d].append(
+                    (so[lo:hi], do[lo:hi],
+                     None if wo is None else wo[lo:hi]))
+
+    def _ingest_table(self, t: pa.Table) -> int:
+        src = np.asarray(
+            t.column("src").to_numpy(zero_copy_only=False), dtype=np.int64)
+        dst = np.asarray(
+            t.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64)
+        w = None
+        if "weight" in t.column_names:
+            # weights stay OPTIONAL end-to-end: unweighted graphs never
+            # materialize, exchange, sort or store 8 B/arc of ones
+            w = np.asarray(t.column("weight").to_numpy(zero_copy_only=False),
+                           dtype=np.float64)
+        self._bucketize(src, dst, w)
+        return t.num_rows
+
     def ingest(self, edges: pa.Table | None, vertices: np.ndarray | None) -> int:
         n = 0
         if edges is not None and edges.num_rows:
-            self._ebuf.append(edges)
-            n += edges.num_rows
+            n += self._ingest_table(edges)
         if vertices is not None and len(vertices):
             self._vbuf.append(np.asarray(vertices, dtype=np.int64))
         return n
@@ -82,67 +126,68 @@ class GraphShard:
     def ingest_blocks(self, *tables: pa.Table) -> int:
         """Buffer many pre-split edge sub-tables at once (the split-task
         routing path: one actor call per shard for the whole build)."""
-        n = 0
-        for t in tables:
-            if t is not None and t.num_rows:
-                self._ebuf.append(t)
-                n += t.num_rows
-        return n
+        return sum(self._ingest_table(t) for t in tables
+                   if t is not None and t.num_rows)
 
     def reverse_slices(self):
         """Seal-time reverse-arc exchange (undirected builds route each
         edge ONCE by fid(src); the mirror arcs travel here, shard →
         shard through the object store, skipping a second edge-scale
-        Dataset shuffle). Concatenates the buffered tables into pending
-        arrays and returns per-destination (dst, src, w) numpy slices —
-        reversed arcs keyed by their new owner fid(dst)."""
-        if self._ebuf:
-            e = pa.concat_tables(self._ebuf)
-            src = e.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = e.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-            if "weight" in e.column_names:
-                w = e.column("weight").to_numpy(zero_copy_only=False).astype(
-                    np.float64)
-            else:
-                w = np.ones(len(src), dtype=np.float64)
-        else:
-            src = dst = np.empty(0, dtype=np.int64)
-            w = np.empty(0, dtype=np.float64)
-        self._ebuf = []
-        self._pend = (src, dst, w)
-        fid = partition_of(dst, self.P)
-        order = np.argsort(fid, kind="stable")
-        ds_, ss_, ws_ = dst[order], src[order], w[order]
-        fid = fid[order]
-        bounds = np.searchsorted(fid, np.arange(self.P + 1))
-        out = tuple(
-            (ds_[bounds[f]: bounds[f + 1]], ss_[bounds[f]: bounds[f + 1]],
-             ws_[bounds[f]: bounds[f + 1]])
-            for f in range(self.P)
-        )
-        return out if self.P > 1 else out[0]
+        Dataset shuffle). Ingest already bucketed the arcs by fid(dst)
+        — the per-destination reversed slice IS bucket d, so this is
+        pure concatenation (no hash, no sort). Each bucket is
+        consolidated in place so seal concatenates each chunk once."""
+        out = []
+        for d in range(self.P):
+            chunks = self._fwd[d]
+            if not chunks:
+                out.append(None)
+                continue
+            if len(chunks) > 1:
+                s = np.concatenate([c[0] for c in chunks])
+                t = np.concatenate([c[1] for c in chunks])
+                if any(c[2] is not None for c in chunks):
+                    w = np.concatenate([
+                        c[2] if c[2] is not None
+                        else np.ones(len(c[0]), np.float64) for c in chunks])
+                else:
+                    w = None
+                self._fwd[d] = [(s, t, w)]
+            s, t, w = self._fwd[d][0]
+            out.append((t, s, w))  # reversed: (src'=dst, dst'=src, w)
+        return tuple(out) if self.P > 1 else out[0]
 
     def ingest_arrays(self, *parts) -> int:
-        """Buffer (src, dst, w) numpy triples (the reverse-exchange
-        receive side)."""
-        if not hasattr(self, "_abuf"):
-            self._abuf = []
+        """Receive reverse-exchange (src', dst', w|None) triples, one
+        per sender shard in fid order; sender f's reversed arcs all
+        have fid(dst')=f, so each lands wholesale in mirror bucket f."""
         n = 0
-        for p in parts:
+        for f, p in enumerate(parts):
             if p is None or len(p[0]) == 0:
                 continue
-            self._abuf.append(p)
-            n += len(p[0])
+            src = np.asarray(p[0], dtype=np.int64)
+            dst = np.asarray(p[1], dtype=np.int64)
+            w = None if p[2] is None else np.asarray(p[2], dtype=np.float64)
+            self._mir[f].append((src, dst, w))
+            n += len(src)
         return n
 
     def ingest_vertices(self, table: pa.Table) -> int:
-        v = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(
+            table.column("vid").to_numpy(zero_copy_only=False), dtype=np.int64)
         self._vbuf.append(v)
         return len(v)
 
-    def build(self, dedup_arcs: bool = False, mirror_dir: int = 0) -> dict:
+    def build(self, dedup_arcs: bool = False, mirror_dir: int = 0,
+              verts_complete: bool = False) -> dict:
         """Seal the shard: dedupe vertices, sort edges grouped by
         (dst_fid, dst, src) for combined scatter, build out-degrees.
+
+        The partition-key grouping was already done by the ingest-time
+        counting split, so sealing is one 2-key sort PER BUCKET (~E/P²
+        rows each — cache-resident at typical shard sizes) instead of a
+        3-key lexsort over the whole shard; src sorts as its int32
+        local position (same order — `local` is vid-sorted).
 
         ``dedup_arcs`` drops duplicate (src, dst) arcs locally — every
         copy of an arc hashes to this shard, so shard-local dedup is
@@ -153,84 +198,102 @@ class GraphShard:
         direction bit (bidi graph: one CSR holds fwd arcs dir=0 and rev
         arcs dir=1, filtered per sweep — Brandes' backward pass on
         directed graphs). ``mirror_dir=0`` (undirected) treats both arc
-        sets identically and keeps no dir array."""
-        srcs, dsts, ws = [], [], []
-        if self._ebuf:
-            e = pa.concat_tables(self._ebuf)
-            srcs.append(e.column("src").to_numpy(zero_copy_only=False)
-                        .astype(np.int64))
-            dsts.append(e.column("dst").to_numpy(zero_copy_only=False)
-                        .astype(np.int64))
-            if "weight" in e.column_names:
-                ws.append(e.column("weight").to_numpy(zero_copy_only=False)
-                          .astype(np.float64))
-            else:
-                ws.append(np.ones(len(srcs[-1]), dtype=np.float64))
-        if getattr(self, "_pend", None) is not None:
-            s_, d_, w_ = self._pend
-            srcs.append(s_)
-            dsts.append(d_)
-            ws.append(w_)
-            self._pend = None
-        n_fwd = sum(len(a) for a in srcs)
-        for s_, d_, w_ in getattr(self, "_abuf", []):
-            # reverse-exchange triples arrive as (dst, src, w) slices of
-            # the sender's arcs — already reversed to THIS shard's
-            # ownership key, so they land as (src=dst_of_sender, ...)
-            srcs.append(np.asarray(s_, dtype=np.int64))
-            dsts.append(np.asarray(d_, dtype=np.int64))
-            ws.append(np.asarray(w_, dtype=np.float64))
-        self._abuf = []
-        if srcs:
-            src = np.concatenate(srcs)
-            dst = np.concatenate(dsts)
-            w = np.concatenate(ws)
-        else:
-            src = dst = np.empty(0, dtype=np.int64)
-            w = np.empty(0, dtype=np.float64)
-        if mirror_dir:
-            edir = np.zeros(len(src), dtype=np.int8)
-            edir[n_fwd:] = 1
-        else:
-            edir = None
-        self._ebuf = []
+        sets identically and keeps no dir array.
+
+        ``verts_complete=True`` asserts the routed vertex table covers
+        every vid the arcs reference (the build_graph extra_vertices
+        contract) — ``local`` then comes from the vertex table alone,
+        skipping an edge-scale unique; a per-bucket membership check
+        still catches violations loudly."""
+        P = self.P
         verts = np.concatenate(self._vbuf) if self._vbuf else np.empty(0, np.int64)
         self._vbuf = []
-        self.local = np.unique(np.concatenate([verts, src]))
+        if verts_complete and len(verts):
+            self.local = np.unique(verts)
+        else:
+            srcs_all = [c[0] for d in range(P) for c in self._fwd[d]]
+            srcs_all += [c[0] for d in range(P) for c in self._mir[d]]
+            self.local = np.unique(np.concatenate([verts] + srcs_all))
         self.n_local = len(self.local)
 
-        dst_fid = partition_of(dst, self.P)
-        if edir is None:
-            perm = np.lexsort((src, dst, dst_fid))
-        else:
-            perm = np.lexsort((edir, src, dst, dst_fid))
-        src, dst, w, dst_fid = src[perm], dst[perm], w[perm], dst_fid[perm]
-        if edir is not None:
-            edir = edir[perm]
-        if dedup_arcs and len(src):
-            same = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
+        has_w = any(
+            c[2] is not None
+            for d in range(P) for c in (self._fwd[d] + self._mir[d]))
+        sp_parts, dst_parts, w_parts, dir_parts = [], [], [], []
+        sizes = np.zeros(P + 1, dtype=np.int64)
+        n_edges = 0
+        for d in range(P):
+            fwd, mir = self._fwd[d], self._mir[d]
+            chunks = fwd + mir
+            if not chunks:
+                continue
+            if len(chunks) > 1:
+                src = np.concatenate([c[0] for c in chunks])
+                dst = np.concatenate([c[1] for c in chunks])
+            else:
+                src, dst = chunks[0][0], chunks[0][1]
+            w = None
+            if has_w:
+                w = np.concatenate([
+                    c[2] if c[2] is not None
+                    else np.ones(len(c[0]), np.float64) for c in chunks])
+            if mirror_dir:
+                n_fwd = sum(len(c[0]) for c in fwd)
+                edir = np.zeros(len(src), dtype=np.int8)
+                edir[n_fwd:] = 1
+            else:
+                edir = None
+            sp = np.searchsorted(self.local, src).astype(np.int32)
+            if verts_complete and len(src):
+                bad = sp >= self.n_local
+                if bad.any() or not np.array_equal(
+                        self.local[np.minimum(sp, self.n_local - 1)], src):
+                    raise ValueError(
+                        f"shard {self.fid}: arc src vid absent from the "
+                        "vertex table (verts_complete contract violated)"
+                    )
+            if edir is None:
+                perm = np.lexsort((sp, dst))
+            else:
+                perm = np.lexsort((edir, sp, dst))
+            sp, dst = sp[perm], dst[perm]
+            w = None if w is None else w[perm]
+            edir = None if edir is None else edir[perm]
+            if dedup_arcs and len(sp):
+                same = (sp[1:] == sp[:-1]) & (dst[1:] == dst[:-1])
+                if edir is not None:
+                    same &= edir[1:] == edir[:-1]
+                keep = np.concatenate(([True], ~same))
+                sp, dst = sp[keep], dst[keep]
+                w = None if w is None else w[keep]
+                edir = None if edir is None else edir[keep]
+            sizes[d + 1] = len(sp)
+            n_edges += len(sp) if edir is None else int((edir == 0).sum())
+            sp_parts.append(sp)
+            dst_parts.append(dst)
+            if w is not None:
+                w_parts.append(w)
             if edir is not None:
-                same &= edir[1:] == edir[:-1]
-            keep = np.concatenate(([True], ~same))
-            src, dst, w, dst_fid = src[keep], dst[keep], w[keep], dst_fid[keep]
-            if edir is not None:
-                edir = edir[keep]
-        self.e_src_pos = np.searchsorted(self.local, src).astype(np.int64)
-        self.e_dst = dst
-        self.e_w = w
-        self.e_dir = edir
-        self.part_bounds = np.searchsorted(dst_fid, np.arange(self.P + 1))
-        if edir is None:
+                dir_parts.append(edir)
+        self._fwd = [[] for _ in range(P)]
+        self._mir = [[] for _ in range(P)]
+        self.e_src_pos = (np.concatenate(sp_parts) if sp_parts
+                          else np.empty(0, np.int32))
+        self.e_dst = (np.concatenate(dst_parts) if dst_parts
+                      else np.empty(0, np.int64))
+        self.e_w = np.concatenate(w_parts) if w_parts else None
+        self.e_dir = np.concatenate(dir_parts) if dir_parts else None
+        self.part_bounds = np.cumsum(sizes)
+        if self.e_dir is None:
             self.out_deg = np.bincount(
                 self.e_src_pos, minlength=self.n_local).astype(np.int64)
-            self.n_edges = len(dst)
         else:
-            fwd = edir == 0
             # degree/edge counts describe the FORWARD graph; mirror arcs
             # exist only for reverse sweeps
             self.out_deg = np.bincount(
-                self.e_src_pos[fwd], minlength=self.n_local).astype(np.int64)
-            self.n_edges = int(fwd.sum())
+                self.e_src_pos[self.e_dir == 0],
+                minlength=self.n_local).astype(np.int64)
+        self.n_edges = n_edges
         return {"fid": self.fid, "vertices": self.n_local, "edges": self.n_edges}
 
     def degree_table(self) -> pa.Table:
@@ -240,9 +303,16 @@ class GraphShard:
         )
 
     # ------------------------------------------- generic scatter helpers
+    def _weights(self):
+        """Edge weight vector, or scalar 1.0 when the graph stores none
+        (unweighted graphs keep e_w=None — no 8 B/arc of ones)."""
+        return self.e_w if self.e_w is not None else 1.0
+
     def _emit_per_part(self, edge_mask, values, op):
         """Combine `values[edge]` per (dst_fid, dst) and return one
-        (dst, val) tuple per destination shard (None when empty)."""
+        (dst, val) tuple per destination shard (None when empty).
+        e_dst is sealed sorted within each partition segment (masking
+        preserves that), so the segment reduce skips its sort."""
         out = []
         for d in range(self.P):
             lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
@@ -254,7 +324,7 @@ class GraphShard:
             if len(dsts) == 0:
                 out.append(None)
                 continue
-            u, v = _group_reduce(dsts, vals, op)
+            u, v = _group_reduce(dsts, vals, op, presorted=True)
             out.append((u, v))
         return out if self.P > 1 else out[0]
 
@@ -419,7 +489,7 @@ class GraphShard:
 
     def dist_scatter(self, weighted: bool):
         mask = self._frontier[self.e_src_pos]
-        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        vals = self.state[self.e_src_pos] + (self._weights() if weighted else 1.0)
         return self._emit_per_part(mask, vals, np.minimum)
 
     def dist_apply(self, *msg_parts) -> int:
@@ -489,14 +559,14 @@ class GraphShard:
                 self._frontier[pos_b] = True
                 changed = int(better.sum())
         mask = self._frontier[self.e_src_pos]
-        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        vals = self.state[self.e_src_pos] + (self._weights() if weighted else 1.0)
         return self._msgs_tuple(self._path_emit(mask, vals)) + (changed,)
 
     def path_finalize_scatter(self, weighted: bool):
         """Emit candidate (dist, parent) along EVERY edge once — the
         deterministic min-parent re-pick pass."""
         finite = np.isfinite(self.state[self.e_src_pos])
-        vals = self.state[self.e_src_pos] + (self.e_w if weighted else 1.0)
+        vals = self.state[self.e_src_pos] + (self._weights() if weighted else 1.0)
         return self._path_emit(finite, vals)
 
     def path_finalize_apply(self, *inbox) -> int:
@@ -536,7 +606,7 @@ class GraphShard:
         pre-summed per destination — the generic 'push my value' step
         (used with a reversed-arc twin graph for in-edge pulls)."""
         vals = self.state[self.e_src_pos]
-        if weighted:
+        if weighted and self.e_w is not None:
             vals = vals * self.e_w
         return self._emit_per_part(None, vals, np.add)
 
@@ -600,9 +670,8 @@ class GraphShard:
                 continue
             dsts = self.e_dst[lo:hi][m]
             rows = self._msd[self.e_src_pos[lo:hi][m]] + 1.0
-            # segment-min per dst over the row matrix
-            order = np.argsort(dsts, kind="stable")
-            dsts, rows = dsts[order], rows[order]
+            # segment-min per dst over the row matrix (dsts arrives
+            # sealed-sorted within the partition segment)
             starts = np.flatnonzero(
                 np.concatenate(([True], dsts[1:] != dsts[:-1]))
             )
@@ -651,8 +720,7 @@ class GraphShard:
                 continue
             dsts = self.e_dst[lo:hi][m]
             r = rows[self.e_src_pos[lo:hi][m]]
-            order = np.argsort(dsts, kind="stable")
-            dsts, r = dsts[order], r[order]
+            # dsts arrives sealed-sorted within the partition segment
             starts = np.flatnonzero(
                 np.concatenate(([True], dsts[1:] != dsts[:-1]))
             )
@@ -961,7 +1029,8 @@ class GraphShard:
             if len(dsts) == 0:
                 out.append(None)
                 continue
-            u, v = _group_reduce(dsts, np.full(len(dsts), delta), np.add)
+            u, v = _group_reduce(dsts, np.full(len(dsts), delta), np.add,
+                                 presorted=True)
             out.append((u, v))
         return out if self.P > 1 else out[0]
 

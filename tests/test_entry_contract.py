@@ -26,16 +26,13 @@ def test_contract_shape():
 
 
 def test_closeness_harmonic_sql_parity_small():
-    """The all-pairs recursive-CTE twins are O(V²·diam) — too slow for
-    the sf0.01 gate — so exact SQL parity is pinned here at sf0.001."""
+    """closeness/harmonic now run gate-exact on a sampled source set
+    (vid % 97 twin, same trick as part_apsp); pin the parity at sf0.001
+    here too so a twin regression is caught before the gate."""
     from graphscope_ray.pipelines.sf_graph import q_part_closeness, q_part_harmonic
 
     con = _duck(SF)
-    sqls = {
-        k.replace("_disabled_", ""): v
-        for k, v in entrymod._all_oracle_sql().items()
-        if k.startswith("_disabled_part_")
-    }
+    sqls = entrymod.oracle_sql()
     got_c = q_part_closeness(SF).to_pandas().sort_values("vid").reset_index(drop=True)
     want_c = con.sql(sqls["part_closeness"]).df().sort_values("vid").reset_index(drop=True)
     assert (got_c["closeness"].to_numpy() == want_c["closeness"].to_numpy()).all()
