@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_hits": sf_graph.q_part_hits,
         "part_katz": sf_graph.q_part_katz,
         "part_eigenvector": sf_graph.q_part_eigenvector,
+        # multi-label property graph (apps/property family)
+        "part_wcc_labeled": sf_graph.q_part_wcc_labeled,
+        "part_sssp_labeled": sf_graph.q_part_sssp_labeled,
         # relational / windowing
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_top_orders": tpch.q3_top_orders,
@@ -455,6 +458,82 @@ SELECT vid, d AS distance FROM d{rounds} WHERE d IS NOT NULL"""
     )
 
 
+# Multi-label property graph (apps/property family): two vertex labels
+# (customer, supplier), one weighted edge label; gid = label_id * 2^40
+# + key — the SAME encoding pipelines/property.py uses, so component
+# ids and distances compare exactly.
+_LABELED_CTES = """
+lab_edges AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS weight
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_quantity > 45
+  GROUP BY o_custkey, l_suppkey
+),
+lab_verts AS MATERIALIZED (
+  SELECT 'customer' AS label, CAST(c_custkey AS BIGINT) AS vid,
+         CAST(c_custkey AS BIGINT) AS gid FROM customer
+  UNION ALL
+  SELECT 'supplier', CAST(s_suppkey AS BIGINT),
+         1099511627776 + s_suppkey FROM supplier
+),
+lab_arcs AS MATERIALIZED (
+  SELECT CAST(c AS BIGINT) AS src, 1099511627776 + s AS dst,
+         CAST(weight AS DOUBLE) AS weight FROM lab_edges
+  UNION ALL
+  SELECT 1099511627776 + s, CAST(c AS BIGINT), CAST(weight AS DOUBLE)
+  FROM lab_edges
+)
+"""
+
+
+def _labeled_wcc_sql() -> str:
+    """Labeled WCC (wcc_property.h:25-228): component = min member gid
+    over the flattened union graph, reported per (label, vid)."""
+    return f"""
+WITH RECURSIVE {_LABELED_CTES.strip()},
+reach(gid, comp) AS (
+  SELECT gid, gid FROM lab_verts
+  UNION
+  SELECT a.dst, r.comp FROM reach r JOIN lab_arcs a ON a.src = r.gid)
+SELECT v.label, v.vid, m.comp AS component
+FROM (SELECT gid, min(comp) AS comp FROM reach GROUP BY gid) m
+JOIN lab_verts v ON v.gid = m.gid"""
+
+
+def _labeled_sssp_sql(rounds: int = 40) -> str:
+    """Labeled weighted SSSP (sssp_property.h:43-210) from the min
+    customer key, unrolled Bellman-Ford (same shape as _sssp_sql);
+    weights are integer lineitem counts so float64 sums are exact."""
+    parts = [
+        _LABELED_CTES,
+        """
+, ld0 AS MATERIALIZED (
+  SELECT gid, CASE WHEN gid = (SELECT CAST(min(c_custkey) AS BIGINT)
+                               FROM customer)
+                   THEN CAST(0.0 AS DOUBLE) END AS d
+  FROM lab_verts)""",
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+, ln{i} AS MATERIALIZED (
+  SELECT a.dst AS gid, min(d.d + a.weight) AS nd
+  FROM lab_arcs a JOIN ld{i} d ON d.gid = a.src
+  WHERE d.d IS NOT NULL GROUP BY a.dst)
+, ld{i + 1} AS MATERIALIZED (
+  SELECT d.gid,
+         CASE WHEN d.d IS NULL THEN n.nd
+              WHEN n.nd IS NULL THEN d.d
+              ELSE least(d.d, n.nd) END AS d
+  FROM ld{i} d LEFT JOIN ln{i} n ON n.gid = d.gid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT v.label, v.vid, d.d AS distance
+FROM ld{rounds} d JOIN lab_verts v ON v.gid = d.gid
+WHERE d.d IS NOT NULL"""
+    )
+
+
 def _voterank_sql(k: int = 20) -> str:
     """VoteRank unrolled to k elections: per round score(v) = Σ ability
     of in-neighbors (elected scores excluded), argmax with min-vid tie
@@ -729,6 +808,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "part_eigenvector": _eigenvector_sql(20),
         "part_sssp": _sssp_sql(60),
         "part_voterank": _voterank_sql(20),
+        "part_wcc_labeled": _labeled_wcc_sql(),
+        "part_sssp_labeled": _labeled_sssp_sql(40),
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        printf('%.4f', sum(l_quantity)) AS sum_qty,

@@ -300,6 +300,17 @@ def q_part_edge_boundary(sf_dir: str) -> ray.data.Dataset:
     return edge_boundary(part_cooccurrence_edges(sf_dir), _boundary_set(sf_dir))
 
 
+def _vid_schema_stable(ds: ray.data.Dataset):
+    """Ray 2.49's all-empty-Dataset -> pandas conversion drops the
+    schema entirely (0 rows, 0 COLUMNS), which reads as a schema
+    mismatch against a 0-row oracle. Membership queries that can
+    legitimately select nobody return a typed empty table instead.
+    count() here is block-metadata only (the pool tables are sealed)."""
+    if ds.count() == 0:
+        return pa.table({"vid": pa.array([], pa.int64())})
+    return ds
+
+
 def q_part_kcore(sf_dir: str, k: int = 80, num_partitions: int = 8
                  ) -> ray.data.Dataset:
     """k-core membership by BSP peeling on the (cached) shard pool.
@@ -307,7 +318,7 @@ def q_part_kcore(sf_dir: str, k: int = 80, num_partitions: int = 8
     a vacuous gate); the SQL twin unrolls the peeling rounds as CTEs
     (bounded: the gate data converges in ≤5)."""
     g = build_part_graph(sf_dir, num_partitions)
-    return algorithms.kcore_pool(g, k)
+    return _vid_schema_stable(algorithms.kcore_pool(g, k))
 
 
 def q_part_hits(sf_dir: str, num_partitions: int = 8, iters: int = 10
@@ -482,7 +493,7 @@ def q_part_kshell(sf_dir: str, k: int = 65,
     distributed anti-join (algorithms.kshell_pool) — no per-round
     driver degree tables."""
     g = build_part_graph(sf_dir, num_partitions)
-    return algorithms.kshell_pool(g, k)
+    return _vid_schema_stable(algorithms.kshell_pool(g, k))
 
 
 def q_part_attr_assortativity(sf_dir: str) -> pd.DataFrame:
@@ -614,6 +625,90 @@ def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     src = min(b["vid"].min() for b in
               part_vertices(sf_dir).iter_batches(batch_format="pandas"))
     state, _ = algorithms.sssp(g, source=int(src))
+
+    def finite(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_finite(t.column("distance")))
+
+    return state.map_batches(finite, batch_format="pyarrow")
+
+
+# ------------------------------------- multi-label property graph gate
+
+def labeled_buys_edges(sf_dir: str) -> ray.data.Dataset:
+    """customer→supplier 'buys_from' edge label: (o_custkey, l_suppkey)
+    pairs from high-quantity lineitems (l_quantity > 45 keeps the
+    labeled graph sparse — several WCC components plus isolated
+    vertices at gate scale); weight = qualifying lineitem count per
+    pair."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.stages.relational import grouped_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_quantity"), 45))
+        .drop_columns(["l_quantity"]), batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return grouped_agg(j, ["o_custkey", "l_suppkey"],
+                       {"weight": (None, "size")})
+
+
+def build_labeled_graph(sf_dir: str, num_partitions: int = 8):
+    """Two-label property graph (customer, supplier) with one weighted
+    edge label — the gate instance of the reference's labeled-fragment
+    apps (apps/property/wcc_property.h, sssp_property.h). Session-
+    cached like the part pools."""
+    from graphscope_ray.pipelines.property import build_property_graph
+
+    key = (sf_dir, num_partitions, "labeled")
+    pg = _GRAPH_CACHE.get(key)
+    if pg is not None and _pool_alive(pg.graph):
+        return pg
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    pg = build_property_graph(
+        {"customer": (cust, "c_custkey"), "supplier": (supp, "s_suppkey")},
+        {"buys_from": {"ds": labeled_buys_edges(sf_dir),
+                       "src_label": "customer", "dst_label": "supplier",
+                       "src": "o_custkey", "dst": "l_suppkey",
+                       "weight": "weight"}},
+        num_partitions=num_partitions, directed=False,
+    )
+    _GRAPH_CACHE[key] = pg
+    return pg
+
+
+def q_part_wcc_labeled(sf_dir: str, num_partitions: int = 8
+                       ) -> ray.data.Dataset:
+    """Labeled WCC (wcc_property.h:25-228): per-label (label, vid,
+    component) rows; component = min member gid under the label-stride
+    encoding (SQL twin computes the identical encoding)."""
+    from graphscope_ray.pipelines.property import wcc_property
+
+    return wcc_property(build_labeled_graph(sf_dir, num_partitions))[0]
+
+
+def q_part_sssp_labeled(sf_dir: str, num_partitions: int = 8
+                        ) -> ray.data.Dataset:
+    """Labeled weighted SSSP (sssp_property.h:43-210) from the min
+    customer key; finite rows only."""
+    from graphscope_ray.pipelines.property import sssp_property
+
+    pg = build_labeled_graph(sf_dir, num_partitions)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    src = min(b["c_custkey"].min()
+              for b in cust.iter_batches(batch_format="pandas"))
+    state, _ = sssp_property(pg, "customer", int(src))
 
     def finite(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -487,6 +487,49 @@ class GraphShard:
         self._frontier[pos] = True
         return int(len(pos))
 
+    def dist_warm_ingest(self, table: pa.Table) -> int:
+        """Buffer (vid, dist) warm-start rows (sssp_property_append's
+        IncEval-from-old-fixpoint: the pre-append distances)."""
+        if not hasattr(self, "_warm"):
+            self._warm = []
+        self._warm.append((
+            table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64),
+            table.column("dist").to_numpy(zero_copy_only=False).astype(
+                np.float64),
+        ))
+        return table.num_rows
+
+    def dist_warm_roots(self, table: pa.Table) -> int:
+        """Buffer frontier seed vids (the appended arcs' src endpoints)."""
+        if not hasattr(self, "_warm_roots"):
+            self._warm_roots = []
+        self._warm_roots.append(
+            table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64))
+        return table.num_rows
+
+    def dist_warm_seal(self) -> int:
+        """state <- buffered distances (INF where absent); frontier <-
+        buffered roots with finite distance (only they can relax their
+        new out-arcs; everything else is already at the old fixpoint)."""
+        self.state = np.full(self.n_local, INF, dtype=np.float64)
+        for vids, dists in getattr(self, "_warm", []):
+            pos = np.searchsorted(self.local, vids)
+            ok = pos < self.n_local
+            pos, d = pos[ok], dists[ok]
+            hit = self.local[pos] == vids[ok]
+            self.state[pos[hit]] = d[hit]
+        self._warm = []
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        for vids in getattr(self, "_warm_roots", []):
+            pos = np.searchsorted(self.local, vids)
+            ok = pos < self.n_local
+            pos = pos[ok]
+            hit = self.local[pos] == vids[ok]
+            pos = pos[hit]
+            self._frontier[pos[np.isfinite(self.state[pos])]] = True
+        self._warm_roots = []
+        return int(self._frontier.sum())
+
     def dist_scatter(self, weighted: bool):
         mask = self._frontier[self.e_src_pos]
         vals = self.state[self.e_src_pos] + (self._weights() if weighted else 1.0)
