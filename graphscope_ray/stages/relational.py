@@ -25,6 +25,7 @@ from collections.abc import Callable, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -352,6 +353,139 @@ def path_expand(
     for o in out[1:]:
         res = res.union(o)
     return res
+
+
+def shortest_path_expand(
+    edges: ray.data.Dataset,
+    starts: ray.data.Dataset,
+    weight_col: str | None = None,
+    agg: str = "sum",
+    max_hops: int | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE ShortestPathExpand (algebra.proto:359-384): per (start, end)
+    pair the minimum path weight, where each edge contributes its
+    ``weight_col`` value combined by ``agg`` (SUM / MAX / MIN / MUL —
+    the proto's WeightCal.Aggregate; AVG lacks optimal substructure and
+    is rejected). ``weight_col=None`` falls back to path length (the
+    proto's default weight), i.e. min-hop :func:`path_expand` EndV
+    semantics with the hop count as the weight.
+
+    Distributed multi-source Bellman-Ford over Datasets: each round
+    extends the improved frontier through the arc table (one cogroup
+    shuffle), reduces candidates to their per-(start, end) minimum, and
+    keeps only entries that beat the best-so-far table (a second
+    bucketed shuffle). Rounds are bounded by ``max_hops`` when the
+    proto's hop_range sets one.  MUL assumes weights >= 1 (monotone
+    combine — same contract the reference's dijkstra-style traversal
+    needs for correctness).  ``starts`` has one ``vid`` column; output
+    (start, end, weight) excludes the trivial (s, s, 0) rows."""
+    if agg not in ("sum", "max", "min", "mul"):
+        raise ValueError(
+            f"ShortestPathExpand aggregate {agg!r} unsupported: AVG has "
+            "no optimal substructure (algebra.proto:362-367)")
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    arcs = edges.select_columns(cols)
+    if weight_col:
+        arcs = arcs.map_batches(
+            lambda t: pa.table({
+                "src": t.column("src").cast(pa.int64()),
+                "dst": t.column("dst").cast(pa.int64()),
+                "_we": t.column(weight_col).cast(pa.float64()),
+            }), batch_format="pyarrow")
+    else:
+        arcs = arcs.map_batches(
+            lambda t: pa.table({
+                "src": t.column("src").cast(pa.int64()),
+                "dst": t.column("dst").cast(pa.int64()),
+                "_we": pa.array(np.ones(t.num_rows, np.float64)),
+            }), batch_format="pyarrow")
+
+    frontier = starts.map_batches(
+        lambda t: pa.table({
+            "start": t.column("vid").cast(pa.int64()),
+            "cur": t.column("vid").cast(pa.int64()),
+            "w": pa.array(np.zeros(t.num_rows, np.float64)),
+        }), batch_format="pyarrow").materialize()
+    best = frontier
+
+    def combine(w: pd.Series, we: pd.Series) -> pd.Series:
+        if agg == "sum":
+            return w + we
+        if agg == "max":
+            return np.maximum(w, we)
+        if agg == "min":
+            # seed rows carry w=0; a path's weight is the min EDGE
+            # weight, so the first hop takes the edge value itself
+            return np.where(w > 0, np.minimum(w, we), we)
+        return np.where(w > 0, w * we, we)  # mul
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        # g: candidate rows (_s=0) + current best rows (_s=1) for a
+        # bucket of (start, cur) pairs — one pass emits the NEW best
+        # per pair with an _imp flag on improvements (the next
+        # frontier), so each round costs one shuffle, not three
+        cand = g[g["_s"] == 0]
+        cm = (cand.groupby(["start", "cur"], sort=False)["w"].min()
+              .reset_index())
+        cur = g[g["_s"] == 1][["start", "cur", "w"]].rename(
+            columns={"w": "_bw"})
+        m = cm.merge(cur, on=["start", "cur"], how="outer")
+        imp = m["_bw"].isna() | (m["w"] < m["_bw"])
+        w_new = np.where(imp, m["w"].to_numpy(np.float64),
+                         m["_bw"].to_numpy(np.float64))
+        # pairs present only in `cur` (no candidate) pass through
+        only_old = m["w"].isna()
+        w_new = np.where(only_old, m["_bw"].to_numpy(np.float64), w_new)
+        imp = imp & ~only_old
+        return pd.DataFrame({
+            "start": m["start"].to_numpy(np.int64),
+            "cur": m["cur"].to_numpy(np.int64),
+            "w": w_new,
+            "_imp": imp.to_numpy(np.int8)})
+
+    hop = 0
+    while True:
+        hop += 1
+        if max_hops is not None and hop > max_hops:
+            break
+        ext = cogroup_join(frontier, arcs, on="cur", right_on="src",
+                           num_buckets=num_buckets)
+        cand = ext.map_batches(
+            lambda t: pa.table({
+                "start": t.column("start"),
+                "cur": t.column("dst").cast(pa.int64()),
+                "w": pa.array(combine(
+                    t.column("w").to_pandas(),
+                    t.column("_we").to_pandas()).astype(np.float64)),
+                "_s": pa.array(np.zeros(t.num_rows, np.int8)),
+            }), batch_format="pyarrow")
+        tagged = cand.union(best.map_batches(
+            lambda t: pa.table({
+                "start": t.column("start"), "cur": t.column("cur"),
+                "w": t.column("w"),
+                "_s": pa.array(np.ones(t.num_rows, np.int8)),
+            }), batch_format="pyarrow"))
+        merged = bucketed_group_apply(
+            tagged, ["start", "cur"], relax, num_buckets).materialize()
+        frontier = merged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("_imp"), 1))
+            .drop_columns(["_imp"]), batch_format="pyarrow")
+        best = merged.map_batches(
+            lambda t: t.drop_columns(["_imp"]), batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.invert(pc.equal(t.column("start"), t.column("cur")))
+        t = t.filter(keep)
+        return pa.table({"start": t.column("start"),
+                         "end": t.column("cur"),
+                         "weight": t.column("w")})
+
+    return best.map_batches(finish, batch_format="pyarrow")
 
 
 def apply_correlate(
