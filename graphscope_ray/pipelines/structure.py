@@ -85,8 +85,8 @@ def _tri_deg(edges: ray.data.Dataset,
     path co-groups the vertex-scale triangle and degree tables with no
     driver-side vertex state."""
     canon = _canonical_edges(edges).materialize()
-    tri = triangle_counts(canon.rename_columns({"u": "src", "v": "dst"}),
-                          broadcast_degrees=broadcast)
+    tri = triangle_counts(canon, broadcast_degrees=broadcast,
+                          pre_canonical=True)
     deg = degree_table(canon, mode="both", src="u", dst="v").materialize()
     if broadcast is None:
         broadcast = deg.count() <= BROADCAST_LIMIT_ROWS

@@ -57,18 +57,40 @@ def _canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 BROADCAST_LIMIT_ROWS = 20_000_000  # vertex table rows; ≈300 MB broadcast
+# oriented-CSR broadcast cap (edge rows): vkeys int64 + indptr int64 +
+# int32 neighbor indices ≈ 100 MB at the cap — same object-store weight
+# class as the degree broadcast above
+CSR_BROADCAST_LIMIT_ROWS = 20_000_000
 
 
 def triangle_counts(edges: ray.data.Dataset,
-                    broadcast_degrees: bool | None = None) -> ray.data.Dataset:
+                    broadcast_degrees: bool | None = None,
+                    pre_canonical: bool = False) -> ray.data.Dataset:
     """(src, dst) Dataset → (vid, triangles) Dataset (exact, undirected).
 
     ``broadcast_degrees``: True ships the vertex-degree table once via
     ``ray.put`` (fast, O(V) driver+task heap); False attaches degrees
     with two bucketed shuffle joins and carries them through the wedge
     stage (no vertex-scale driver state — the >1e8-vertex path). None
-    auto-selects by vertex count (BROADCAST_LIMIT_ROWS)."""
-    canon = _canonical_edges(edges).materialize()
+    auto-selects by vertex count (BROADCAST_LIMIT_ROWS).
+
+    Within the broadcast regime a second auto-select applies: when the
+    oriented edge list also fits CSR_BROADCAST_LIMIT_ROWS, wedges are
+    never materialized — each task intersects the sorted out-neighbor
+    lists of an edge's endpoints against a broadcast CSR
+    (compact-forward; same (deg, id) orientation), emitting only
+    per-batch partial counts.  On the sf0.1 co-occurrence graph
+    (20 k vertices / 1.2 M edges / avg degree 120) the wedge pipeline
+    pushed 41 M wedge rows through two shuffles (~31 s); the
+    intersection path shuffles nothing but vertex-count partials.
+
+    ``pre_canonical``: input is already (u, v) canonical + distinct —
+    skip the dedup shuffle (``_tri_deg`` canonicalizes once for both
+    the triangle and degree pipelines)."""
+    if pre_canonical:
+        canon = edges
+    else:
+        canon = _canonical_edges(edges).materialize()
 
     def endpoints(batch: pa.Table) -> pa.Table:
         u = batch.column("u").to_numpy(zero_copy_only=False)
@@ -113,6 +135,10 @@ def triangle_counts(edges: ray.data.Dataset,
 
         oriented = canon.map_batches(orient, batch_format="pyarrow"
                                      ).materialize()
+
+        if oriented.count() <= CSR_BROADCAST_LIMIT_ROWS:
+            hits = _csr_intersect_hits(oriented, deg_df)
+            return _finalize(hits, deg_ds)
     else:
         # shuffle path: two cogroup joins attach endpoint degrees; the
         # wedge-stage orientation then reads the carried db column —
@@ -195,7 +221,14 @@ def triangle_counts(edges: ray.data.Dataset,
         wedges.union(edge_rows), ["x", "y"], close, num_buckets=64
     )
 
-    # --- per-vertex sum + zero rows for triangle-free vertices ----------
+    return _finalize(hits, deg_ds)
+
+
+def _finalize(hits: ray.data.Dataset, deg_ds: ray.data.Dataset
+              ) -> ray.data.Dataset:
+    """Per-vertex sum + zero rows for triangle-free vertices."""
+    from graphscope_ray.stages.relational import grouped_agg
+
     zeros = deg_ds.map_batches(
         lambda t: pa.table({
             "vid": t.column("vid"),
@@ -204,3 +237,49 @@ def triangle_counts(edges: ray.data.Dataset,
     return grouped_agg(
         hits.union(zeros), ["vid"], {"triangles": ("cnt", "sum")}
     )
+
+
+def _csr_intersect_hits(oriented: ray.data.Dataset, deg_df: pd.DataFrame
+                        ) -> ray.data.Dataset:
+    """Compact-forward triangle hits against a broadcast oriented CSR.
+
+    One triangle a→b, a→c, b→c (all arcs oriented low→high by
+    (deg, id)) is found exactly once, at its base edge (a, b), as
+    c ∈ N⁺(a) ∩ N⁺(b); each find increments a, b and c.  Neighbor
+    lists are stored as sorted int32 LOCAL indices so the per-edge
+    ``np.intersect1d(assume_unique=True)`` runs on compact arrays and
+    the per-batch accumulator is one ``np.int64[NV]`` vector; tasks
+    emit only its nonzero (vid, cnt) rows."""
+    vkeys = deg_df["vid"].to_numpy(np.int64)  # sorted by vid
+    nv = len(vkeys)
+
+    odf = oriented.select_columns(["a", "b"]).to_pandas()
+    a_loc = np.searchsorted(vkeys, odf["a"].to_numpy(np.int64))
+    b_loc = np.searchsorted(vkeys, odf["b"].to_numpy(np.int64))
+    order = np.lexsort((b_loc, a_loc))
+    a_s, b_s = a_loc[order], b_loc[order]
+    indptr = np.zeros(nv + 1, np.int64)
+    np.cumsum(np.bincount(a_s, minlength=nv), out=indptr[1:])
+    csr_ref = ray.put((vkeys, indptr, b_s.astype(np.int32)))
+
+    def intersect(batch: pa.Table) -> pa.Table:
+        vk, ptr, nbrs = _resolve(csr_ref)
+        counts = np.zeros(len(vk), np.int64)
+        ia = np.searchsorted(vk, batch.column("a").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        ib = np.searchsorted(vk, batch.column("b").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        for j in range(len(ia)):
+            na = nbrs[ptr[ia[j]]:ptr[ia[j] + 1]]
+            nb = nbrs[ptr[ib[j]]:ptr[ib[j] + 1]]
+            w = np.intersect1d(na, nb, assume_unique=True)
+            if w.size:
+                counts[ia[j]] += w.size
+                counts[ib[j]] += w.size
+                counts[w] += 1  # w is unique → fancy-index increment
+        nz = np.nonzero(counts)[0]
+        return pa.table({"vid": pa.array(vk[nz], pa.int64()),
+                         "cnt": pa.array(counts[nz], pa.int64())})
+
+    return oriented.select_columns(["a", "b"]).map_batches(
+        intersect, batch_format="pyarrow")
