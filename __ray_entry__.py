@@ -8,10 +8,11 @@ training-data ops: dedup family, ANN, text analysis, multimodal).
 expressed as unrolled CTE chains (PageRank, CDLP, HITS, Katz,
 eigenvector, k-core/k-shell peeling, Bellman-Ford SSSP, VoteRank
 elections, LPAU2I) or recursive CTEs (WCC, BFS, APSP, BFS-path
-reconstruction); the remaining rows-only entries (Brandes sweeps,
-serial DFS, seeded sampling, MinHash/SimHash/LSH hash pipelines,
-Louvain) have no tractable SQL twin and are pinned against
-networkx/pandas oracles in pytest instead.
+reconstruction); SimHash/fingerprint run md5-interchange twins. The
+remaining rows-only entries (Brandes sweeps, serial DFS, seeded
+sampling, sip-hash MinHash/LSH pipelines, Louvain) have no tractable
+SQL twin and are pinned against networkx/pandas oracles in pytest
+instead.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init/shutdown here or in the library.
@@ -78,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_edge_boundary": sf_graph.q_part_edge_boundary,
         "part_kcore": sf_graph.q_part_kcore,
         "part_kshell": sf_graph.q_part_kshell,
-        "part_betweenness": sf_graph.q_part_betweenness,
         "part_apsp": sf_graph.q_part_apsp,
         "part_bfs_path": sf_graph.q_part_bfs_path,
         "part_attr_assortativity": sf_graph.q_part_attr_assortativity,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang": textproc.q_doc_lang,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
+        "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
         "multimodal_meta": textproc.q_multimodal_meta,
@@ -125,8 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as before.
         "part_sssp_path": sf_graph.q_part_sssp_path,
         "part_sampling_path": sf_graph.q_part_sampling_path,
+        "part_betweenness": sf_graph.q_part_betweenness,
         "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
-        "doc_simhash": textproc.q_doc_simhash,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
     }
 
@@ -905,8 +906,30 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       >= 0.4""",
-        # doc_minhash_pairs / doc_simhash / embedding_neardup_lsh:
-        # rows-only (hash pipelines with no faithful SQL twin)
+        # doc_minhash_pairs / embedding_neardup_lsh: rows-only (sip-hash
+        # pipelines with no faithful SQL twin)
+        "doc_simhash": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, CAST(md5_number_lower(tok) AS HUGEINT) AS h FROM toks),
+n AS (SELECT doc_id, count(*) AS cnt FROM th GROUP BY doc_id),
+votes AS (
+  SELECT th.doc_id, b.b,
+         count(*) FILTER (((th.h >> b.b) & 1) = 1) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY th.doc_id, b.b),
+sh AS (
+  SELECT v.doc_id,
+         sum(CASE WHEN 2 * v.v > n.cnt
+                  THEN CAST(1 AS HUGEINT) << v.b ELSE 0 END) AS u
+  FROM votes v JOIN n ON n.doc_id = v.doc_id GROUP BY v.doc_id)
+SELECT d.doc_id,
+       COALESCE(CAST(((sh.u + CAST('9223372036854775808' AS HUGEINT))
+              % CAST('18446744073709551616' AS HUGEINT))
+              - CAST('9223372036854775808' AS HUGEINT) AS BIGINT), 0)
+         AS simhash
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
            ORDER BY vec_id LIMIT 5)

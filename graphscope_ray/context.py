@@ -29,3 +29,14 @@ def tune_for_session(quiet: bool = True) -> None:
     if quiet:
         ctx.enable_progress_bars = False
         logging.getLogger("ray.data").setLevel(logging.WARNING)
+
+
+def pool(n: int) -> tuple[int, int]:
+    """Actor-pool sizing for ``map_batches(Cls, concurrency=...)``:
+    autoscale from 1 up to ``n``. A FIXED pool of n actors each holding
+    1 CPU deadlocks streaming execution when n equals the cluster CPU
+    count (the pool's reserved actors leave no slot for the upstream
+    read/downstream consume tasks — observed as a silent stall at
+    ``ray.init(num_cpus=4)`` with ``concurrency=4``); a (1, n) range
+    lets the pool start small and grow only while CPUs are free."""
+    return (1, max(1, n))

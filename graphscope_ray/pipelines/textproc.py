@@ -100,7 +100,10 @@ def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:
-    return simhash_table(_docs(sf_dir), concurrency=4)
+    """md5-hash variant so the gate has an interchange-exact DuckDB
+    twin (md5_number_lower bit votes); the default sip-hash kernel is
+    the throughput path and stays pinned in pytest."""
+    return simhash_table(_docs(sf_dir), concurrency=4, hash_fn="md5")
 
 
 def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from graphscope_ray.context import pool
+
 from graphscope_ray.functions.hashing import (
     hash64_ints,
     hash64_strings,
@@ -161,7 +163,7 @@ def minhash_lsh_pairs(
         fn_constructor_args=(text_col, id_col, shingle_k, num_perm, bands),
         batch_format="pandas",
         batch_size=1024,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
     from graphscope_ray.stages.relational import bucketed_group_apply
@@ -312,13 +314,29 @@ def verify_jaccard_pairs(
 
 
 class SimHasher:
-    """64-bit simhash per doc (token-hash bit voting), actor-pool stage."""
+    """64-bit simhash per doc (token-hash bit voting), actor-pool stage.
 
-    def __init__(self, text_col: str, id_col: str):
-        self.text_col, self.id_col = text_col, id_col
+    ``hash_fn="sip"`` (default) hashes tokens with the engine-wide
+    vectorized 64-bit hash; ``"md5"`` uses the md5-lower-8-bytes hash
+    shared with ``fingerprint64`` — slower, but reproducible in DuckDB
+    via ``md5_number_lower`` (the doc_simhash oracle twin)."""
+
+    def __init__(self, text_col: str, id_col: str, hash_fn: str = "sip"):
+        self.text_col, self.id_col, self.hash_fn = text_col, id_col, hash_fn
+
+    def _hashes(self, texts: pd.Series):
+        if self.hash_fn == "md5":
+            from graphscope_ray.functions.text import (
+                _flat_tokens,
+                _md5_lower64,
+            )
+
+            flat, starts = _flat_tokens(texts)
+            return _md5_lower64(flat), starts
+        return _flat_token_hashes(texts)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        h, starts = _flat_token_hashes(batch[self.text_col])
+        h, starts = self._hashes(batch[self.text_col])
         lengths = np.diff(starts)
         nonempty = lengths > 0
         out = np.zeros(len(batch), dtype=np.uint64)
@@ -340,11 +358,11 @@ class SimHasher:
 
 def simhash_table(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
-    concurrency: int = 4,
+    concurrency: int = 4, hash_fn: str = "sip",
 ) -> ray.data.Dataset:
     return ds.map_batches(
-        SimHasher, fn_constructor_args=(text_col, id_col),
-        batch_format="pandas", batch_size=2048, concurrency=concurrency,
+        SimHasher, fn_constructor_args=(text_col, id_col, hash_fn),
+        batch_format="pandas", batch_size=2048, concurrency=pool(concurrency),
     )
 
 

@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from graphscope_ray.context import pool
+
 
 def attach_media_meta(ds: ray.data.Dataset, payload_col: str = "payload"
                       ) -> ray.data.Dataset:
@@ -76,7 +78,7 @@ def decode_images(
     """Small batches × small pool: binary payloads are heavy rows."""
     return ds.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 
@@ -113,7 +115,7 @@ def resize_images(ds: ray.data.Dataset, src_side: int = 8, dst_side: int = 4,
         ImageResizer, fn_constructor_kwargs={"src_side": src_side,
                                              "dst_side": dst_side},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 
@@ -152,7 +154,7 @@ def sample_frames(ds: ray.data.Dataset, n_frames: int = 4,
     return ds.map_batches(
         FrameSampler, fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )
 
 
@@ -188,5 +190,5 @@ def extract_audio_features(ds: ray.data.Dataset, n_windows: int = 8,
     return ds.map_batches(
         AudioFeaturizer, fn_constructor_kwargs={"n_windows": n_windows},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=pool(concurrency),
     )

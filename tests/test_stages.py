@@ -70,6 +70,25 @@ def test_simhash(docs_df):
     assert ham <= 8                              # near dup -> close simhash
 
 
+def test_simhash_md5_duckdb_twin(docs_df):
+    """The md5-hash SimHasher variant (gate path) is interchange-exact
+    with the doc_simhash DuckDB oracle on arbitrary text."""
+    from graphscope_ray.stages.dedup import SimHasher
+
+    import __ray_entry__ as entrymod
+
+    got = (SimHasher("text", "doc_id", "md5")(docs_df)
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+    want = con.sql(entrymod.oracle_sql()["doc_simhash"]).df() \
+              .sort_values("doc_id").reset_index(drop=True)
+    assert (got["simhash"].to_numpy() == want["simhash"].to_numpy()).all()
+    # empty doc -> 0 on both sides
+    empty = pd.DataFrame({"doc_id": [7], "text": [""]})
+    assert SimHasher("text", "doc_id", "md5")(empty)["simhash"].iloc[0] == 0
+
+
 def test_embedding_neardup():
     rng = np.random.default_rng(5)
     V = rng.standard_normal((50, 16))
