@@ -713,3 +713,32 @@ def _dist_loop(graph, sources, weighted, max_iter, col):
         if changed == 0:
             break
     return graph.state_dataset(col), _metrics(rounds, graph.n_edges)
+
+
+def run_vertex_program(
+    graph: ShardedGraph,
+    program,
+    max_iter: int = 100,
+    col: str = "value",
+):
+    """Generic superstep driver for user ``VertexProgram``s (the §2.7
+    user-extension surface; functions/vertex_program.py). Runs the same
+    fused scatter→exchange→apply wave as the builtins: one RPC wave per
+    round, driver syncs only on the (delta, global-scalar) partials.
+
+    Returns ``(state_dataset(vid, col), metrics)`` — identical contract
+    to every builtin algorithm."""
+    g = sum(graph.call_all("vp_init", program, graph.n_vertices))
+    rounds = []
+    refs = graph.step_refs("vp_step", g)  # round-0 scatter
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        refs = graph.step_refs("vp_step", g, inbox=refs)
+        parts = graph.step_scalars(refs)
+        delta = sum(p[0] for p in parts)
+        g = sum(p[1] for p in parts)
+        rounds.append({"round": it, "delta": delta,
+                       "seconds": time.perf_counter() - t0})
+        if program.converged(delta, graph.n_vertices, it):
+            break
+    return graph.state_dataset(col), _metrics(rounds, graph.n_edges)

@@ -1103,6 +1103,52 @@ class GraphShard:
     def _msgs_tuple(self, msgs):
         return tuple(msgs) if self.P > 1 else (msgs,)
 
+    # --------------------------------------- generic user vertex program
+    # The §2.7 user-extension surface: a cloudpickled VertexProgram
+    # (functions/vertex_program.py) runs on the same fused
+    # scatter→combine→exchange→apply wave as the builtins.
+    _VP_OPS = {"add": np.add, "min": np.minimum, "max": np.maximum}
+
+    def vp_init(self, program, n_total: int) -> float:
+        from graphscope_ray.functions.vertex_program import VPContext
+
+        self._vp = program
+        self._vp_ctx = VPContext(
+            vids=self.local, out_deg=self.out_deg,
+            n_local=self.n_local, n_total=n_total, fid=self.fid,
+        )
+        self.state = np.asarray(program.init(self._vp_ctx))
+        return float(program.reduce(self.state, self._vp_ctx))
+
+    def vp_step(self, g: float, *inbox):
+        p, ctx = self._vp, self._vp_ctx
+        op = self._VP_OPS[p.combine]
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, p.msg_dtype))
+            acc = np.full(self.n_local, p.identity, dtype=self.state.dtype)
+            has = np.zeros(self.n_local, dtype=bool)
+            if len(dst):
+                u, s = _group_reduce(dst, val, op)
+                idx = np.searchsorted(self.local, u)
+                acc[idx] = s
+                has[idx] = True
+            new = np.asarray(p.apply(self.state, acc, has, g, ctx),
+                             dtype=self.state.dtype)
+            if new.dtype.kind == "f":
+                delta = float(np.abs(new - self.state).sum())
+            else:
+                delta = float((new != self.state).sum())
+            self.state = new
+        else:
+            delta = float("inf")  # round-0 scatter: no inbox yet
+        vals = np.asarray(p.emit(self.state, ctx), dtype=p.msg_dtype)
+        per_edge = vals[self.e_src_pos]
+        if p.use_weights:
+            per_edge = per_edge * self._weights()
+        scal = (delta, float(p.reduce(self.state, ctx)))
+        return self._msgs_tuple(self._emit_per_part(None, per_edge, op)) \
+            + (scal,)
+
     def pagerank_step(self, base: float, alpha: float, *inbox):
         scal = self.pagerank_apply(base, alpha, *inbox) if inbox else (0.0, 0.0)
         return self._msgs_tuple(self.pagerank_scatter()) + (scal,)
