@@ -176,3 +176,92 @@ def lpa_u2i(
         ulab = bucketed_group_apply(parts, ["u"], combine, num_buckets
                                     ).materialize()
     return ulab
+
+
+def lpa_u2i_pool(
+    edges: ray.data.Dataset,
+    u_labels: ray.data.Dataset,
+    rounds: int = 3,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """BSP restatement of :func:`lpa_u2i` on the GraphShard actor pool
+    — identical semantics (pytest pins both to 1e-9), ~15× less fixed
+    overhead at small scale and the same scatter/exchange/apply waves
+    as every builtin at large scale.
+
+    u/i vertices share one id space by parity (u→2u even, i→2i+1 odd);
+    forward arcs u→i are dir=0, mirror arcs i→u dir=1 (the bidi build's
+    shard-direct reverse exchange carries the weights). Each round is
+    two fused waves; ond(u)=Σ indeg(i) is two waves once up front."""
+    from graphscope_ray.functions.hashing import partition_of
+    from graphscope_ray.state.graph import _route_groups, build_graph
+
+    def enc_edges(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        i = np.asarray(t.column("i").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({
+            "src": pa.array(2 * u, pa.int64()),
+            "dst": pa.array(2 * i + 1, pa.int64()),
+            "weight": t.column("weight").cast(pa.float64()),
+        })
+
+    arcs = edges.map_batches(enc_edges, batch_format="pyarrow")
+
+    def enc_u_verts(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"vid": pa.array(2 * u, pa.int64())})
+
+    def enc_i_verts(t: pa.Table) -> pa.Table:
+        i = np.asarray(t.column("i").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        return pa.table({"vid": pa.array(2 * i + 1, pa.int64())})
+
+    verts = (
+        u_labels.map_batches(enc_u_verts, batch_format="pyarrow")
+        .union(grouped_agg(edges.select_columns(["i"]), ["i"],
+                           {"n": (None, "size")})
+               .map_batches(enc_i_verts, batch_format="pyarrow"))
+    )
+    g = build_graph(arcs, num_partitions=num_partitions, directed=True,
+                    with_reverse=True, extra_vertices=verts)
+
+    def enc_seed(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        vid = 2 * u
+        return pa.table({
+            "vid": pa.array(vid, pa.int64()),
+            "label": t.column("label").cast(pa.float64()),
+            "_fid": pa.array(partition_of(vid, g.P), pa.int64()),
+        })
+
+    _route_groups(u_labels.map_batches(enc_seed, batch_format="pyarrow"),
+                  g.shards, "_fid",
+                  lambda shard, tab: shard.lpa_seed.remote(tab))
+    g.call_all("lpa_seal")
+
+    refs = g.step_refs("lpa_ond_start")
+    refs = g.step_refs("lpa_ond_mid", inbox=refs)
+    g.apply_all("lpa_ond_apply", refs)
+
+    refs = g.step_refs("lpa_scatter_u")
+    for r in range(rounds):
+        refs = g.step_refs("lpa_i_step", inbox=refs)
+        refs = g.step_refs("lpa_u_step", r < rounds - 1, inbox=refs)
+    g.step_scalars(refs)  # sync the last wave before reading state
+
+    def dec(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vid").to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        keep = (vid % 2) == 0
+        return pa.table({
+            "u": pa.array(vid[keep] // 2, pa.int64()),
+            "label": pa.array(np.asarray(
+                t.column("label").to_numpy(zero_copy_only=False),
+                dtype=np.float64)[keep]),
+        })
+
+    return g.state_dataset("label").map_batches(dec, batch_format="pyarrow")

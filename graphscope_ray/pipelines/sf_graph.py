@@ -592,9 +592,13 @@ def bipartite_customer_part_edges(sf_dir: str) -> ray.data.Dataset:
 def q_lpa_u2i(sf_dir: str, rounds: int = 2) -> ray.data.Dataset:
     """Bipartite weighted LPA (gs::LPAU2I) on the customer→part graph:
     seeds label 0 (BUILDING) / 1 (MACHINERY), 0.5 elsewhere; returns
-    (u, label) after ``rounds`` u2i/i2u pairs, 6dp fixed strings."""
+    (u, label) after ``rounds`` u2i/i2u pairs, 6dp fixed strings.
+
+    Runs the pool BSP implementation (same semantics as the Dataset
+    one — both pinned to the pure-python oracle in pytest; ~15× less
+    fixed shuffle overhead at gate scale)."""
     from graphscope_ray.functions.format import fixed_cols
-    from graphscope_ray.pipelines.lpa_u2i import lpa_u2i
+    from graphscope_ray.pipelines.lpa_u2i import lpa_u2i_pool as lpa_u2i
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])

@@ -1149,6 +1149,97 @@ class GraphShard:
         return self._msgs_tuple(self._emit_per_part(None, per_edge, op)) \
             + (scal,)
 
+    # ------------------------------------------------- bipartite LPAU2I
+    # BSP restatement of gs::LPAU2I (apps/lpa/lpa_u2i.h:30-250) on a
+    # parity-encoded bidi graph: u-vertices = 2·u (even), i-vertices =
+    # 2·i+1 (odd); forward arcs u→i carry dir=0, mirror arcs i→u dir=1
+    # with the same weights. Each half-step is one fused wave.
+
+    def lpa_seed(self, table: pa.Table) -> int:
+        """Buffer routed (vid, label) seed rows (u side)."""
+        if not hasattr(self, "_lpa_buf"):
+            self._lpa_buf = []
+        self._lpa_buf.append((
+            np.asarray(table.column("vid").to_numpy(zero_copy_only=False),
+                       dtype=np.int64),
+            np.asarray(table.column("label").to_numpy(zero_copy_only=False),
+                       dtype=np.float64),
+        ))
+        return table.num_rows
+
+    def lpa_seal(self) -> int:
+        vids = (np.concatenate([b[0] for b in self._lpa_buf])
+                if getattr(self, "_lpa_buf", None) else np.empty(0, np.int64))
+        labs = (np.concatenate([b[1] for b in self._lpa_buf])
+                if getattr(self, "_lpa_buf", None) else np.empty(0, np.float64))
+        self._lpa_buf = []
+        self.state = np.zeros(self.n_local, dtype=np.float64)
+        if len(vids):
+            self.state[np.searchsorted(self.local, vids)] = labs
+        self._lpa_ond = np.zeros(self.n_local, dtype=np.float64)
+        return int(len(vids))
+
+    def _lpa_emit(self, dirbit: int, weighted: bool):
+        vals = self.state[self.e_src_pos]
+        if weighted:
+            vals = vals * self._weights()
+        return self._emit_per_part(self.e_dir == dirbit, vals, np.add)
+
+    def _lpa_acc(self, inbox) -> np.ndarray:
+        dst, val = _concat_msgs(inbox, (np.int64, np.float64))
+        acc = np.zeros(self.n_local, dtype=np.float64)
+        if len(dst):
+            u, s = _group_reduce(dst, val, np.add)
+            acc[np.searchsorted(self.local, u)] = s
+        return acc
+
+    def lpa_ond_start(self):
+        """indeg(i) = Σ 1 along forward arcs."""
+        ones = np.ones(len(self.e_dst), dtype=np.float64)
+        return self._msgs_tuple(
+            self._emit_per_part(self.e_dir == 0, ones, np.add)) + (0.0,)
+
+    def lpa_ond_mid(self, *inbox):
+        """Stash indeg at i; push it back along mirror arcs (unweighted)
+        so u accumulates ond(u) = Σ_{i∈out(u)} indeg(i)."""
+        indeg = self._lpa_acc(inbox)
+        return self._msgs_tuple(self._emit_per_part(
+            self.e_dir == 1, indeg[self.e_src_pos], np.add)) + (0.0,)
+
+    def lpa_ond_apply(self, *inbox) -> int:
+        self._lpa_ond = self._lpa_acc(inbox)
+        return self.n_local
+
+    def lpa_scatter_u(self):
+        """Round-0 scatter: u labels · w along forward arcs."""
+        return self._msgs_tuple(self._lpa_emit(0, True)) + (0.0,)
+
+    def lpa_i_step(self, *inbox):
+        """u2i apply (i.label = Σ u_label·w, lpa_u2i.h:167-186) fused
+        with the i2u scatter (i.label·w along mirror arcs)."""
+        new_i = self._lpa_acc(inbox)
+        imask = (self.local % 2) == 1
+        self.state = np.where(imask, new_i, self.state)
+        return self._msgs_tuple(self._lpa_emit(1, True)) + (0.0,)
+
+    def lpa_u_step(self, scatter: bool, *inbox):
+        """i2u apply (lpa_u2i.h:188-236): exact-0/1 labels pinned,
+        else label' = (tmp − outdeg·label)/(ond − outdeg), unchanged on
+        zero denominator; fused with the next round's u2i scatter."""
+        tmp = self._lpa_acc(inbox)
+        lab = self.state
+        od = self.out_deg.astype(np.float64)
+        denom = self._lpa_ond - od
+        upd = (((self.local % 2) == 0) & (lab != 0.0) & (lab != 1.0)
+               & (denom != 0.0))
+        new = lab.copy()
+        new[upd] = (tmp[upd] - od[upd] * lab[upd]) / denom[upd]
+        self.state = new
+        if scatter:
+            return self._msgs_tuple(self._lpa_emit(0, True)) + (0.0,)
+        empty = [None] * self.P if self.P > 1 else None
+        return self._msgs_tuple(empty) + (0.0,)
+
     def pagerank_step(self, base: float, alpha: float, *inbox):
         scal = self.pagerank_apply(base, alpha, *inbox) if inbox else (0.0, 0.0)
         return self._msgs_tuple(self.pagerank_scatter()) + (scal,)

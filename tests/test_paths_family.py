@@ -134,3 +134,14 @@ def test_lpa_u2i_vs_reference_semantics():
     want = oracle(3)
     for u in us:
         assert got[u] == pytest.approx(want[u], abs=1e-9), u
+
+    # the pool BSP twin matches the same oracle (and hence the Dataset
+    # implementation) at several partition counts
+    from graphscope_ray.pipelines.lpa_u2i import lpa_u2i_pool
+
+    for P in (1, 3):
+        gotp = lpa_u2i_pool(eds, ul, rounds=3, num_partitions=P
+                            ).to_pandas().set_index("u")["label"].to_dict()
+        assert set(gotp) == set(want)
+        for u in us:
+            assert gotp[u] == pytest.approx(want[u], abs=1e-9), (P, u)
