@@ -26,12 +26,22 @@ from graphscope_ray.pipelines.triangles import triangle_counts
 from graphscope_ray.state.graph import ShardedGraph, build_graph
 
 
+_EDGES_CACHE: dict[str, ray.data.Dataset] = {}
+
+
 def part_cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
     """(src, dst, weight) with src < dst: parts sharing an order.
 
     One groupby(order) shuffle; per-order pair emission is quadratic in
     the order's distinct-part count, which TPC-H bounds at 7 lines —
-    document the cap assumption for other inputs."""
+    document the cap assumption for other inputs.
+
+    Materialized once per session (object-store blocks, no driver
+    state): ~10 gate queries consume this table and each re-derivation
+    is a full bucketed shuffle (~5-8 s at sf0.1)."""
+    ds = _EDGES_CACHE.get(sf_dir)
+    if ds is not None:
+        return ds
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
@@ -49,17 +59,28 @@ def part_cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
 
     from graphscope_ray.stages.relational import grouped_agg
 
-    return grouped_agg(
+    ds = grouped_agg(
         bucketed_group_apply(li, ["l_orderkey"], pairs, num_buckets=64),
         ["src", "dst"], {"weight": (None, "size")},
-    )
+    ).materialize()
+    _EDGES_CACHE[sf_dir] = ds
+    return ds
+
+
+_VERTS_CACHE: dict[str, ray.data.Dataset] = {}
 
 
 def part_vertices(sf_dir: str) -> ray.data.Dataset:
     from graphscope_ray.stages.relational import dedup_first
 
+    ds = _VERTS_CACHE.get(sf_dir)
+    if ds is not None:
+        return ds
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
-    return dedup_first(li, ["l_partkey"]).rename_columns({"l_partkey": "vid"})
+    ds = dedup_first(li, ["l_partkey"]).rename_columns(
+        {"l_partkey": "vid"}).materialize()
+    _VERTS_CACHE[sf_dir] = ds
+    return ds
 
 
 def part_directed_edges(sf_dir: str) -> ray.data.Dataset:

@@ -52,8 +52,21 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
                   ) -> ray.data.Dataset:
     """Join customer⋈orders⋈lineitem, filter segment, revenue per order,
-    top-k by (revenue desc, orderkey asc). Joins are hash-partitioned
-    ``Dataset.join``; the final top-k is a partial-topk + small sort."""
+    top-k by (revenue desc, orderkey asc).
+
+    Shape: pre-aggregate revenue per order FIRST (one grouped sum over
+    lineitem — the only line-scale shuffle), then join the order-scale
+    sides. The customer filter is a semi-join: broadcast keys when the
+    filtered segment fits BROADCAST_LIMIT_ROWS, else a bucketed
+    co-group (the >1e8-customer path); the order⋈revenue join is
+    always a co-group (both sides order-scale). Ray 2.49's native
+    hash-shuffle join added ~8 s of aggregator-actor overhead here."""
+    from graphscope_ray.pipelines.triangles import BROADCAST_LIMIT_ROWS
+    from graphscope_ray.stages.relational import (
+        broadcast_semi_join,
+        cogroup_join,
+    )
+
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
@@ -69,24 +82,25 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    co = orders.join(
-        cust, join_type="inner", num_partitions=8,
-        on=("o_custkey",), right_on=("c_custkey",),
-    )
-    col = li.join(
-        co, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
 
     def revenue(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
 
-    agg = grouped_agg(
-        col.map_batches(revenue, batch_format="pyarrow"),
+    rev_per_order = grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
         ["o_orderkey"], {"revenue": ("revenue", "sum")},
     )
+
+    if cust.count() <= BROADCAST_LIMIT_ROWS:
+        keys = cust.to_pandas()["c_custkey"].to_numpy(np.int64)
+        co = broadcast_semi_join(orders, keys, on="o_custkey")
+    else:
+        co = cogroup_join(orders, cust, on="o_custkey",
+                          right_on="c_custkey")
+    agg = cogroup_join(
+        rev_per_order, co.select_columns(["o_orderkey"]), on="o_orderkey")
     # distributed top-k (partial per-block cut + small sort) — the
     # per-order aggregate is order-scale and must not hit the driver
     top = topk(agg, "revenue", k, descending=True, tiebreak=["o_orderkey"])

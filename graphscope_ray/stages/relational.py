@@ -128,11 +128,15 @@ def bucketed_group_apply(
     )
 
 
+_DECOMPOSABLE_AGGS = {"sum", "min", "max", "size", "count"}
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     spec: dict[str, tuple[str | None, str]],
     num_buckets: int = 64,
+    combine: bool | None = None,
 ) -> ray.data.Dataset:
     """Grouped aggregation via bucketed pandas (C-speed) groupbys.
 
@@ -143,18 +147,43 @@ def grouped_agg(
     native aggregate paths run at ~1k rows/s on this version (sort-based
     AggregateMap) or spin a large aggregator actor pool (hash-based) —
     measured in tools/; the bucketed path is ~1000× faster here and
-    shuffles the same bytes."""
+    shuffles the same bytes.
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        gb = g.groupby(keys, sort=False)
+    ``combine``: pre-aggregate each input batch BEFORE the shuffle
+    (map-side combiner — sum/min/max/size/count decompose; size/count
+    partials merge by sum). At low key cardinality this shrinks the
+    all-to-all exchange by the per-batch duplication factor — the lever
+    that keeps a 100 TB groupby from shuffling 100 TB. ``None``
+    auto-enables when every aggfunc is decomposable; pass False for
+    known high-cardinality keys (mostly size-1 groups) where the
+    per-batch groupby buys nothing."""
+    funcs = {fn for _, fn in spec.values()}
+    if combine is None:
+        combine = funcs <= _DECOMPOSABLE_AGGS
+    if combine and not funcs <= _DECOMPOSABLE_AGGS:
+        raise ValueError(f"non-decomposable aggfuncs for combine: {funcs}")
+
+    def agg_frame(g: pd.DataFrame, items) -> pd.DataFrame:
         named = {
             out: pd.NamedAgg(column=col if col is not None else keys[0],
                              aggfunc=fn)
-            for out, (col, fn) in spec.items()
+            for out, (col, fn) in items
         }
-        return gb.agg(**named).reset_index()
+        return g.groupby(keys, sort=False).agg(**named).reset_index()
 
-    return bucketed_group_apply(ds, keys, f, num_buckets)
+    if combine:
+        merge_spec = {
+            out: (out, "sum" if fn in ("size", "count") else fn)
+            for out, (_, fn) in spec.items()
+        }
+        pre = ds.map_batches(
+            lambda b: agg_frame(b, spec.items()), batch_format="pandas")
+        return bucketed_group_apply(
+            pre, keys, lambda g: agg_frame(g, merge_spec.items()),
+            num_buckets)
+
+    return bucketed_group_apply(
+        ds, keys, lambda g: agg_frame(g, spec.items()), num_buckets)
 
 
 def dedup_first(

@@ -84,3 +84,18 @@ def test_dfs_gate_is_valid_preorder():
             continue
         assert (r.parent, r.vid) in adj, r.vid
         assert rank[r.parent] < r.rank, r.vid
+
+
+def test_gate_order_puts_oracled_queries_first():
+    """The round-2 driver sweep recorded exactly 50 rows for 51 exposed
+    queries (dict order). Contract: every oracle-backed query sits in
+    the first 50 positions so a 50-row cap can only drop rows-only
+    entries whose exactness is already pinned in pytest."""
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    assert oracled <= set(names[:50]), sorted(oracled - set(names[:50]))
+    # the red row of round 2 must stay visible to the driver
+    assert "part_dfs" in names[:50]
+    assert "multimodal_meta" in names[:50]
