@@ -213,4 +213,8 @@ def derive_edges(
         return edges
     from graphscope_ray.stages.relational import grouped_agg
 
-    return grouped_agg(edges, ["src", "dst"], {"weight": (None, "size")})
+    # combine=False: (src, dst) pair keys are near-unique per batch
+    # (dep-key caps bound duplication), so a map-side combiner would
+    # add an edge-scale per-batch sort for almost no byte reduction
+    return grouped_agg(edges, ["src", "dst"], {"weight": (None, "size")},
+                       combine=False)
