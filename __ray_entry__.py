@@ -90,7 +90,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_harmonic": sf_graph.q_part_harmonic,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
-        "part_louvain": sf_graph.q_part_louvain,
         "part_voterank": sf_graph.q_part_voterank,
         "part_hits": sf_graph.q_part_hits,
         "part_katz": sf_graph.q_part_katz,
@@ -108,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity / multimodal
         "doc_dedup": textproc.q_doc_dedup,
         "doc_stats": textproc.q_doc_stats,
+        "doc_repetition": textproc.q_doc_repetition,
         "doc_lang": textproc.q_doc_lang,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sssp_path": sf_graph.q_part_sssp_path,
         "part_sampling_path": sf_graph.q_part_sampling_path,
         "part_betweenness": sf_graph.q_part_betweenness,
+        "part_louvain": sf_graph.q_part_louvain,
         "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
     }
@@ -881,6 +882,30 @@ SELECT doc_id,
              ELSE 0 END) AS stopword_ratio
 FROM documents""",
         "doc_lang": _lang_sql(),
+        "doc_repetition": r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+lstat AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
+  FROM lines GROUP BY doc_id),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+bstat AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       l.n_lines,
+       printf('%.6f', 1.0 - l.n_distinct / CAST(l.n_lines AS DOUBLE))
+         AS dup_line_frac,
+       printf('%.6f', COALESCE(b.top / CAST(b.tot AS DOUBLE), 0))
+         AS top_bigram_frac
+FROM documents d
+JOIN lstat l ON l.doc_id = d.doc_id
+LEFT JOIN bstat b ON b.doc_id = d.doc_id""",
         "doc_fingerprint": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -54,6 +54,24 @@ def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(stats, batch_format="pandas")
 
 
+def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per document (duplicate
+    -line fraction, most-frequent-bigram fraction) — the canonical
+    large-corpus repetition filters, 6dp fixed strings."""
+    from graphscope_ray.functions.text import repetition_features
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        r = repetition_features(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_lines": r["n_lines"],
+            "dup_line_frac": _fx(r["dup_line_frac"], 6),
+            "top_bigram_frac": _fx(r["top_bigram_frac"], 6),
+        })
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pandas")
+
+
 def q_doc_lang(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, lang) by the stopword-vote heuristic (no SQL oracle —
     rows-only check; exactness covered in pytest)."""

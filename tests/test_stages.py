@@ -235,3 +235,32 @@ def test_multimodal_resize_frames_audio():
     au = extract_audio_features(ds, n_windows=4, concurrency=1).to_pandas()
     assert len(au) == 5 and all(len(r) == 4 for r in au["rms"])
     assert (au["zero_crossings"] >= 0).all()
+
+
+def test_repetition_features_duckdb_twin(docs_df):
+    """Gopher-style repetition signals are interchange-exact with the
+    doc_repetition DuckDB oracle, including edge cases."""
+    import __ray_entry__ as entrymod
+    from graphscope_ray.functions.text import repetition_features
+
+    df = pd.concat([docs_df[["doc_id", "text"]], pd.DataFrame({
+        "doc_id": [9001, 9002, 9003],
+        "text": ["", "dup\ndup\nother", "a b a b a b"],
+    })], ignore_index=True)
+    r = repetition_features(df["text"])
+    got = pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_lines": r["n_lines"],
+        "dup_line_frac": r["dup_line_frac"].map(lambda v: f"{v:.6f}"),
+        "top_bigram_frac": r["top_bigram_frac"].map(lambda v: f"{v:.6f}"),
+    }).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.sql(entrymod.oracle_sql()["doc_repetition"]).df() \
+              .sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_lines", "dup_line_frac", "top_bigram_frac"):
+        assert (got[c].astype(str).to_numpy()
+                == want[c].astype(str).to_numpy()).all(), c
+    byid = got.set_index("doc_id")
+    assert byid.loc[9002, "dup_line_frac"] == "0.333333"
+    assert byid.loc[9003, "top_bigram_frac"] == "0.600000"
