@@ -166,6 +166,7 @@ def run_queries() -> dict:
         "part_triangles": sf_graph.q_part_triangles,
         "doc_dedup": textproc.q_doc_dedup,
         "doc_simhash": textproc.q_doc_simhash,
+        "doc_repetition": textproc.q_doc_repetition,
         "ann_topk": textproc.q_ann_topk,
     }
     out = {}

@@ -155,10 +155,30 @@ def build_part_digraph(sf_dir: str, num_partitions: int = 8) -> ShardedGraph:
     return g
 
 
+_VID_ARR_CACHE: dict[str, np.ndarray] = {}
+
+
+def part_vid_array(sf_dir: str) -> np.ndarray:
+    """Sorted vid column as a session-cached numpy array.
+
+    The probe wrappers below need one scalar (min/max vid) or a tiny
+    modular sample of the vertex set; previously ~10 of them each
+    pulled the vertex Dataset to the driver per query. One bounded
+    pull per sf_dir (a single int64 column) serves them all."""
+    arr = _VID_ARR_CACHE.get(sf_dir)
+    if arr is None:
+        arr = np.sort(np.concatenate([
+            b["vid"].to_numpy(np.int64)
+            for b in part_vertices(sf_dir).iter_batches(batch_format="pandas")
+        ]))
+        _VID_ARR_CACHE[sf_dir] = arr
+    return arr
+
+
 def _sampled_sources(sf_dir: str) -> np.ndarray:
     """Deterministic SQL-expressible source sample: vid % 97 == 0."""
-    vs = part_vertices(sf_dir).to_pandas()["vid"].to_numpy(np.int64)
-    return np.sort(vs[vs % 97 == 0])
+    vs = part_vid_array(sf_dir)
+    return vs[vs % 97 == 0]
 
 
 # --- query()-style entry points (one per algorithm) ---------------------
@@ -211,8 +231,7 @@ def q_part_bfs(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     """BFS depth from the minimum part key; reachable vertices only,
     depth as int64."""
     g = build_part_graph(sf_dir, num_partitions)
-    src = min(b["vid"].min() for b in
-              part_vertices(sf_dir).iter_batches(batch_format="pandas"))
+    src = part_vid_array(sf_dir)[0]
     state, _ = algorithms.bfs(g, source=int(src))
 
     def finite(t: pa.Table) -> pa.Table:
@@ -305,8 +324,8 @@ def q_part_avg_degree_connectivity(sf_dir: str) -> ray.data.Dataset:
 
 def _boundary_set(sf_dir: str) -> list:
     """Deterministic SQL-expressible vertex set S: partkeys ≡ 0 mod 10."""
-    vs = part_vertices(sf_dir).to_pandas()
-    return sorted(int(v) for v in vs["vid"] if v % 10 == 0)
+    vs = part_vid_array(sf_dir)
+    return [int(v) for v in vs[vs % 10 == 0]]
 
 
 def q_part_node_boundary(sf_dir: str) -> ray.data.Dataset:
@@ -473,8 +492,7 @@ def q_part_bfs_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     import numpy as np
 
     g = build_part_graph(sf_dir, num_partitions)
-    src = int(min(b["vid"].min() for b in
-                  part_vertices(sf_dir).iter_batches(batch_format="pandas")))
+    src = int(part_vid_array(sf_dir)[0])
     # target = max vid reachable from src (computable on both sides)
     depth, _ = algorithms.bfs(g, source=src)
     reach = depth.to_pandas()
@@ -496,8 +514,8 @@ def q_part_sssp_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     import numpy as np
 
     g = build_part_graph(sf_dir, num_partitions)
-    vs = part_vertices(sf_dir).to_pandas()["vid"]
-    src, tgt = int(vs.min()), int(vs.max())
+    vs = part_vid_array(sf_dir)
+    src, tgt = int(vs[0]), int(vs[-1])
     _, path = algorithms.sssp_path(g, source=src, target=tgt, weighted=True)
     path = path or []
     return ray.data.from_pandas(pd.DataFrame({
@@ -537,8 +555,7 @@ def q_part_dfs(sf_dir: str) -> ray.data.Dataset:
     too). Rows-only at the gate; preorder-validity is pytest-checked."""
     from graphscope_ray.pipelines.paths import dfs
 
-    src = int(min(b["vid"].min() for b in
-                  part_vertices(sf_dir).iter_batches(batch_format="pandas")))
+    src = int(part_vid_array(sf_dir)[0])
     return dfs(part_cooccurrence_edges(sf_dir), src, directed=False)
 
 
@@ -547,9 +564,9 @@ def q_part_simple_paths(sf_dir: str) -> ray.data.Dataset:
     (apps/simple_path/all_simple_paths.h:279), rows ('-'-joined vids)."""
     from graphscope_ray.pipelines.paths import all_simple_paths
 
-    vs = part_vertices(sf_dir).to_pandas()["vid"]
+    vs = part_vid_array(sf_dir)
     return all_simple_paths(part_cooccurrence_edges(sf_dir),
-                            int(vs.min()), int(vs.max()), cutoff=2,
+                            int(vs[0]), int(vs[-1]), cutoff=2,
                             directed=False)
 
 
@@ -559,8 +576,7 @@ def q_part_is_simple_path(sf_dir: str) -> pd.DataFrame:
     (apps/simple_path/is_simple_path.h:103)."""
     from graphscope_ray.pipelines.paths import is_simple_path
 
-    vs = part_vertices(sf_dir).to_pandas()["vid"]
-    lo = int(vs.min())
+    lo = int(part_vid_array(sf_dir)[0])
     edges = part_cooccurrence_edges(sf_dir).materialize()
     # probe 1: lo plus its two smallest neighbors chained; probe 2 has
     # a guaranteed repeat
@@ -584,8 +600,8 @@ def q_part_sampling_path(sf_dir: str) -> ray.data.Dataset:
     hash pick has no SQL twin); determinism + validity in pytest."""
     from graphscope_ray.pipelines.paths import sampling_path
 
-    vs = part_vertices(sf_dir).to_pandas()["vid"]
-    return sampling_path(part_cooccurrence_edges(sf_dir), int(vs.min()),
+    return sampling_path(part_cooccurrence_edges(sf_dir),
+                         int(part_vid_array(sf_dir)[0]),
                          length=3, num_paths=8, seed=42, directed=False)
 
 
