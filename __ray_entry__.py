@@ -81,8 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kshell": sf_graph.q_part_kshell,
         "part_apsp": sf_graph.q_part_apsp,
         "part_bfs_path": sf_graph.q_part_bfs_path,
+        "part_sssp_path": sf_graph.q_part_sssp_path,
         "part_attr_assortativity": sf_graph.q_part_attr_assortativity,
-        "part_dfs": sf_graph.q_part_dfs,
         "part_simple_paths": sf_graph.q_part_simple_paths,
         "part_is_simple_path": sf_graph.q_part_is_simple_path,
         "lpa_u2i": sf_graph.q_lpa_u2i,
@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # losing their gate row costs the least evidence.  If the cap
         # is larger (or the r02 gap was a one-off), they are checked
         # as before.
-        "part_sssp_path": sf_graph.q_part_sssp_path,
+        "part_dfs": sf_graph.q_part_dfs,
         "part_sampling_path": sf_graph.q_part_sampling_path,
         "part_betweenness": sf_graph.q_part_betweenness,
         "part_louvain": sf_graph.q_part_louvain,
@@ -469,6 +469,54 @@ SELECT vid, d AS distance FROM d{rounds} WHERE d IS NOT NULL"""
     )
 
 
+def _sssp_path_sql(rounds: int = 60) -> str:
+    """Weighted shortest path min→max part key, reconstructed by the
+    deterministic min-parent rule (apps/sssp/sssp_path.h:174; the Ray
+    side's path_finalize_apply picks min(src) among predecessors with
+    dist[src] + w == dist[dst] — exact in float64 because weights are
+    integer counts).  Distances come from the same unrolled
+    Bellman-Ford as _sssp_sql; the walk back from the target follows
+    the parent table (strictly decreasing dist ⇒ cycle-free)."""
+    parts = [
+        "RECURSIVE " + _GRAPH_CTES,
+        """
+, d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT CAST(min(vid) AS BIGINT) FROM verts)
+                   THEN CAST(0.0 AS DOUBLE) END AS d
+  FROM verts)""",
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+, n{i} AS MATERIALIZED (
+  SELECT a.dst AS vid, min(d.d + a.weight) AS nd
+  FROM arcs a JOIN d{i} d ON d.vid = a.src
+  WHERE d.d IS NOT NULL GROUP BY a.dst)
+, d{i + 1} AS MATERIALIZED (
+  SELECT d.vid,
+         CASE WHEN d.d IS NULL THEN n.nd
+              WHEN n.nd IS NULL THEN d.d
+              ELSE least(d.d, n.nd) END AS d
+  FROM d{i} d LEFT JOIN n{i} n ON n.vid = d.vid)""")
+    parts.append(f"""
+, dist AS MATERIALIZED (SELECT vid, d FROM d{rounds} WHERE d IS NOT NULL)
+, par AS MATERIALIZED (
+  SELECT a.dst AS vid, min(a.src) AS parent
+  FROM arcs a JOIN dist du ON du.vid = a.src
+  JOIN dist dv ON dv.vid = a.dst AND dv.d = du.d + a.weight
+  GROUP BY a.dst)
+, tgt AS (SELECT CAST(max(vid) AS BIGINT) AS vid FROM verts)
+, walkback(vid, n) AS (
+  SELECT t.vid, 0 FROM tgt t
+  WHERE EXISTS (SELECT 1 FROM dist d WHERE d.vid = t.vid)
+  UNION ALL
+  SELECT p.parent, w.n + 1 FROM walkback w JOIN par p ON p.vid = w.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + """
+SELECT (SELECT max(n) FROM walkback) - n AS seq, vid FROM walkback"""
+    )
+
+
 # Multi-label property graph (apps/property family): two vertex labels
 # (customer, supplier), one weighted edge label; gid = label_id * 2^40
 # + key — the SAME encoding pipelines/property.py uses, so component
@@ -806,14 +854,15 @@ def _all_oracle_sql() -> dict[str, str]:
         "part_kshell": _kshell_sql(65, 12),
         "part_apsp": _apsp_sql(),
         "part_bfs_path": _bfs_path_sql(),
+        "part_sssp_path": _sssp_path_sql(60),
         "part_attr_assortativity": _attr_assort_sql(),
         "part_simple_paths": _simple_paths_sql(),
         "part_is_simple_path": _is_simple_path_sql(),
         "lpa_u2i": _lpa_u2i_sql(2),
-        # part_betweenness / part_sssp_path / part_dfs /
-        # part_sampling_path: rows-only (per-source DAG sweeps, weighted
-        # SSSP, serial DFS token walks and seeded hash picks have no
-        # tractable SQL twin; exactness is pinned vs oracles in pytest)
+        # part_betweenness / part_dfs / part_sampling_path: rows-only
+        # (per-source DAG sweeps, serial DFS token walks and seeded
+        # hash picks have no tractable SQL twin; exactness is pinned
+        # vs networkx/pandas oracles in pytest)
         "part_hits": _hits_sql(10),
         "part_katz": _katz_sql(10),
         "part_eigenvector": _eigenvector_sql(20),
@@ -931,8 +980,46 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       >= 0.4""",
-        # doc_minhash_pairs / embedding_neardup_lsh: rows-only (sip-hash
-        # pipelines with no faithful SQL twin)
+        # embedding_neardup_lsh: rows-only (numpy hyperplane projections
+        # have no faithful SQL twin)
+        "doc_minhash_pairs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text), '\w+')) + 1))
+           AS i
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+short AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS shingle
+  FROM toks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT * FROM grams UNION ALL SELECT * FROM short)),
+hs AS (SELECT doc_id, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
+       FROM shingles),
+mh AS (
+  SELECT hs.doc_id, p.p,
+         min((hs.h * (2 * p.p + 1) + p.p * 2654435769)
+             % CAST('18446744073709551616' AS HUGEINT)) AS mn
+  FROM hs CROSS JOIN (SELECT unnest(range(64)) AS p) p
+  GROUP BY hs.doc_id, p.p),
+bands AS (
+  SELECT doc_id, p // 2 AS band,
+         sum(mn) % CAST('18446744073709551616' AS HUGEINT) AS sig
+  FROM mh GROUP BY doc_id, p // 2),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, sig ORDER BY doc_id)
+          <= 200)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM capped x JOIN capped y
+  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id""",
         "doc_simhash": r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok

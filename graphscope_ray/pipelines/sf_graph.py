@@ -508,9 +508,10 @@ def q_part_bfs_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
 
 def q_part_sssp_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     """Weighted shortest path (min-parent, apps/sssp/sssp_path.h:174)
-    from the min to the max part key; rows (seq, vid). Rows-only at the
-    gate (weighted SSSP explodes in SQL); validity + optimality of the
-    path is pytest-checked against networkx dijkstra."""
+    from the min to the max part key; rows (seq, vid). Gate-exact: the
+    DuckDB twin unrolls Bellman-Ford for distances, re-picks parents by
+    the same min-src-among-optimal rule, and walks back recursively;
+    optimality is additionally pytest-checked vs networkx dijkstra."""
     import numpy as np
 
     g = build_part_graph(sf_dir, num_partitions)

@@ -96,8 +96,12 @@ def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    """Candidate near-dup pairs via MinHash-LSH (rows-only check)."""
-    return minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32, concurrency=4)
+    """Candidate near-dup pairs via MinHash-LSH. The gate runs the
+    md5-interchange kernel (stages/dedup.MinHasherMD5) so the DuckDB
+    twin reproduces shingling, permutation and banding exactly; the
+    sip-hash throughput kernel stays pinned in pytest."""
+    return minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32,
+                             concurrency=4, hash_fn="md5")
 
 
 def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:

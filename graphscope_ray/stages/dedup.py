@@ -144,6 +144,76 @@ class MinHasher:
                              "sig": band_sig.reshape(-1)})
 
 
+class MinHasherMD5:
+    """Interchange twin of :class:`MinHasher`: k-token STRING shingles
+    (space-joined, per-doc distinct) hashed with md5-lower-64 and
+    permuted by linear transforms ``h·(2p+1) + p·0x9E3779B9 mod 2^64``
+    — every step reproducible in DuckDB (``md5_number_lower`` +
+    HUGEINT arithmetic), which gives ``doc_minhash_pairs`` an exact
+    SQL oracle. The band signature is the plain mod-2^64 sum of the
+    band's min-hashes (bucketing only needs equality, so no extra
+    mixing). Empty docs emit no rows. Slower than the sip-hash kernel
+    (one md5 per distinct shingle); the default path stays MinHasher."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, num_perm: int,
+                 bands: int):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.k, self.num_perm, self.bands = k, num_perm, bands
+        self.rows = num_perm // bands
+        p = np.arange(num_perm, dtype=np.uint64)
+        self.mul = np.uint64(2) * p + np.uint64(1)
+        self.add = p * np.uint64(2654435769)  # 0x9E3779B9
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.functions.text import _md5_lower64
+
+        toks = batch[self.text_col].str.lower().str.findall(TOKEN_RE)
+        lengths = toks.str.len().to_numpy(np.int64)
+        flat = pd.Series(toks.explode().dropna().to_numpy(object))
+        n = len(flat)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        ends = np.repeat(np.cumsum(lengths), lengths)
+        if n:
+            # full k-gram windows via shifted vectorized concat; rows
+            # whose window would cross a doc boundary are masked off
+            parts = flat
+            for j in range(1, self.k):
+                parts = parts.str.cat(flat.shift(-j), sep=" ")
+            full = np.arange(n, dtype=np.int64) + self.k <= ends
+            sh_doc, sh = doc_of[full], parts.to_numpy(object)[full]
+        else:
+            sh_doc, sh = np.empty(0, np.int64), np.empty(0, object)
+        # docs with 1..k-1 tokens contribute one all-tokens shingle
+        short = (lengths > 0) & (lengths < self.k)
+        if short.any():
+            sj = toks[short].str.join(" ")
+            sh_doc = np.concatenate([sh_doc, np.flatnonzero(short)])
+            sh = np.concatenate([sh, sj.to_numpy(object)])
+        df = pd.DataFrame({"d": sh_doc, "s": sh}).drop_duplicates()
+        df = df.sort_values("d", kind="mergesort")
+        d = df["d"].to_numpy(np.int64)
+        if not len(d):
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "band": np.empty(0, np.int64),
+                                 "sig": np.empty(0, np.int64)})
+        h = _md5_lower64(df["s"].to_numpy(object))
+        seg = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        docs_present = d[seg]
+        with np.errstate(over="ignore"):
+            hp = h[None, :] * self.mul[:, None] + self.add[:, None]
+        mins = np.minimum.reduceat(hp, seg, axis=1)
+        band_sig = mins.reshape(self.bands, self.rows, -1).sum(
+            axis=1, dtype=np.uint64).view(np.int64)
+        ids = batch[self.id_col].to_numpy()[docs_present]
+        return pd.DataFrame({
+            "doc_id": np.tile(ids, self.bands),
+            "band": np.repeat(np.arange(self.bands, dtype=np.int64),
+                              len(ids)),
+            "sig": band_sig.reshape(-1),
+        })
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -153,13 +223,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     max_bucket: int = 200,
     concurrency: int = 4,
+    hash_fn: str = "sip",
 ) -> ray.data.Dataset:
     """Candidate near-duplicate pairs (a, b) with a < b via MinHash+LSH.
 
     Buckets larger than ``max_bucket`` (degenerate shingles — boilerplate)
-    are truncated deterministically and logged, not silently dropped."""
+    are truncated deterministically and logged, not silently dropped.
+    ``hash_fn="md5"`` swaps the sip-hash kernel for the DuckDB-
+    reproducible :class:`MinHasherMD5` (the doc_minhash_pairs oracle)."""
     sigs = ds.map_batches(
-        MinHasher,
+        MinHasherMD5 if hash_fn == "md5" else MinHasher,
         fn_constructor_args=(text_col, id_col, shingle_k, num_perm, bands),
         batch_format="pandas",
         batch_size=1024,

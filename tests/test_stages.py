@@ -62,6 +62,24 @@ def test_minhash_near_dup(docs_df):
     assert all(j >= 0.7 for j in verified["jaccard"])
 
 
+def test_minhash_md5_variant(docs_df):
+    """The md5-interchange MinHash kernel (doc_minhash_pairs gate path)
+    catches the planted exact + near dup like the sip kernel, is
+    deterministic, and short docs (< k tokens) still bucket."""
+    short = pd.concat([docs_df, pd.DataFrame(
+        {"doc_id": [200, 201, 202], "text": ["one two", "one two", ""]})],
+        ignore_index=True)
+    runs = [minhash_lsh_pairs(ray.data.from_pandas(short), num_perm=64,
+                              bands=32, hash_fn="md5").to_pandas()
+            for _ in range(2)]
+    cand = set(map(tuple, runs[0][["a", "b"]].to_numpy()))
+    assert (0, 100) in cand
+    assert (1, 101) in cand
+    assert (200, 201) in cand          # 2-token docs share their shingle
+    assert not any(202 in p for p in cand)   # empty doc emits nothing
+    assert cand == set(map(tuple, runs[1][["a", "b"]].to_numpy()))
+
+
 def test_simhash(docs_df):
     sh = simhash_table(ray.data.from_pandas(docs_df)).to_pandas()
     m = dict(zip(sh["doc_id"], sh["simhash"]))
