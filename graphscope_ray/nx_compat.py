@@ -1,0 +1,233 @@
+"""NetworkX-compatibility surface (reference: python/graphscope/nx —
+drop-in ``nx.Graph``/``DiGraph`` over DynamicFragment plus the
+builtin-accelerated wrappers in nx/algorithms/builtin.py).
+
+Usage mirrors graphscope.nx::
+
+    from graphscope_ray import nx_compat as gnx
+    G = gnx.Graph()
+    G.add_edges_from([(1, 2), (2, 3)])
+    gnx.builtin.pagerank(G)            # {node: score}
+    gnx.builtin.clustering(G)          # {node: coefficient}
+
+Mutations buffer on the driver (the reference's DynamicFragment path is
+likewise the convenience layer for graphs that fit a mutation log —
+grape_instance.cc:361-452); the 100-TB path is the Dataset/session API.
+Each algorithm call seals the buffered graph into the shard pool once
+and caches it until the next mutation. Node ids may be any consistently
+typed hashables (ints pass through; everything else relabels via the
+session layer's deterministic hash — don't mix ``1`` and ``"1"``).
+
+``builtin`` is this module itself (``gnx.builtin.pagerank`` ≡
+``gnx.pagerank``), matching how reference users alias it.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+
+from graphscope_ray import session as _sess_mod
+
+
+class Graph:
+    """Undirected mutable graph buffer (reference nx/classes/graph.py)."""
+
+    directed = False
+
+    def __init__(self, edges=None):
+        self._nodes: list = []
+        self._edges: list = []          # (u, v, weight-or-None)
+        self._version = 0
+        self._built = None              # (version, session.Graph)
+        if edges is not None:
+            self.add_edges_from(edges)
+
+    # -- mutation ---------------------------------------------------------
+    def add_node(self, n) -> None:
+        self._nodes.append(n)
+        self._version += 1
+
+    def add_nodes_from(self, ns) -> None:
+        self._nodes.extend(ns)
+        self._version += 1
+
+    def add_edge(self, u, v, weight: float | None = None) -> None:
+        self._edges.append((u, v, weight))
+        self._version += 1
+
+    def add_edges_from(self, es) -> None:
+        for e in es:
+            if len(e) == 3 and isinstance(e[2], dict):
+                self._edges.append((e[0], e[1], e[2].get("weight")))
+            elif len(e) == 3:
+                self._edges.append((e[0], e[1], e[2]))
+            else:
+                self._edges.append((e[0], e[1], None))
+        self._version += 1
+
+    def number_of_nodes(self) -> int:
+        ns = set(self._nodes)
+        for u, v, _ in self._edges:
+            ns.add(u)
+            ns.add(v)
+        return len(ns)
+
+    def number_of_edges(self) -> int:
+        seen = set()
+        for u, v, _ in self._edges:
+            key = (u, v) if self.directed else (min(u, v), max(u, v))
+            seen.add(key)
+        return len(seen)
+
+    # -- sealing ------------------------------------------------------------
+    def _graph(self) -> "_sess_mod.Graph":
+        """Session-layer Graph for the current mutation version."""
+        if self._built is not None and self._built[0] == self._version:
+            return self._built[1]
+        if not self._edges:
+            raise ValueError("empty graph: add edges first")
+        weighted = any(w is not None for _, _, w in self._edges)
+        rows = [(u, v, 1.0 if w is None else float(w))
+                for u, v, w in self._edges]
+        # nx multi-add semantics: last write wins per (u, v)
+        edf = pd.DataFrame(rows, columns=["src", "dst", "weight"])
+        if not self.directed:
+            lo = edf[["src", "dst"]].min(axis=1)
+            hi = edf[["src", "dst"]].max(axis=1)
+            edf = pd.DataFrame({"src": lo, "dst": hi,
+                                "weight": edf["weight"]})
+        edf = edf.drop_duplicates(["src", "dst"], keep="last")
+        edf = edf[edf["src"] != edf["dst"]]          # pool stores no loops
+        g = _default_session().g(directed=self.directed)
+        if not weighted:
+            edf = edf[["src", "dst"]]
+        g = g.add_edges(edf, src_field="src", dst_field="dst",
+                        weight_field="weight" if weighted else None)
+        nodes = pd.unique(pd.Series(
+            self._nodes + [u for u, v, _ in self._edges]
+            + [v for _, v, _ in self._edges]))
+        g = g.add_vertices(pd.DataFrame({"id": nodes}), vid_field="id")
+        self._built = (self._version, g)
+        return g
+
+
+class DiGraph(Graph):
+    directed = True
+
+
+_SESSION = None
+
+
+def _default_session() -> "_sess_mod.Session":
+    global _SESSION
+    if _SESSION is None or _SESSION._closed:
+        _SESSION = _sess_mod.session()
+    return _SESSION
+
+
+# ------------------------------------------------------------- builtins
+# Shapes follow networkx returns (dicts keyed by node), like the
+# reference's nx/algorithms/builtin.py wrappers.
+
+def pagerank(G: Graph, alpha: float = 0.85, max_iter: int = 100,
+             tol: float = 1e-6) -> dict:
+    return _sess_mod.pagerank_nx(G._graph(), alpha=alpha,
+                                 max_iter=max_iter, tol=tol).to_dict()
+
+
+def connected_components(G: Graph):
+    """Iterator of vertex sets, networkx-shaped."""
+    comp = _sess_mod.wcc(G._graph()).to_dict()
+    groups: dict = {}
+    for node, c in comp.items():
+        groups.setdefault(c, set()).add(node)
+    for c in sorted(groups):
+        yield groups[c]
+
+
+def wcc(G: Graph) -> dict:
+    return _sess_mod.wcc(G._graph()).to_dict()
+
+
+def lpa(G: Graph, max_round: int = 10) -> dict:
+    return _sess_mod.lpa(G._graph(), max_round=max_round).to_dict()
+
+
+def triangles(G: Graph) -> dict:
+    return {k: int(v) for k, v in
+            _sess_mod.triangles(G._graph()).to_dict().items()}
+
+
+def clustering(G: Graph) -> dict:
+    ctx = _sess_mod.clustering(G._graph())
+    df = ctx.to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return dict(zip(df[key], df["clustering"]))
+
+
+def degree_centrality(G: Graph) -> dict:
+    ctx = _sess_mod.degree_centrality(G._graph())
+    df = ctx.to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return dict(zip(df[key], df["centrality"]))
+
+
+def eigenvector_centrality(G: Graph, max_iter: int = 100,
+                           tol: float = 1e-6) -> dict:
+    return _sess_mod.eigenvector_centrality(
+        G._graph(), tolerance=tol, max_round=max_iter).to_dict()
+
+
+def katz_centrality(G: Graph, alpha: float = 0.1, beta: float = 1.0,
+                    max_iter: int = 100, tol: float = 1e-6) -> dict:
+    return _sess_mod.katz_centrality(
+        G._graph(), alpha=alpha, beta=beta, tolerance=tol,
+        max_round=max_iter).to_dict()
+
+
+def hits(G: Graph, max_iter: int = 100, tol: float = 1e-8,
+         normalized: bool = True):
+    ctx = _sess_mod.hits(G._graph(), tolerance=tol, max_round=max_iter,
+                         normalized=normalized)
+    df = ctx.to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return (dict(zip(df[key], df["hub"])),
+            dict(zip(df[key], df["authority"])))
+
+
+def single_source_shortest_path_length(G: Graph, source) -> dict:
+    d = _sess_mod.bfs(G._graph(), src=source).to_dict()
+    return {k: int(v) for k, v in d.items() if np.isfinite(v)}
+
+
+def single_source_dijkstra_path_length(G: Graph, source) -> dict:
+    d = _sess_mod.sssp(G._graph(), src=source).to_dict()
+    return {k: v for k, v in d.items() if np.isfinite(v)}
+
+
+def k_core(G: Graph, k: int) -> set:
+    """Vertex set of the k-core (the reference returns the induced
+    subgraph; the vertex set carries the same information here)."""
+    df = _sess_mod.k_core(G._graph(), k=k).to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df[key])
+
+
+def k_shell(G: Graph, k: int) -> set:
+    df = _sess_mod.k_shell(G._graph(), k=k).to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df[key])
+
+
+def voterank(G: Graph, number_of_nodes: int = 0) -> list:
+    df = _sess_mod.voterank(
+        G._graph(), num_of_nodes=number_of_nodes).to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return list(df.sort_values("rank")[key])
+
+
+# gnx.builtin.<fn> aliases this module (reference users import builtin)
+builtin = sys.modules[__name__]

@@ -1,0 +1,444 @@
+"""Eager-session façade — the reference's primary user path on Ray.
+
+Mirrors ``graphscope.session()`` → ``sess.g().add_vertices(...)
+.add_edges(...)`` → ``graphscope.pagerank(g)`` → ``ctx.to_dataframe()``
+(reference: python/graphscope/client/session.py:215-586,
+framework/graph.py:477-870, framework/app.py:322-415,
+analytical/app/*.py) so a reference user can switch with minimal edits.
+
+Ray-native restatement of the lifecycle (SURVEY §3.4): the
+client/coordinator/engine/vineyard process boundaries collapse into
+driver / shard actors / object store. A :class:`Session` therefore owns
+only defaults (partition count, checkpoint dir) and the lifetime of the
+shard pools it seals — the Ray runtime itself belongs to the caller
+(nothing here calls ``ray.init``; see package docstring).
+
+Node ids: the engine's shard pool keys vertices by int64. Integer node
+ids pass through unchanged (identity — exact parity with the gate
+pipelines). Non-integer ids (the reference accepts arbitrary oids,
+core/vertex_map/global_vertex_map.h:44-120) are relabelled
+``vid = hash64(str(oid))`` inside ``map_batches`` — deterministic,
+distributed, no driver-side dictionary — and every app result joins the
+(vid, node) map back in before it reaches the user. Hash injectivity
+over the actual node set is verified at seal time (a bucketed
+distinct-count per vid; collisions raise rather than mis-merge).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_dataset(data) -> ray.data.Dataset:
+    """Accept a Dataset, a pandas DataFrame, or a parquet/CSV path."""
+    if isinstance(data, ray.data.Dataset):
+        return data
+    if isinstance(data, pd.DataFrame):
+        return ray.data.from_pandas(data)
+    if isinstance(data, str):
+        if data.endswith(".csv"):
+            return ray.data.read_csv(data)
+        return ray.data.read_parquet(data)
+    raise TypeError(f"unsupported graph input: {type(data)!r}")
+
+
+def _first_col(ds: ray.data.Dataset, field_: int | str) -> str:
+    """Reference add_vertices/add_edges accept positional field indexes
+    (framework/graph.py:80-121 defaults vid_field=0, src/dst 0/1)."""
+    if isinstance(field_, str):
+        return field_
+    return ds.schema().names[field_]
+
+
+def _is_int_type(ds: ray.data.Dataset, col: str):
+    t = dict(zip(ds.schema().names, ds.schema().types))[col]
+    # Ray reports non-Arrow-convertible (object-dtype) columns as plain
+    # Python types; anything that isn't an Arrow integer relabels
+    return isinstance(t, pa.DataType) and pa.types.is_integer(t)
+
+
+@dataclass(frozen=True)
+class Graph:
+    """Immutable lazy graph definition; ``add_*`` return new Graphs
+    (the reference's GraphDAGNode chaining, framework/graph.py:225-870).
+    The shard pool seals lazily on the first app run and is cached on
+    the owning session."""
+
+    session: "Session"
+    directed: bool = True
+    _vertex_specs: tuple = field(default_factory=tuple)  # (ds, vid_col)
+    _edge_specs: tuple = field(default_factory=tuple)    # (ds, src, dst, w)
+
+    # -- construction -----------------------------------------------------
+    def add_vertices(self, vertices, label: str = "_", vid_field=0
+                     ) -> "Graph":
+        ds = _as_dataset(vertices)
+        return replace(self, _vertex_specs=self._vertex_specs
+                       + ((ds, _first_col(ds, vid_field)),))
+
+    def add_edges(self, edges, label: str = "_", src_field=0, dst_field=1,
+                  weight_field: str | None = None) -> "Graph":
+        ds = _as_dataset(edges)
+        return replace(self, _edge_specs=self._edge_specs
+                       + ((ds, _first_col(ds, src_field),
+                           _first_col(ds, dst_field), weight_field),))
+
+    def project(self, weight_field: str | None = None) -> "Graph":
+        """Reference ``project`` selects one vertex/edge property for the
+        simple-graph apps (framework/graph.py:816). Here: re-tag which
+        edge column is the weight."""
+        specs = tuple((ds, s, d, weight_field)
+                      for ds, s, d, _ in self._edge_specs)
+        return replace(self, _edge_specs=specs)
+
+    # -- sealing -----------------------------------------------------------
+    @property
+    def _needs_relabel(self) -> bool:
+        for ds, s, d, _ in self._edge_specs:
+            if not (_is_int_type(ds, s) and _is_int_type(ds, d)):
+                return True
+        for ds, v in self._vertex_specs:
+            if not _is_int_type(ds, v):
+                return True
+        return False
+
+    def _int_edges(self) -> ray.data.Dataset:
+        """Union of edge specs normalized to (src, dst[, weight]) int64."""
+        relabel = self._needs_relabel
+        parts = []
+        for ds, s, d, w in self._edge_specs:
+            cols = [s, d] + ([w] if w else [])
+            sub = ds.select_columns(cols)
+
+            def norm(t: pa.Table, s=s, d=d, w=w, relabel=relabel) -> pa.Table:
+                out = {"src": _vids(t.column(s), relabel),
+                       "dst": _vids(t.column(d), relabel)}
+                if w:
+                    out["weight"] = t.column(w).cast(pa.float64())
+                return pa.table(out)
+
+            parts.append(sub.map_batches(norm, batch_format="pyarrow"))
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    def _int_vertices(self) -> ray.data.Dataset | None:
+        if not self._vertex_specs:
+            return None
+        relabel = self._needs_relabel
+        parts = []
+        for ds, v in self._vertex_specs:
+
+            def norm(t: pa.Table, v=v, relabel=relabel) -> pa.Table:
+                return pa.table({"vid": _vids(t.column(v), relabel)})
+
+            parts.append(ds.select_columns([v])
+                         .map_batches(norm, batch_format="pyarrow"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _node_map(self) -> ray.data.Dataset | None:
+        """(vid, node) map for relabelled graphs; None for identity."""
+        if not self._needs_relabel:
+            return None
+        parts = []
+        for ds, s, d, _ in self._edge_specs:
+            def ends(t: pa.Table, s=s, d=d) -> pa.Table:
+                node = pa.concat_arrays([
+                    t.column(s).cast(pa.string()).combine_chunks(),
+                    t.column(d).cast(pa.string()).combine_chunks()])
+                return pa.table({"vid": _vids(node, True), "node": node})
+            parts.append(ds.select_columns([s, d])
+                         .map_batches(ends, batch_format="pyarrow"))
+        for ds, v in self._vertex_specs:
+            def one(t: pa.Table, v=v) -> pa.Table:
+                node = t.column(v).cast(pa.string()).combine_chunks()
+                return pa.table({"vid": _vids(node, True), "node": node})
+            parts.append(ds.select_columns([v])
+                         .map_batches(one, batch_format="pyarrow"))
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.union(p)
+        from graphscope_ray.stages.relational import dedup_first
+        m = dedup_first(allp, ["vid"], order_by=["node"])
+        _check_injective(allp)
+        return m
+
+    def _pool(self, reverse: bool = False):
+        key = "rev" if reverse else "fwd"
+        if not hasattr(self, "_sealed"):
+            object.__setattr__(self, "_sealed", {})  # frozen dataclass
+        cached = self._sealed.get(key)
+        if cached is not None:
+            return cached
+        from graphscope_ray.state.graph import build_graph
+        edges = self._int_edges()
+        if reverse:
+            def flip(t: pa.Table) -> pa.Table:
+                cols = {"src": t.column("dst"), "dst": t.column("src")}
+                if "weight" in t.schema.names:
+                    cols["weight"] = t.column("weight")
+                return pa.table(cols)
+            edges = edges.map_batches(flip, batch_format="pyarrow")
+        g = build_graph(edges, num_partitions=self.session.num_partitions,
+                        directed=self.directed,
+                        extra_vertices=self._int_vertices())
+        self._sealed[key] = g
+        self.session._pools[(id(g), key)] = g
+        return g
+
+    def edges_dataset(self) -> ray.data.Dataset:
+        return self._int_edges()
+
+
+def _vids(col: pa.ChunkedArray | pa.Array, relabel: bool) -> pa.Array:
+    if not relabel:
+        return col.cast(pa.int64()) if isinstance(col, pa.Array) \
+            else col.combine_chunks().cast(pa.int64())
+    from graphscope_ray.functions.hashing import hash64_strings
+    arr = col.cast(pa.string()).to_numpy(zero_copy_only=False)
+    return pa.array(hash64_strings(arr.astype(object)).view(np.int64),
+                    pa.int64())
+
+
+def _check_injective(pairs: ray.data.Dataset) -> None:
+    """Raise if any vid maps to two distinct nodes (hash collision)."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("vid")["node"].nunique()
+        bad = n[n > 1]
+        return pd.DataFrame({"vid": bad.index.to_numpy(np.int64)})
+
+    bad = bucketed_group_apply(pairs, ["vid"], judge, num_buckets=16)
+    hits = bad.take(1)
+    if hits:
+        raise ValueError(
+            f"node-id hash collision on vid {hits[0]['vid']}; "
+            "relabel your nodes to distinct strings/ints")
+
+
+class Context:
+    """App result handle (reference framework/context.py:137-210):
+    ``to_dataset`` streams; ``to_dataframe``/``to_numpy`` materialize
+    (driver-side by definition — same as the reference's fetch path)."""
+
+    def __init__(self, result: ray.data.Dataset, graph: Graph):
+        self._result = result
+        self._map = graph._node_map()
+
+    def to_dataset(self) -> ray.data.Dataset:
+        if self._map is None:
+            return self._result
+        from graphscope_ray.stages.relational import cogroup_join
+        return cogroup_join(self._result, self._map, on="vid"
+                            ).drop_columns(["vid"])
+
+    def to_dataframe(self, selector=None) -> pd.DataFrame:
+        df = self.to_dataset().to_pandas()
+        key = "node" if "node" in df.columns else "vid"
+        df = df.sort_values(key, kind="mergesort").reset_index(drop=True)
+        if selector:
+            df = df.rename(columns={v: k for k, v in selector.items()
+                                    if v in df.columns})
+        return df
+
+    def to_numpy(self, selector: str) -> np.ndarray:
+        df = self.to_dataframe()
+        col = selector.split(".")[-1]
+        if col == "id":
+            col = "node" if "node" in df.columns else "vid"
+        return df[col].to_numpy()
+
+    def to_dict(self, value_col: str | None = None) -> dict:
+        df = self.to_dataframe()
+        key = "node" if "node" in df.columns else "vid"
+        if value_col is None:
+            value_col = [c for c in df.columns if c != key][0]
+        return dict(zip(df[key], df[value_col]))
+
+
+class Session:
+    """Owns app-run defaults and the shard pools it seals — NOT the Ray
+    runtime (the caller's job; reference sessions launch the cluster,
+    client/session.py:215, which collapses to ray.init here)."""
+
+    def __init__(self, num_partitions: int = 8, ckpt_dir: str | None = None):
+        self.num_partitions = num_partitions
+        self.ckpt_dir = ckpt_dir
+        self._pools: dict = {}
+        self._closed = False
+
+    def g(self, directed: bool = True) -> Graph:
+        return Graph(session=self, directed=directed)
+
+    def close(self) -> None:
+        for g in self._pools.values():
+            for s in g.shards:
+                ray.kill(s, no_restart=True)
+        self._pools.clear()
+        self._closed = True
+
+    def __enter__(self) -> "Session":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def session(num_partitions: int = 8, ckpt_dir: str | None = None,
+            **ignored) -> Session:
+    """Reference-compatible constructor; cluster-launch kwargs
+    (num_workers, k8s_*) are accepted and ignored — the Ray runtime is
+    the cluster here."""
+    return Session(num_partitions=num_partitions, ckpt_dir=ckpt_dir)
+
+
+# ------------------------------------------------------------------ apps
+# Signatures mirror python/graphscope/analytical/app/*.py; each returns
+# a Context over the engine's Dataset result.
+
+def pagerank(graph: Graph, delta: float = 0.85, max_round: int = 10
+             ) -> Context:
+    """Fixed-round PageRank (app/pagerank.py:32); networkx-semantics
+    kernel with dangling redistribution, tol=0 forces max_round."""
+    from graphscope_ray.pipelines.algorithms import pagerank as pr
+    ds, _ = pr(graph._pool(), alpha=delta, max_iter=max_round, tol=0.0,
+               ckpt_dir=graph.session.ckpt_dir)
+    return Context(ds, graph)
+
+
+def pagerank_nx(graph: Graph, alpha: float = 0.85, max_iter: int = 100,
+                tol: float = 1e-6) -> Context:
+    """Tolerance-converged PageRank (app/pagerank.py:91)."""
+    from graphscope_ray.pipelines.algorithms import pagerank as pr
+    ds, _ = pr(graph._pool(), alpha=alpha, max_iter=max_iter, tol=tol,
+               ckpt_dir=graph.session.ckpt_dir)
+    return Context(ds, graph)
+
+
+def wcc(graph: Graph) -> Context:
+    from graphscope_ray.pipelines.algorithms import wcc as _wcc
+    ds, _ = _wcc(graph._pool(), ckpt_dir=graph.session.ckpt_dir)
+    return Context(ds, graph)
+
+
+def lpa(graph: Graph, max_round: int = 10) -> Context:
+    from graphscope_ray.pipelines.algorithms import cdlp
+    ds, _ = cdlp(graph._pool(), max_round=max_round,
+                 ckpt_dir=graph.session.ckpt_dir)
+    return Context(ds, graph)
+
+
+cdlp = lpa
+
+
+def bfs(graph: Graph, src=0) -> Context:
+    """(vid, depth); unreached vertices carry +inf like the engine."""
+    from graphscope_ray.pipelines.algorithms import bfs as _bfs
+    ds, _ = _bfs(graph._pool(), source=_src_vid(graph, src))
+    return Context(ds, graph)
+
+
+def sssp(graph: Graph, src=0, weight: str | None = None) -> Context:
+    """(vid, distance). Weighted when the graph's edges carry a weight
+    column (app/sssp.py:32 projects the weight property the same way);
+    unit weights otherwise."""
+    from graphscope_ray.pipelines.algorithms import sssp as _sssp
+    ds, _ = _sssp(graph._pool(), source=_src_vid(graph, src))
+    return Context(ds, graph)
+
+
+def triangles(graph: Graph) -> Context:
+    from graphscope_ray.pipelines.triangles import triangle_counts
+    return Context(triangle_counts(graph.edges_dataset()), graph)
+
+
+def clustering(graph: Graph, degree_threshold: int = 10**9) -> Context:
+    from graphscope_ray.pipelines.structure import clustering_coefficient
+    return Context(clustering_coefficient(graph.edges_dataset()), graph)
+
+
+def degree_centrality(graph: Graph, centrality_type: str = "both"
+                      ) -> Context:
+    from graphscope_ray.pipelines.degree import degree_centrality as dc
+    pool = graph._pool()
+    return Context(dc(graph.edges_dataset(), pool.n_vertices,
+                      mode=centrality_type), graph)
+
+
+def eigenvector_centrality(graph: Graph, tolerance: float = 1e-6,
+                           max_round: int = 100) -> Context:
+    from graphscope_ray.pipelines.algorithms import (
+        eigenvector_centrality as ec,
+    )
+    ds, _ = ec(graph._pool(), max_iter=max_round, tol=tolerance)
+    return Context(ds, graph)
+
+
+def katz_centrality(graph: Graph, alpha: float = 0.1, beta: float = 1.0,
+                    tolerance: float = 1e-6, max_round: int = 100
+                    ) -> Context:
+    from graphscope_ray.pipelines.algorithms import katz_centrality as kc
+    ds, _ = kc(graph._pool(), alpha=alpha, beta=beta, max_iter=max_round,
+               tol=tolerance)
+    return Context(ds, graph)
+
+
+def hits(graph: Graph, tolerance: float = 0.01, max_round: int = 100,
+         normalized: bool = True) -> Context:
+    """Directed graphs build the reverse pool once (cached); undirected
+    A = Aᵀ aliases one pool like the gate query."""
+    from graphscope_ray.pipelines.algorithms import hits as _hits
+    fwd = graph._pool()
+    rev = graph._pool(reverse=True) if graph.directed else fwd
+    merged, _, _ = _hits(fwd, rev, max_iter=max_round, tol=tolerance)
+    return Context(merged, graph)
+
+
+def k_core(graph: Graph, k: int = 3) -> Context:
+    from graphscope_ray.pipelines.algorithms import kcore_pool
+    return Context(kcore_pool(graph._pool(), k), graph)
+
+
+def k_shell(graph: Graph, k: int = 3) -> Context:
+    from graphscope_ray.pipelines.algorithms import kshell_pool
+    return Context(kshell_pool(graph._pool(), k), graph)
+
+
+def voterank(graph: Graph, num_of_nodes: int = 0) -> Context:
+    from graphscope_ray.pipelines.algorithms import voterank as vr
+    pool = graph._pool()
+    n = num_of_nodes or pool.n_vertices
+    elected = vr(pool, n)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vid": np.asarray(elected, np.int64),
+        "rank": np.arange(len(elected), dtype=np.int64)}))
+    return Context(ds, graph)
+
+
+def louvain(graph: Graph, min_progress: int = 1000, progress_tries: int = 1
+            ) -> Context:
+    if graph.directed:
+        raise ValueError("louvain requires an undirected graph "
+                         "(app/louvain.py:31 asserts the same)")
+    from graphscope_ray.pipelines.louvain import louvain as lv
+    return Context(lv(graph.edges_dataset(),
+                      vertices=graph._int_vertices()), graph)
+
+
+def _src_vid(graph: Graph, src) -> int:
+    if graph._needs_relabel:
+        from graphscope_ray.functions.hashing import hash64_strings
+        return int(hash64_strings(np.asarray([str(src)], object))
+                   .view(np.int64)[0])
+    return int(src)

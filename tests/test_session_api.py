@@ -1,0 +1,179 @@
+"""Eager-session façade + nx-compat surface vs real networkx.
+
+The reference's primary user path (session → g() → app → context,
+SURVEY §3.1) and its nx drop-in (§3.3) re-expressed on the Ray engine
+must return networkx-correct values on arbitrary small graphs."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+import graphscope_ray.session as gs
+from graphscope_ray import nx_compat as gnx
+from tests.oracles import oracle_hits, oracle_pagerank
+
+
+@pytest.fixture(scope="module")
+def karate_like():
+    G = nx.gnm_random_graph(30, 90, seed=7)
+    G.remove_nodes_from(list(nx.isolates(G)))
+    return G
+
+
+@pytest.fixture(scope="module")
+def sess():
+    s = gs.session(num_partitions=2)
+    yield s
+    s.close()
+
+
+@pytest.fixture(scope="module")
+def g(sess, karate_like):
+    edf = pd.DataFrame(karate_like.edges(), columns=["u", "v"])
+    vdf = pd.DataFrame({"id": list(karate_like.nodes())})
+    return (sess.g(directed=False)
+            .add_vertices(vdf, vid_field="id")
+            .add_edges(edf, src_field="u", dst_field="v"))
+
+
+def test_session_pagerank_matches_networkx(g, karate_like):
+    got = gs.pagerank_nx(g, alpha=0.85, max_iter=100, tol=1e-10).to_dict()
+    want = oracle_pagerank(list(karate_like.edges()),
+                           list(karate_like.nodes()), directed=False,
+                           tol=1e-10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_session_wcc_and_context_shapes(g, karate_like):
+    ctx = gs.wcc(g)
+    df = ctx.to_dataframe()
+    assert list(df.columns) == ["vid", "component"]
+    comp = ctx.to_dict()
+    want = {frozenset(c) for c in nx.connected_components(karate_like)}
+    groups = {}
+    for v, c in comp.items():
+        groups.setdefault(c, set()).add(v)
+    assert {frozenset(s) for s in groups.values()} == want
+    # to_numpy selector forms
+    ids = ctx.to_numpy("v.id")
+    assert sorted(ids) == sorted(karate_like.nodes())
+
+
+def test_session_sssp_bfs(g, karate_like):
+    src = min(karate_like.nodes())
+    got = gs.bfs(g, src=src).to_dict()
+    want = nx.single_source_shortest_path_length(karate_like, src)
+    got = {k: int(v) for k, v in got.items() if np.isfinite(v)}
+    assert got == want
+
+
+def test_session_triangles_clustering(g, karate_like):
+    tri = gs.triangles(g).to_dict()
+    want = nx.triangles(karate_like)
+    assert {k: int(v) for k, v in tri.items()} == want
+    cl = gs.clustering(g).to_dict("clustering")
+    wcl = nx.clustering(karate_like)
+    for k, v in wcl.items():
+        assert abs(cl.get(k, 0.0) - v) < 1e-9, k
+
+
+def test_session_string_nodes_relabel(sess):
+    """Non-int node ids round-trip through the hash relabel + join."""
+    edges = pd.DataFrame({"s": ["a", "b", "c", "a"],
+                          "t": ["b", "c", "d", "c"]})
+    g = sess.g(directed=False).add_edges(edges, src_field="s",
+                                         dst_field="t")
+    got = gs.pagerank_nx(g, tol=1e-10).to_dict()
+    want = oracle_pagerank([("a", "b"), ("b", "c"), ("c", "d"),
+                            ("a", "c")], ["a", "b", "c", "d"],
+                           directed=False, tol=1e-10)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_session_directed_pagerank(sess):
+    edges = pd.DataFrame({"src": [1, 2, 3, 4, 1], "dst": [2, 3, 1, 1, 3]})
+    verts = pd.DataFrame({"id": [1, 2, 3, 4, 5]})
+    g = (sess.g(directed=True)
+         .add_vertices(verts, vid_field="id")
+         .add_edges(edges))
+    got = gs.pagerank_nx(g, tol=1e-10).to_dict()
+    want = oracle_pagerank([(1, 2), (2, 3), (3, 1), (4, 1), (1, 3)],
+                           [1, 2, 3, 4, 5], directed=True, tol=1e-10)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+
+
+def test_nx_compat_builtins(karate_like):
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    assert G.number_of_nodes() == karate_like.number_of_nodes()
+    assert G.number_of_edges() == karate_like.number_of_edges()
+
+    pr = gnx.builtin.pagerank(G, tol=1e-10)
+    want = oracle_pagerank(list(karate_like.edges()),
+                           list(karate_like.nodes()), directed=False,
+                           tol=1e-10)
+    for k in want:
+        assert abs(pr[k] - want[k]) < 1e-6
+
+    comps = {frozenset(c) for c in gnx.connected_components(G)}
+    assert comps == {frozenset(c)
+                     for c in nx.connected_components(karate_like)}
+
+    assert gnx.triangles(G) == nx.triangles(karate_like)
+
+    dc = gnx.degree_centrality(G)
+    for k, v in nx.degree_centrality(karate_like).items():
+        assert abs(dc[k] - v) < 1e-12
+
+    src = min(karate_like.nodes())
+    assert (gnx.single_source_shortest_path_length(G, src)
+            == nx.single_source_shortest_path_length(karate_like, src))
+
+    kc = gnx.k_core(G, k=3)
+    assert kc == set(nx.k_core(karate_like, 3).nodes())
+
+
+def test_nx_compat_weighted_digraph():
+    G = gnx.DiGraph()
+    G.add_edge(1, 2, weight=2.0)
+    G.add_edges_from([(2, 3, 1.0), (1, 3, 5.0), (3, 4, 0.5)])
+    got = gnx.single_source_dijkstra_path_length(G, 1)
+    H = nx.DiGraph()
+    H.add_weighted_edges_from([(1, 2, 2.0), (2, 3, 1.0), (1, 3, 5.0),
+                               (3, 4, 0.5)])
+    assert got == nx.single_source_dijkstra_path_length(H, 1)
+
+
+def test_nx_compat_mutation_invalidates_cache():
+    G = gnx.Graph([(1, 2), (2, 3)])
+    before = gnx.wcc(G)
+    assert len({before[1], before[2], before[3]}) == 1
+    G.add_edge(4, 5)
+    after = gnx.wcc(G)
+    assert after[4] == after[5] != after[1]
+
+
+def test_nx_compat_hits_eigen_katz(karate_like):
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    h, a = gnx.hits(G, tol=1e-12)
+    bidi = list(karate_like.edges()) + [(v, u) for u, v
+                                        in karate_like.edges()]
+    wh, wa = oracle_hits(bidi, list(karate_like.nodes()), tol=1e-12)
+    for k in wh:
+        assert abs(h[k] - wh[k]) < 1e-6
+        assert abs(a[k] - wa[k]) < 1e-6
+    ec = gnx.eigenvector_centrality(G, max_iter=200, tol=1e-10)
+    wec = nx.eigenvector_centrality(karate_like, max_iter=500, tol=1e-10)
+    for k in wec:
+        assert abs(ec[k] - wec[k]) < 1e-4
+    kz = gnx.katz_centrality(G, alpha=0.05, tol=1e-10)
+    wkz = nx.katz_centrality(karate_like, alpha=0.05, tol=1e-10)
+    for k in wkz:
+        assert abs(kz[k] - wkz[k]) < 1e-5
