@@ -217,11 +217,35 @@ def big_superstep_rate() -> dict:
         N_REPOS, BODY_TOKENS = save
 
 
+def _host_window() -> dict:
+    """10-line host-condition stamp (tools/hostprobe.py's single-proc
+    probes, abbreviated): the sandbox's shared memory bus drifts 2-3x
+    across hours (BASELINE.md), so every BENCH line carries the window
+    it was measured in — absolute numbers are comparable across rounds
+    only after normalizing by this."""
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.uint8)  # 25 MB
+    t0 = time.perf_counter()
+    for _ in range(8):
+        b = a.copy()
+    membw = 8 * a.nbytes / (time.perf_counter() - t0) / 1e9
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    cpu = 2_000_000 / (time.perf_counter() - t0) / 1e6
+    del b, s
+    return {"host_membw_GBs": round(membw, 3),
+            "host_cpu_Mloops": round(cpu, 2)}
+
+
 def main():
     _init_ray()
     import ray
 
     h = headline()
+    h.update(_host_window())
     if os.environ.get("GRAFT_BIG", "1") == "1" \
             and not os.environ.get("GRAFT_SKIP_QUERIES"):
         h.update(big_superstep_rate())
