@@ -304,6 +304,10 @@ def scaling():
         pairs.append({
             "run": i,
             f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+            # host-window stamps per leg: pairs measured on a degraded
+            # bus (quiet ref ≈0.30 GB/s) are graded accordingly
+            "membw_lo": lo["detail"].get("host_membw_GBs"),
+            "membw_hi": hi["detail"].get("host_membw_GBs"),
             "eff_wall": round((lo["value"] / hi["value"]) / 4, 3),
             "eff_build": round(
                 (lo["detail"]["graph_build_sec"]

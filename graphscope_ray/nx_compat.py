@@ -229,5 +229,23 @@ def voterank(G: Graph, number_of_nodes: int = 0) -> list:
     return list(df.sort_values("rank")[key])
 
 
+def degree_assortativity_coefficient(G: Graph) -> float:
+    return _sess_mod.degree_assortativity_coefficient(G._graph())
+
+
+def average_degree_connectivity(G: Graph) -> dict:
+    ds = _sess_mod.average_degree_connectivity(G._graph()).to_dataset()
+    df = ds.to_pandas()
+    return dict(zip(df["k"].astype(int), df["avg_nbr_degree"]))
+
+
+def average_shortest_path_length(G: Graph) -> float:
+    return _sess_mod.average_shortest_path_length(G._graph())
+
+
+def is_simple_path(G: Graph, nodes: list) -> bool:
+    return _sess_mod.is_simple_path(G._graph(), nodes)
+
+
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]

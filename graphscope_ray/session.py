@@ -147,9 +147,13 @@ class Graph:
         return out
 
     def _node_map(self) -> ray.data.Dataset | None:
-        """(vid, node) map for relabelled graphs; None for identity."""
+        """(vid, node) map for relabelled graphs; None for identity.
+        Built (and injectivity-checked) once per Graph, then cached —
+        Contexts share the materialized map."""
         if not self._needs_relabel:
             return None
+        if hasattr(self, "_node_map_ds"):
+            return self._node_map_ds
         parts = []
         for ds, s, d, _ in self._edge_specs:
             def ends(t: pa.Table, s=s, d=d) -> pa.Table:
@@ -169,8 +173,9 @@ class Graph:
         for p in parts[1:]:
             allp = allp.union(p)
         from graphscope_ray.stages.relational import dedup_first
-        m = dedup_first(allp, ["vid"], order_by=["node"])
+        m = dedup_first(allp, ["vid"], order_by=["node"]).materialize()
         _check_injective(allp)
+        object.__setattr__(self, "_node_map_ds", m)
         return m
 
     def _pool(self, reverse: bool = False):
@@ -237,7 +242,9 @@ class Context:
         self._map = graph._node_map()
 
     def to_dataset(self) -> ray.data.Dataset:
-        if self._map is None:
+        # non-vertex-keyed results (e.g. degree-histogram outputs) pass
+        # through; vid-keyed ones get the node map joined back in
+        if self._map is None or "vid" not in self._result.schema().names:
             return self._result
         from graphscope_ray.stages.relational import cogroup_join
         return cogroup_join(self._result, self._map, on="vid"
@@ -245,7 +252,8 @@ class Context:
 
     def to_dataframe(self, selector=None) -> pd.DataFrame:
         df = self.to_dataset().to_pandas()
-        key = "node" if "node" in df.columns else "vid"
+        key = ("node" if "node" in df.columns
+               else "vid" if "vid" in df.columns else df.columns[0])
         df = df.sort_values(key, kind="mergesort").reset_index(drop=True)
         if selector:
             df = df.rename(columns={v: k for k, v in selector.items()
@@ -434,6 +442,65 @@ def louvain(graph: Graph, min_progress: int = 1000, progress_tries: int = 1
     from graphscope_ray.pipelines.louvain import louvain as lv
     return Context(lv(graph.edges_dataset(),
                       vertices=graph._int_vertices()), graph)
+
+
+def degree_assortativity_coefficient(graph: Graph, x: str = "out",
+                                     y: str = "in",
+                                     weight: str | None = None) -> float:
+    """Scalar (app/degree_assortativity_coefficient.py:31; the engine
+    computes the undirected networkx convention)."""
+    from graphscope_ray.pipelines.structure import degree_assortativity
+    return degree_assortativity(graph.edges_dataset())
+
+
+def average_degree_connectivity(graph: Graph) -> Context:
+    from graphscope_ray.pipelines.structure import (
+        average_degree_connectivity as adc,
+    )
+    return Context(adc(graph.edges_dataset()), graph)
+
+
+def attribute_assortativity_coefficient(graph: Graph, attribute: str
+                                        ) -> float:
+    """``attribute`` names a column of an ``add_vertices`` input
+    (app/attribute_assortativity.py:31 selects a vertex property the
+    same way)."""
+    from graphscope_ray.pipelines.structure import attribute_assortativity
+    relabel = graph._needs_relabel
+    for ds, vcol in graph._vertex_specs:
+        if attribute in ds.schema().names:
+            def norm(t: pa.Table, vcol=vcol) -> pa.Table:
+                return pa.table({"vid": _vids(t.column(vcol), relabel),
+                                 attribute: t.column(attribute)})
+            attrs = ds.select_columns([vcol, attribute]).map_batches(
+                norm, batch_format="pyarrow")
+            return attribute_assortativity(graph.edges_dataset(), attrs,
+                                           attribute)
+    raise KeyError(f"no vertex input carries column {attribute!r}")
+
+
+def is_simple_path(graph: Graph, nodes: list) -> bool:
+    from graphscope_ray.pipelines.paths import is_simple_path as isp
+    vids = [_src_vid(graph, n) for n in nodes]
+    return isp(graph.edges_dataset(), vids, directed=graph.directed)
+
+
+def average_shortest_path_length(graph: Graph,
+                                 weight: str | None = None) -> float:
+    """Unweighted all-pairs mean Σd(s,t)/(n(n-1)) over ordered pairs
+    (app/average_shortest_path_length.py:30; networkx definition).
+    Raises on disconnected graphs like networkx does. O(V²) work —
+    small/medium graphs only, same as the reference app."""
+    from graphscope_ray.pipelines.algorithms import (
+        all_pairs_shortest_path_length,
+    )
+    pool = graph._pool()
+    n = pool.n_vertices
+    ds = all_pairs_shortest_path_length(pool)
+    total = ds.sum("length")
+    if ds.count() < n * n:
+        raise ValueError("graph is not connected")
+    return total / (n * (n - 1)) if n > 1 else 0.0
 
 
 def _src_vid(graph: Graph, src) -> int:

@@ -159,6 +159,55 @@ def test_nx_compat_mutation_invalidates_cache():
     assert after[4] == after[5] != after[1]
 
 
+def test_session_structure_metrics(g, karate_like):
+    r = gs.degree_assortativity_coefficient(g)
+    assert abs(r - nx.degree_assortativity_coefficient(karate_like)) < 1e-9
+    adc = gs.average_degree_connectivity(g).to_dataframe()
+    want = nx.average_degree_connectivity(karate_like)
+    got = dict(zip(adc["k"].astype(int), adc["avg_nbr_degree"]))
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_session_path_apis(sess, karate_like):
+    G = max(nx.connected_components(karate_like), key=len)
+    H = karate_like.subgraph(G)
+    edf = pd.DataFrame(H.edges(), columns=["u", "v"])
+    g = sess.g(directed=False).add_edges(edf, src_field="u",
+                                         dst_field="v")
+    got = gs.average_shortest_path_length(g)
+    assert abs(got - nx.average_shortest_path_length(H)) < 1e-9
+    p = nx.shortest_path(H, min(H.nodes()), max(H.nodes()))
+    assert gs.is_simple_path(g, p) is True
+    assert gs.is_simple_path(g, p + [p[0]]) is False
+
+
+def test_session_attribute_assortativity(sess):
+    edges = pd.DataFrame({"s": [1, 2, 3, 4, 1], "t": [2, 3, 4, 1, 3]})
+    verts = pd.DataFrame({"id": [1, 2, 3, 4],
+                          "color": ["r", "r", "b", "b"]})
+    g = (sess.g(directed=False)
+         .add_vertices(verts, vid_field="id")
+         .add_edges(edges, src_field="s", dst_field="t"))
+    got = gs.attribute_assortativity_coefficient(g, "color")
+    H = nx.Graph([(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+    nx.set_node_attributes(
+        H, {1: "r", 2: "r", 3: "b", 4: "b"}, "color")
+    want = nx.attribute_assortativity_coefficient(H, "color")
+    assert abs(got - want) < 1e-9
+
+
+def test_nx_compat_structure_metrics(karate_like):
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    r = gnx.degree_assortativity_coefficient(G)
+    assert abs(r - nx.degree_assortativity_coefficient(karate_like)) < 1e-9
+    got = gnx.average_degree_connectivity(G)
+    for k, v in nx.average_degree_connectivity(karate_like).items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
 def test_nx_compat_hits_eigen_katz(karate_like):
     G = gnx.Graph()
     G.add_edges_from(karate_like.edges())
