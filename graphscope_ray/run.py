@@ -1,0 +1,166 @@
+"""Job entry point: ``ray job submit -- python -m graphscope_ray.run ...``.
+
+The north-rule launch path (SURVEY §3.4; the reference's equivalent is
+the mpirun ``run_app`` driver, analytical_engine/test/run_app.h:192-300):
+one self-contained driver that reads an edge table from Parquet/CSV,
+builds the shard pool, runs the selected algorithm with optional
+per-superstep checkpointing, writes the result as resumable partitioned
+Parquet, and prints ONE JSON metrics line.
+
+Examples::
+
+    ray job submit -- python -m graphscope_ray.run \
+        --algo pagerank --input /data/edges --output /data/pr \
+        --src src --dst dst --partitions 64 \
+        --ckpt-dir /data/ckpt --ckpt-every 5
+
+    python -m graphscope_ray.run --algo wcc --input edges.parquet \
+        --output /tmp/wcc_out
+
+Ray session: under ``ray job submit`` the runtime is already up
+(RAY_ADDRESS set) and ``ray.init()`` attaches to it; standalone the
+guard initializes a local session. The library itself never inits —
+only this CLI, bench.py and the pytest fixture own sessions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+ALGOS = ("pagerank", "wcc", "cdlp", "bfs", "sssp", "triangles",
+         "degree_centrality")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m graphscope_ray.run")
+    p.add_argument("--algo", required=True, choices=ALGOS)
+    p.add_argument("--input", required=True,
+                   help="edge table: parquet file/dir or .csv")
+    p.add_argument("--src", default="src")
+    p.add_argument("--dst", default="dst")
+    p.add_argument("--weight", default=None,
+                   help="edge weight column (sssp)")
+    p.add_argument("--vertices", default=None,
+                   help="optional vertex parquet (isolated vertices)")
+    p.add_argument("--vid", default="vid",
+                   help="vertex id column of --vertices")
+    p.add_argument("--directed", action="store_true")
+    p.add_argument("--partitions", type=int, default=8,
+                   help="shard count (size to the DATA, not the cluster)")
+    p.add_argument("--output", required=True,
+                   help="result directory (partitioned parquet)")
+    p.add_argument("--output-partitions", type=int, default=64)
+    p.add_argument("--no-resume", action="store_true",
+                   help="rewrite finished output partitions")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    # algorithm knobs
+    p.add_argument("--alpha", type=float, default=0.85)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp root")
+    return p
+
+
+def _read_edges(args) -> "ray.data.Dataset":
+    import pyarrow as pa
+    import ray.data
+
+    cols = [args.src, args.dst] + ([args.weight] if args.weight else [])
+    if args.input.endswith(".csv"):
+        ds = ray.data.read_csv(args.input).select_columns(cols)
+    else:
+        ds = ray.data.read_parquet(args.input, columns=cols)
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = {"src": t.column(args.src).cast(pa.int64()),
+               "dst": t.column(args.dst).cast(pa.int64())}
+        if args.weight:
+            out["weight"] = t.column(args.weight).cast(pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def main(argv=None) -> dict:
+    args = _build_parser().parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():  # ray job submit pre-sets RAY_ADDRESS
+        ray.init(include_dashboard=False, logging_level="ERROR")
+
+    from graphscope_ray.pipelines import algorithms
+    from graphscope_ray.sources.sink import write_partitioned_parquet
+    from graphscope_ray.state.graph import build_graph
+
+    t0 = time.perf_counter()
+    edges = _read_edges(args)
+    verts = None
+    if args.vertices:
+        import pyarrow as pa
+        import ray.data
+
+        verts = ray.data.read_parquet(
+            args.vertices, columns=[args.vid]
+        ).map_batches(
+            lambda t: pa.table({"vid": t.column(args.vid).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    metrics: dict = {"algo": args.algo, "input": args.input}
+    if args.algo == "triangles":
+        from graphscope_ray.pipelines.triangles import triangle_counts
+        result = triangle_counts(edges)
+    elif args.algo == "degree_centrality":
+        from graphscope_ray.pipelines.degree import degree_centrality
+        g = build_graph(edges, num_partitions=args.partitions,
+                        directed=args.directed, extra_vertices=verts)
+        result = degree_centrality(edges, g.n_vertices)
+        metrics.update(vertices=g.n_vertices, arcs=g.n_edges)
+    else:
+        g = build_graph(edges, num_partitions=args.partitions,
+                        directed=args.directed, extra_vertices=verts)
+        metrics.update(vertices=g.n_vertices, arcs=g.n_edges,
+                       build_sec=round(time.perf_counter() - t0, 3),
+                       build_phases={k: round(v, 3) for k, v
+                                     in g.build_phases.items()})
+        t1 = time.perf_counter()
+        if args.algo == "pagerank":
+            result, m = algorithms.pagerank(
+                g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
+                ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
+            metrics.update(rounds=m["rounds"],
+                           edges_per_sec=round(
+                               g.n_edges * m["rounds"]
+                               / max(m["seconds"], 1e-9), 1))
+        elif args.algo == "wcc":
+            result, m = algorithms.wcc(g, ckpt_dir=args.ckpt_dir,
+                                       ckpt_every=args.ckpt_every)
+            metrics.update(rounds=m["rounds"])
+        elif args.algo == "cdlp":
+            result, m = algorithms.cdlp(g, max_round=args.max_iter
+                                        if args.max_iter != 100 else 10,
+                                        ckpt_dir=args.ckpt_dir,
+                                        ckpt_every=args.ckpt_every)
+        elif args.algo == "bfs":
+            result, _ = algorithms.bfs(g, source=args.source)
+        elif args.algo == "sssp":
+            result, _ = algorithms.sssp(g, source=args.source)
+        metrics["algo_sec"] = round(time.perf_counter() - t1, 3)
+
+    sink = write_partitioned_parquet(
+        result, args.output, key="vid",
+        num_partitions=args.output_partitions,
+        resume=not args.no_resume)
+    metrics.update(sink)
+    metrics["total_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

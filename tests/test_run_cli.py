@@ -1,0 +1,65 @@
+"""Job CLI (python -m graphscope_ray.run): read → build → algo →
+resumable partitioned output, the north-rule `ray job submit` path."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from graphscope_ray.run import main
+from graphscope_ray.sources.generator import MICRO_VERTICES, micro_edge_table
+from graphscope_ray.sources.sink import read_partitioned_parquet
+from tests.oracles import oracle_pagerank
+
+
+def _write_inputs(tmp_path):
+    edges = micro_edge_table().to_pandas()
+    ein = str(tmp_path / "edges.parquet")
+    pd.DataFrame(edges).to_parquet(ein)
+    vin = str(tmp_path / "verts.parquet")
+    pd.DataFrame({"vid": list(MICRO_VERTICES)}).to_parquet(vin)
+    return ein, vin, edges
+
+
+def test_run_pagerank_to_partitioned_output(tmp_path):
+    ein, vin, edges = _write_inputs(tmp_path)
+    out = str(tmp_path / "pr")
+    m = main(["--algo", "pagerank", "--input", ein, "--vertices", vin,
+              "--output", out, "--partitions", "3", "--directed",
+              "--output-partitions", "4", "--tol", "1e-12"])
+    assert m["parts_written"] >= 1 and m["rows_written"] == len(MICRO_VERTICES)
+    got = read_partitioned_parquet(out).to_pandas()
+    want = oracle_pagerank(list(zip(edges["src"], edges["dst"])),
+                           list(MICRO_VERTICES), directed=True, tol=1e-12)
+    gm = dict(zip(got["vid"], got["pagerank"]))
+    for v, w in want.items():
+        assert abs(gm[v] - w) < 1e-9, v
+
+
+def test_run_wcc_resume_skips(tmp_path):
+    ein, vin, _ = _write_inputs(tmp_path)
+    out = str(tmp_path / "wcc")
+    m1 = main(["--algo", "wcc", "--input", ein, "--vertices", vin,
+               "--output", out, "--output-partitions", "4"])
+    # wipe one partition; rerun resumes just that one
+    os.remove(os.path.join(out, "part=2", "_SUCCESS"))
+    m2 = main(["--algo", "wcc", "--input", ein, "--vertices", vin,
+               "--output", out, "--output-partitions", "4"])
+    assert m2["parts_skipped"] == 3 and m2["parts_written"] == 1
+    assert (m1["rows_written"]
+            == read_partitioned_parquet(out).count())
+
+
+def test_run_triangles(tmp_path):
+    ein, _, edges = _write_inputs(tmp_path)
+    out = str(tmp_path / "tri")
+    m = main(["--algo", "triangles", "--input", ein, "--output", out])
+    assert m["rows_written"] > 0
+    import networkx as nx
+    got = read_partitioned_parquet(out).to_pandas()
+    want = nx.triangles(nx.Graph(list(zip(edges["src"], edges["dst"]))))
+    gm = dict(zip(got["vid"], got["triangles"]))
+    for v, w in want.items():
+        assert gm.get(v, 0) == w, v
