@@ -326,7 +326,13 @@ def kcore(edges: ray.data.Dataset, k: int, max_iter: int = 10**6
     """Vertices of the k-core (maximal subgraph with min degree ≥ k) —
     iterative peeling (gs::KCore): drop deg<k vertices, re-count,
     repeat to fixpoint. Each round = one grouped count + one broadcast
-    semi-filter over the shrinking edge set."""
+    semi-filter over the shrinking edge set.
+
+    SMALL-GRAPH / TEST-ORACLE variant: the per-round driver degree
+    table is O(V) driver heap. The scale path (and the gate route) is
+    ``algorithms.kcore_pool`` — BSP peeling on the shard pool; this
+    implementation stays as its independent cross-check
+    (test_kcore_pool_matches_dataset_peeling)."""
     sub = _canonical_edges(edges).materialize()
     while max_iter:
         max_iter -= 1
