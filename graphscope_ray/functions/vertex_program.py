@@ -124,3 +124,65 @@ class MinLabelProgram(VertexProgram):
 
     def apply(self, state, acc, has_msg, g, ctx):
         return np.minimum(state, acc)
+
+
+class ArticleRankProgram(VertexProgram):
+    """FLASH ArticleRank (apps/flash/ranking/articlerank.h:48-71) as a
+    user program — proof the extension surface covers the FLASH DSL's
+    EdgeMapDense/VertexMap shape, not just the builtins it mirrors:
+    ``val' = (1-d) + d·Σ_in val(u)/(outdeg(u) + avg_outdeg)``, val₀=0,
+    fixed ``max_iters`` rounds. ``avg_deg`` (Σ outdeg / N — one scalar
+    off the pool's counts) comes in via the constructor, matching the
+    header's GetSum(a)/n_vertex."""
+
+    combine = "add"
+    identity = 0.0
+
+    def __init__(self, avg_deg: float, damping: float = 0.85,
+                 max_iters: int = 20):
+        self.avg_deg, self.damping, self.max_iters = avg_deg, damping, max_iters
+
+    def init(self, ctx):
+        return np.zeros(ctx.n_local, dtype=np.float64)
+
+    def emit(self, state, ctx):
+        return state / (ctx.out_deg + self.avg_deg)
+
+    def apply(self, state, acc, has_msg, g, ctx):
+        return self.damping * acc + (1.0 - self.damping)
+
+    def converged(self, delta, n_total, round):
+        return round + 1 >= self.max_iters
+
+
+class MISProgram(VertexProgram):
+    """Deterministic greedy maximal independent set — the FLASH
+    mis.h:46-77 round shape (undecided vertex joins when its priority
+    is the strict minimum among undecided neighbors; members' neighbors
+    drop out a round later). Priority = vid — any injective priority
+    yields a valid deterministic MIS; the reference packs
+    ``deg·N + id``, which assumes compacted 0..N-1 ids our hashed vids
+    don't satisfy. The fixpoint equals the sequential min-vid-first
+    greedy MIS (the lexicographically-first MIS), which is the pytest
+    oracle. States: 0 undecided / 1 in / 2 out; message = min over
+    neighbors of (-1 if in, vid if undecided, +INF if out). Requires
+    an undirected (both-arcs) graph."""
+
+    combine = "min"
+    identity = np.iinfo(np.int64).max
+    msg_dtype = np.int64
+
+    def init(self, ctx):
+        return np.zeros(ctx.n_local, dtype=np.int64)
+
+    def emit(self, state, ctx):
+        return np.where(
+            state == 1, np.int64(-1),
+            np.where(state == 0, ctx.vids, self.identity)).astype(np.int64)
+
+    def apply(self, state, acc, has_msg, g, ctx):
+        new = state.copy()
+        und = state == 0
+        new[und & (acc == -1)] = 2
+        new[und & (acc != -1) & (ctx.vids < acc)] = 1
+        return new

@@ -247,5 +247,21 @@ def is_simple_path(G: Graph, nodes: list) -> bool:
     return _sess_mod.is_simple_path(G._graph(), nodes)
 
 
+def articlerank(G: Graph, damping: float = 0.85,
+                max_iters: int = 20) -> dict:
+    return _sess_mod.articlerank(G._graph(), damping=damping,
+                                 max_iters=max_iters).to_dict()
+
+
+def maximal_independent_set(G: Graph) -> set:
+    df = _sess_mod.maximal_independent_set(G._graph()).to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df[key])
+
+
+def diameter_approximation(G: Graph, k: int = 16) -> int:
+    return _sess_mod.diameter_approximation(G._graph(), k=k)
+
+
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]

@@ -742,3 +742,73 @@ def run_vertex_program(
         if program.converged(delta, graph.n_vertices, it):
             break
     return graph.state_dataset(col), _metrics(rounds, graph.n_edges)
+
+
+def articlerank(graph: ShardedGraph, damping: float = 0.85,
+                max_iters: int = 20):
+    """ArticleRank (FLASH apps/flash/ranking/articlerank.h:48-71) via
+    the user-program surface: val' = (1-d) + d·Σ val(u)/(outdeg+⟨k⟩),
+    fixed rounds. Returns (Dataset(vid, articlerank), metrics)."""
+    from graphscope_ray.functions.vertex_program import ArticleRankProgram
+
+    avg = graph.n_edges / max(1, graph.n_vertices)
+    return run_vertex_program(
+        graph, ArticleRankProgram(avg, damping, max_iters),
+        max_iter=max_iters, col="articlerank")
+
+
+def maximal_independent_set(graph: ShardedGraph, max_iter: int = 10**6):
+    """Deterministic greedy MIS (FLASH apps/flash/matching/mis.h:46-77
+    round shape, min-vid priority — the lexicographically-first MIS).
+    Returns a (vid) Dataset of the members."""
+    import pyarrow.compute as pc
+
+    if graph.directed:
+        raise ValueError("maximal_independent_set requires an undirected "
+                         "graph (the reference runs MIS on EU arcs)")
+    from graphscope_ray.functions.vertex_program import MISProgram
+
+    ds, _ = run_vertex_program(graph, MISProgram(), max_iter=max_iter,
+                               col="state")
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("state"), 1)).select(["vid"]),
+        batch_format="pyarrow")
+
+
+def diameter_approximation(graph: ShardedGraph, k: int = 16):
+    """Diameter lower bound: max eccentricity over a deterministic
+    ~k-source sample plus the classic double-sweep refinement (BFS from
+    the min vid, then from the farthest vertex found). The reference's
+    flash/measurement/diameter-approx.h samples 64 random sources and
+    takes the same max-over-BFS bound; ours is seed-free deterministic.
+    Exact on trees and on any graph whose diameter endpoint lands in
+    the sample."""
+    import numpy as np
+
+    deg = graph.degree_dataset()
+    lo = int(deg.min("vid"))
+    n = graph.n_vertices
+    mod = max(1, n // max(1, k - 2))
+
+    def pick(t):
+        import pyarrow as pa
+
+        from graphscope_ray.functions.hashing import hash64_ints
+
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        keep = hash64_ints(v) % np.uint64(mod) == 0
+        return pa.table({"vid": pa.array(v[keep], pa.int64())})
+
+    sample = [int(r["vid"]) for r in
+              deg.map_batches(pick, batch_format="pyarrow").take_all()]
+    # double sweep: farthest finite vertex from lo (ties -> min vid)
+    d0, _ = bfs(graph, source=lo)
+    fin = d0.map_batches(
+        lambda df: df[np.isfinite(df["depth"])], batch_format="pandas")
+    dmax = fin.max("depth")
+    far = int(fin.map_batches(
+        lambda df: df[df["depth"] == dmax], batch_format="pandas"
+    ).min("vid"))
+    sources = sorted(set(sample) | {lo, far})
+    lengths = all_pairs_shortest_path_length(graph, sources=sources)
+    return int(lengths.max("length"))

@@ -503,6 +503,29 @@ def average_shortest_path_length(graph: Graph,
     return total / (n * (n - 1)) if n > 1 else 0.0
 
 
+def articlerank(graph: Graph, damping: float = 0.85,
+                max_iters: int = 20) -> Context:
+    """FLASH articlerank (flash/ranking.py surface)."""
+    from graphscope_ray.pipelines.algorithms import articlerank as ar
+    ds, _ = ar(graph._pool(), damping=damping, max_iters=max_iters)
+    return Context(ds, graph)
+
+
+def maximal_independent_set(graph: Graph) -> Context:
+    """Deterministic greedy MIS members (flash/matching surface)."""
+    from graphscope_ray.pipelines.algorithms import (
+        maximal_independent_set as mis,
+    )
+    return Context(mis(graph._pool()), graph)
+
+
+def diameter_approximation(graph: Graph, k: int = 16) -> int:
+    from graphscope_ray.pipelines.algorithms import (
+        diameter_approximation as da,
+    )
+    return da(graph._pool(), k=k)
+
+
 def _src_vid(graph: Graph, src) -> int:
     if graph._needs_relabel:
         from graphscope_ray.functions.hashing import hash64_strings

@@ -208,6 +208,23 @@ def test_nx_compat_structure_metrics(karate_like):
         assert abs(got[k] - v) < 1e-9, k
 
 
+def test_nx_compat_flash_family(karate_like):
+    """articlerank / MIS / diameter via the nx-compat surface."""
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    ar = gnx.articlerank(G, max_iters=5)
+    assert set(ar) == set(karate_like.nodes())
+    assert all(v >= 0.15 - 1e-9 for v in ar.values())
+    mis = gnx.maximal_independent_set(G)
+    for u, w in karate_like.edges():
+        assert not (u in mis and w in mis)
+    H = karate_like.subgraph(
+        max(nx.connected_components(karate_like), key=len))
+    G2 = gnx.Graph()
+    G2.add_edges_from(H.edges())
+    assert 1 <= gnx.diameter_approximation(G2, k=6) <= nx.diameter(H)
+
+
 def test_nx_compat_hits_eigen_katz(karate_like):
     G = gnx.Graph()
     G.add_edges_from(karate_like.edges())

@@ -90,3 +90,84 @@ def test_user_weighted_max_program():
     assert got[3] == pytest.approx(3.0)
     assert got[2] == pytest.approx(3.0)
     assert got[1] == pytest.approx(0.0)  # no in-edges -> identity
+
+
+def _rgraph(seed=23, n=40, m=120, P=3):
+    import networkx as nx
+    import pandas as pd
+
+    G = nx.gnm_random_graph(n, m, seed=seed)
+    edf = pd.DataFrame(G.edges(), columns=["src", "dst"])
+    g = build_graph(ray.data.from_pandas(edf), num_partitions=P,
+                    directed=False,
+                    extra_vertices=ray.data.from_items(
+                        [{"vid": v} for v in G.nodes()]))
+    return G, g
+
+
+def _articlerank_oracle(G, avg, damping=0.85, iters=20):
+    """Direct replica of articlerank.h:60-71 on a networkx graph
+    (undirected: every edge contributes both directions)."""
+    deg = dict(G.degree())
+    val = {v: 0.0 for v in G}
+    for _ in range(iters):
+        nxt = {v: 0.0 for v in G}
+        for u, w in G.edges():
+            nxt[w] += damping * val[u] / (deg[u] + avg)
+            nxt[u] += damping * val[w] / (deg[w] + avg)
+        val = {v: nxt[v] + 1 - damping for v in G}
+    return val
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_articlerank_matches_flash_oracle(P):
+    from graphscope_ray.pipelines.algorithms import articlerank
+
+    G, g = _rgraph(P=P)
+    got = _to_map(articlerank(g, max_iters=12)[0], "articlerank")
+    avg = g.n_edges / g.n_vertices
+    want = _articlerank_oracle(G, avg, iters=12)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-12), v
+
+
+def test_mis_is_lexicographically_first():
+    """Round-based MIS fixpoint == sequential min-vid greedy MIS (the
+    lexicographically-first MIS), and it is independent + maximal."""
+    from graphscope_ray.pipelines.algorithms import maximal_independent_set
+
+    G, g = _rgraph(seed=31)
+    got = set(maximal_independent_set(g).to_pandas()["vid"])
+    want = set()
+    for v in sorted(G.nodes()):
+        if not any(u in want for u in G[v]):
+            want.add(v)
+    assert got == want
+    for u, w in G.edges():           # independence
+        assert not (u in got and w in got)
+    for v in G.nodes():              # maximality
+        assert v in got or any(u in got for u in G[v])
+
+
+def test_diameter_approximation():
+    import networkx as nx
+    import pandas as pd
+
+    from graphscope_ray.pipelines.algorithms import diameter_approximation
+
+    # exact on trees (double sweep)
+    T = nx.random_labeled_tree(40, seed=9)
+    edf = pd.DataFrame(T.edges(), columns=["src", "dst"])
+    g = build_graph(ray.data.from_pandas(edf), num_partitions=2,
+                    directed=False)
+    assert diameter_approximation(g, k=4) == nx.diameter(T)
+
+    # lower bound on a connected random graph
+    G, g2 = _rgraph(seed=47, n=30, m=60)
+    G = G.subgraph(max(nx.connected_components(G), key=len))
+    edf = pd.DataFrame(G.edges(), columns=["src", "dst"])
+    g2 = build_graph(ray.data.from_pandas(edf), num_partitions=2,
+                     directed=False)
+    got = diameter_approximation(g2, k=8)
+    assert 1 <= got <= nx.diameter(G)
