@@ -263,5 +263,10 @@ def diameter_approximation(G: Graph, k: int = 16) -> int:
     return _sess_mod.diameter_approximation(G._graph(), k=k)
 
 
+def core_number(G: Graph) -> dict:
+    return {k: int(v) for k, v in
+            _sess_mod.kcore_decomposition(G._graph()).to_dict().items()}
+
+
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]

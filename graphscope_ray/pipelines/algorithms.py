@@ -461,6 +461,36 @@ def kcore_pool(graph: ShardedGraph, k: int):
     )
 
 
+def core_decomposition(graph: ShardedGraph):
+    """Per-vertex core numbers (FLASH
+    apps/flash/subgraph → kcore_decomposition; networkx core_number):
+    one continuous BSP peel with a rising threshold — level k peels to
+    fixpoint, survivors are stamped core=k, the threshold rises and the
+    RESIDUAL degrees carry over (each level is incremental, total work
+    ≈ one full peel, not kmax peels). Vertices outside the 1-core
+    (isolated) stay 0. Returns Dataset(vid, core)."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("core_decomposition requires an undirected "
+                         "(both-arcs) graph")
+    graph.call_all("kcore_init", 1)
+    k = 1
+    while True:
+        refs = graph.step_refs("kcore_step")
+        changed = sum(graph.step_scalars(refs))
+        while changed:
+            refs = graph.step_refs("kcore_step", inbox=refs)
+            changed = sum(graph.step_scalars(refs))
+        alive = sum(graph.call_all("kcore_stamp_and_raise", k, k + 1))
+        if alive == 0:
+            break
+        k += 1
+    return ray.data.from_arrow_refs(
+        [s.kcore_decomp_table.remote() for s in graph.shards]
+    )
+
+
 def kshell_pool(graph: ShardedGraph, k: int):
     """k-shell (in k-core, not in (k+1)-core; gs::KShell,
     apps/kcore/kshell.h:139) as two BSP pool peels + a distributed

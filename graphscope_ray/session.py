@@ -519,6 +519,13 @@ def maximal_independent_set(graph: Graph) -> Context:
     return Context(mis(graph._pool()), graph)
 
 
+def kcore_decomposition(graph: Graph) -> Context:
+    """Per-vertex core numbers (flash kcore_decomposition /
+    networkx core_number)."""
+    from graphscope_ray.pipelines.algorithms import core_decomposition
+    return Context(core_decomposition(graph._pool()), graph)
+
+
 def diameter_approximation(graph: Graph, k: int = 16) -> int:
     from graphscope_ray.pipelines.algorithms import (
         diameter_approximation as da,

@@ -1003,6 +1003,10 @@ class GraphShard:
         # undirected graphs store both arcs ⇒ out_deg IS the degree
         self._kc_deg = self.out_deg.astype(np.int64).copy()
         self._kc_k = int(k)
+        # per-vertex core number, stamped level by level during core
+        # decomposition (vertices never in the 1-core stay 0 —
+        # networkx core_number semantics for isolated vertices)
+        self._kc_core = np.zeros(self.n_local, dtype=np.int64)
         return self.n_local
 
     def kcore_step(self, *inbox):
@@ -1024,6 +1028,22 @@ class GraphShard:
     def kcore_table(self) -> pa.Table:
         return pa.table({
             "vid": pa.array(self.local[self._kc_alive], pa.int64())
+        })
+
+    def kcore_stamp_and_raise(self, core_k: int, k_next: int) -> int:
+        """Core-decomposition level step: the current survivors are the
+        ``core_k``-core (stamp them), then raise the peel threshold.
+        Residual degrees carry over — each level peels incrementally
+        from the previous one, never from scratch. Returns the alive
+        count so the driver knows when the graph is exhausted."""
+        self._kc_core[self._kc_alive] = int(core_k)
+        self._kc_k = int(k_next)
+        return int(self._kc_alive.sum())
+
+    def kcore_decomp_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "core": pa.array(self._kc_core, pa.int64()),
         })
 
     # ------------------------------------------------------------ VoteRank

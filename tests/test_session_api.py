@@ -138,6 +138,8 @@ def test_nx_compat_builtins(karate_like):
     kc = gnx.k_core(G, k=3)
     assert kc == set(nx.k_core(karate_like, 3).nodes())
 
+    assert gnx.core_number(G) == nx.core_number(karate_like)
+
 
 def test_nx_compat_weighted_digraph():
     G = gnx.DiGraph()

@@ -171,3 +171,24 @@ def test_diameter_approximation():
                      directed=False)
     got = diameter_approximation(g2, k=8)
     assert 1 <= got <= nx.diameter(G)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_core_decomposition_matches_networkx(P):
+    import networkx as nx
+
+    from graphscope_ray.pipelines.algorithms import core_decomposition
+
+    G, g = _rgraph(seed=13, n=50, m=160, P=P)
+    got = _to_map(core_decomposition(g), "core")
+    want = nx.core_number(G)
+    assert got == want
+    # isolated vertex -> core 0
+    import pandas as pd
+    edf = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+    g2 = build_graph(ray.data.from_pandas(edf), num_partitions=2,
+                     directed=False,
+                     extra_vertices=ray.data.from_items(
+                         [{"vid": v} for v in (1, 2, 3, 9)]))
+    got2 = _to_map(core_decomposition(g2), "core")
+    assert got2 == {1: 1, 2: 1, 3: 1, 9: 0}
