@@ -225,11 +225,13 @@ def _host_window() -> dict:
     only after normalizing by this."""
     import numpy as np
 
-    a = np.ones(25_000_000, dtype=np.uint8)  # 25 MB
+    # 200 MB buffer (matches tools/hostprobe.py) so the copy streams
+    # DRAM, not LLC — 25 MB buffers were measured reading 5-8 GB/s
+    # (cache-resident) vs 0.1 GB/s cold on the same degraded bus
+    a = np.ones(200_000_000, dtype=np.uint8)
     t0 = time.perf_counter()
-    for _ in range(8):
-        b = a.copy()
-    membw = 8 * a.nbytes / (time.perf_counter() - t0) / 1e9
+    b = a.copy()
+    membw = a.nbytes / (time.perf_counter() - t0) / 1e9
     t0 = time.perf_counter()
     s = 0
     for i in range(2_000_000):
