@@ -268,5 +268,13 @@ def core_number(G: Graph) -> dict:
             _sess_mod.kcore_decomposition(G._graph()).to_dict().items()}
 
 
+def densest_subgraph(G: Graph):
+    """(density, vertex set) of the max-core 2-approx subgraph."""
+    density, ctx = _sess_mod.densest_subgraph(G._graph())
+    df = ctx.to_dataframe()
+    key = "node" if "node" in df.columns else "vid"
+    return density, set(df[key])
+
+
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]

@@ -384,3 +384,40 @@ def kshell(edges: ray.data.Dataset, k: int) -> ray.data.Dataset:
         return pd.DataFrame({"vid": keep.to_numpy(np.int64)})
 
     return bucketed_group_apply(lo.union(hi), ["vid"], anti, num_buckets=16)
+
+
+def densest_subgraph_approx(graph, edges: ray.data.Dataset):
+    """Densest-subgraph 2-approximation (FLASH
+    apps/flash/subgraph/densest-sub-2-approx.h:44-93): the max-core
+    subgraph. Returns ``(density, members)`` where members is a (vid)
+    Dataset of max-core vertices and density mirrors the reference's
+    value exactly — ordered internal pairs / vertices, i.e. the average
+    degree 2·E_in/|V_in| of the subgraph (a 2-approx of max E/V by the
+    classic peeling argument). Core numbers come from the incremental
+    BSP peel (``algorithms.core_decomposition``); the internal-edge
+    count is two bucketed co-group joins on the canonical edge list —
+    no vertex-scale driver state."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.pipelines.algorithms import core_decomposition
+    from graphscope_ray.stages.relational import cogroup_join
+
+    cores = core_decomposition(graph).materialize()
+    kmax = cores.max("core")
+    members = cores.map_batches(
+        lambda t: t.filter(pc.equal(t.column("core"), kmax))
+                   .select(["vid"]),
+        batch_format="pyarrow").materialize()
+    nv = members.count()
+    canon = _canonical_edges(edges)
+    e1 = cogroup_join(canon, members.map_batches(
+        lambda t: t.append_column("_mu", pa.array(
+            np.ones(t.num_rows, np.int8))), batch_format="pyarrow"),
+        on="u", right_on="vid")
+    e2 = cogroup_join(e1, members.map_batches(
+        lambda t: t.append_column("_mv", pa.array(
+            np.ones(t.num_rows, np.int8))), batch_format="pyarrow"),
+        on="v", right_on="vid")
+    e_in = e2.count()  # inner joins: both endpoints in the max core
+    density = (2.0 * e_in / nv) if nv else 0.0
+    return density, members

@@ -519,6 +519,15 @@ def maximal_independent_set(graph: Graph) -> Context:
     return Context(mis(graph._pool()), graph)
 
 
+def densest_subgraph(graph: Graph):
+    """(density, members-Context) — FLASH densest-sub-2-approx: the
+    max-core subgraph and its average-degree density."""
+    from graphscope_ray.pipelines.structure import densest_subgraph_approx
+    density, members = densest_subgraph_approx(graph._pool(),
+                                               graph.edges_dataset())
+    return density, Context(members, graph)
+
+
 def kcore_decomposition(graph: Graph) -> Context:
     """Per-vertex core numbers (flash kcore_decomposition /
     networkx core_number)."""

@@ -192,3 +192,26 @@ def test_core_decomposition_matches_networkx(P):
                          [{"vid": v} for v in (1, 2, 3, 9)]))
     got2 = _to_map(core_decomposition(g2), "core")
     assert got2 == {1: 1, 2: 1, 3: 1, 9: 0}
+
+
+def test_densest_subgraph_approx():
+    import networkx as nx
+    import pandas as pd
+
+    from graphscope_ray.pipelines.structure import densest_subgraph_approx
+
+    G, g = _rgraph(seed=29, n=45, m=170)
+    edf = pd.DataFrame(G.edges(), columns=["src", "dst"])
+    density, members = densest_subgraph_approx(
+        g, ray.data.from_pandas(edf))
+    cores = nx.core_number(G)
+    kmax = max(cores.values())
+    want_members = {v for v, c in cores.items() if c == kmax}
+    H = G.subgraph(want_members)
+    assert set(members.to_pandas()["vid"]) == want_members
+    assert density == pytest.approx(
+        2.0 * H.number_of_edges() / H.number_of_nodes())
+    # 2-approx guarantee vs the true max average-degree subgraph is
+    # implied by kmax <= density(max-core) <= 2*max E/V; sanity: the
+    # reported density is at least kmax
+    assert density >= kmax
