@@ -87,6 +87,17 @@ class Graph:
         """Session-layer Graph for the current mutation version."""
         if self._built is not None and self._built[0] == self._version:
             return self._built[1]
+        if self._built is not None:
+            # mutation invalidated the seal: release the stale pool's
+            # shard actors instead of leaking them for the session
+            import ray
+
+            stale = getattr(self._built[1], "_sealed", {})
+            for g in stale.values():
+                self._built[1].session._pools.pop((id(g), "fwd"), None)
+                self._built[1].session._pools.pop((id(g), "rev"), None)
+                for s in g.shards:
+                    ray.kill(s, no_restart=True)
         if not self._edges:
             raise ValueError("empty graph: add edges first")
         weighted = any(w is not None for _, _, w in self._edges)

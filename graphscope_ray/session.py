@@ -78,6 +78,12 @@ class Graph:
     # -- construction -----------------------------------------------------
     def add_vertices(self, vertices, label: str = "_", vid_field=0
                      ) -> "Graph":
+        """When any vertices are declared, the union of vertex inputs
+        MUST cover every id referenced by the edges (the engine then
+        skips per-block endpoint registration — state/graph.py
+        build_graph contract; the reference loader imposes the same
+        on non-inferred graphs). With no add_vertices calls, the
+        vertex set is inferred from edge endpoints."""
         ds = _as_dataset(vertices)
         return replace(self, _vertex_specs=self._vertex_specs
                        + ((ds, _first_col(ds, vid_field)),))
