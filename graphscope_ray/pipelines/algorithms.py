@@ -842,3 +842,55 @@ def diameter_approximation(graph: ShardedGraph, k: int = 16):
     sources = sorted(set(sample) | {lo, far})
     lengths = all_pairs_shortest_path_length(graph, sources=sources)
     return int(lengths.max("length"))
+
+
+def k_center(graph: ShardedGraph, k: int):
+    """Greedy k-center (FLASH apps/flash/measurement/k-center.h:42-75):
+    first center = max-degree vertex, then k-1 rounds of "BFS from the
+    newest center, keep per-vertex min distance, next center = farthest
+    vertex". Ties break to the minimum vid (the reference's tie is
+    traversal-order-dependent; ours is deterministic). Returns
+    ``(centers, Dataset(vid, dis))`` with dis = hop distance to the
+    nearest center (+inf on unreachable components, like the
+    reference's INT_MAX)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from graphscope_ray.stages.relational import cogroup_join
+
+    deg = graph.degree_dataset().materialize()
+    dmax = deg.max("out_degree")
+    c0 = int(deg.map_batches(
+        lambda t: t.filter(pc.equal(t.column("out_degree"), dmax)),
+        batch_format="pyarrow").min("vid"))
+    centers = [c0]
+    mind, _ = bfs(graph, source=c0)
+    mind = mind.map_batches(
+        lambda t: pa.table({"vid": t.column("vid"),
+                            "dis": t.column("depth").cast(pa.float64())}),
+        batch_format="pyarrow").materialize()
+    for _ in range(1, k):
+        far = mind.max("dis")
+        if far == 0:  # every vertex is a center already
+            break
+        nxt = int(mind.map_batches(
+            lambda t, far=far: t.filter(
+                pc.equal(t.column("dis"), far)),
+            batch_format="pyarrow").min("vid"))
+        centers.append(nxt)
+        d, _ = bfs(graph, source=nxt)
+        d = d.map_batches(
+            lambda t: pa.table({"vid": t.column("vid"),
+                                "nd": t.column("depth").cast(pa.float64())}),
+            batch_format="pyarrow")
+        joined = cogroup_join(mind, d, on="vid")
+
+        def mn(t: pa.Table) -> pa.Table:
+            a = t.column("dis").to_numpy(zero_copy_only=False)
+            b = t.column("nd").to_numpy(zero_copy_only=False)
+            return pa.table({"vid": t.column("vid"),
+                             "dis": pa.array(np.minimum(a, b))})
+
+        mind = joined.map_batches(mn, batch_format="pyarrow").materialize()
+    return centers, mind

@@ -525,6 +525,17 @@ def maximal_independent_set(graph: Graph) -> Context:
     return Context(mis(graph._pool()), graph)
 
 
+def k_center(graph: Graph, k: int = 3):
+    """(centers, distance-Context) — FLASH greedy k-center."""
+    from graphscope_ray.pipelines.algorithms import k_center as kc
+    centers, mind = kc(graph._pool(), k)
+    if graph._needs_relabel:
+        m = {r["vid"]: r["node"]
+             for r in graph._node_map().take_all()}
+        centers = [m[c] for c in centers]
+    return centers, Context(mind, graph)
+
+
 def densest_subgraph(graph: Graph):
     """(density, members-Context) — FLASH densest-sub-2-approx: the
     max-core subgraph and its average-degree density."""

@@ -215,3 +215,32 @@ def test_densest_subgraph_approx():
     # implied by kmax <= density(max-core) <= 2*max E/V; sanity: the
     # reported density is at least kmax
     assert density >= kmax
+
+
+def test_k_center_matches_greedy_oracle():
+    import networkx as nx
+    import numpy as np
+
+    from graphscope_ray.pipelines.algorithms import k_center
+
+    G, g = _rgraph(seed=41, n=35, m=90)
+    centers, mind = k_center(g, k=4)
+    # oracle: same deterministic greedy (max-degree/min-vid first, then
+    # farthest/min-vid), min-hop distance to nearest center
+    deg = dict(G.degree())
+    c0 = min(v for v in G if deg[v] == max(deg.values()))
+    want = [c0]
+    dis = {v: np.inf for v in G}
+    for step in range(4):
+        if step:
+            far = max(dis.values())
+            if far == 0:
+                break
+            want.append(min(v for v in G if dis[v] == far))
+        sp = nx.single_source_shortest_path_length(G, want[-1])
+        for v in G:
+            dis[v] = min(dis[v], sp.get(v, np.inf))
+    assert centers == want
+    got = dict(zip(*[mind.to_pandas()[c] for c in ("vid", "dis")]))
+    for v in G:
+        assert got[v] == dis[v], v
