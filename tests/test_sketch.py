@@ -1,0 +1,58 @@
+"""HyperLogLog count-distinct: register determinism across arbitrary
+partitionings (the sketch is exact even when the estimate is not) and
+estimate accuracy within the published error bound."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from graphscope_ray.stages.sketch import (
+    approx_count_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_registers_are_set_functions():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10**12, 20000)
+    a = hll_registers(vals)
+    b = hll_registers(rng.permutation(vals))
+    c = np.maximum(hll_registers(vals[:7000]), hll_registers(vals[7000:]))
+    assert (a == b).all() and (a == c).all()
+
+
+def test_estimate_accuracy():
+    rng = np.random.default_rng(9)
+    for n in (100, 5000, 200_000):
+        vals = rng.integers(0, 10**15, n)
+        true = len(np.unique(vals))
+        est = hll_estimate(hll_registers(vals))
+        assert abs(est - true) / true < 0.05, (n, est, true)
+
+
+def test_approx_count_distinct_grouped():
+    rng = np.random.default_rng(21)
+    ks = rng.integers(0, 5, 60000)
+    vs = rng.integers(0, 2000, 60000) + ks * 10_000  # per-key value space
+    df = pd.DataFrame({"k": ks, "v": vs})
+    got = approx_count_distinct(
+        ray.data.from_pandas(df), ["k"], "v").to_pandas()
+    got = dict(zip(got["k"], got["approx_distinct"]))
+    want = df.groupby("k")["v"].nunique().to_dict()
+    assert got.keys() == want.keys()
+    for k, t in want.items():
+        assert abs(got[k] - t) / t < 0.05, (k, got[k], t)
+
+
+def test_partition_invariance_of_grouped_sketch():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 3, 30000),
+                       "v": rng.integers(0, 50_000, 30000)})
+    one = approx_count_distinct(
+        ray.data.from_pandas(df), ["k"], "v").to_pandas()
+    many = approx_count_distinct(
+        ray.data.from_pandas(df).repartition(13), ["k"], "v").to_pandas()
+    a = dict(zip(one["k"], one["approx_distinct"]))
+    b = dict(zip(many["k"], many["approx_distinct"]))
+    assert a == b  # identical registers -> identical estimates
