@@ -283,3 +283,94 @@ def _csr_intersect_hits(oriented: ray.data.Dataset, deg_df: pd.DataFrame
 
     return oriented.select_columns(["a", "b"]).map_batches(
         intersect, batch_format="pyarrow")
+
+
+def directed_triangle_census(edges: ray.data.Dataset) -> dict:
+    """Directed triangle counts over distinct arcs (self-loops dropped):
+
+    - ``cyclic``     |{u→v→w→u}| with each 3-cycle counted once
+      (canonicalized at the rotation with minimal first vid) —
+      flash/subgraph/cyclic-triangle.h:42-76's quantity.
+    - ``transitive`` |{(u,v,w): u→v, v→w, u→w}| — each transitive
+      triangle has a unique topological labeling, so the pattern count
+      IS the triangle count — flash/subgraph/acyclic-triangle.h's
+      quantity.
+
+    Shape: one co-group join builds directed wedges u→v→w, then one
+    bucketed shuffle on the closing pair (w, u) or (u, w) tests arc
+    existence — the same two-exchange plan for both counts, no
+    vertex-scale driver state. Wedge volume is O(Σ out·in per pivot);
+    cap skewed pivots upstream (dep-key caps) as with the undirected
+    kernel."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.stages.relational import (
+        bucketed_group_apply,
+        cogroup_join,
+        dedup_first,
+    )
+
+    arcs = dedup_first(
+        edges.map_batches(
+            lambda t: pa.table({"src": t.column("src").cast(pa.int64()),
+                                "dst": t.column("dst").cast(pa.int64())}),
+            batch_format="pyarrow"
+        ).map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("src"),
+                                                  t.column("dst")))),
+            batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+
+    # wedges u→v→w (u≠w): join on the pivot v
+    lhs = arcs.map_batches(
+        lambda t: pa.table({"u": t.column("src"), "v": t.column("dst")}),
+        batch_format="pyarrow")
+    rhs = arcs.map_batches(
+        lambda t: pa.table({"v": t.column("src"), "w": t.column("dst")}),
+        batch_format="pyarrow")
+    wedges = cogroup_join(lhs, rhs, on="v").map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("u"),
+                                              t.column("w")))),
+        batch_format="pyarrow")
+
+    def census(kind: str) -> int:
+        # close the wedge with arc w→u (cyclic) or u→w (transitive)
+        if kind == "cyclic":
+            probe = wedges.map_batches(
+                lambda t: pa.table({"x": t.column("w"), "y": t.column("u"),
+                                    "u": t.column("u"), "v": t.column("v"),
+                                    "w": t.column("w"),
+                                    "_m": pa.array(np.zeros(t.num_rows,
+                                                            np.int8))}),
+                batch_format="pyarrow")
+        else:
+            probe = wedges.map_batches(
+                lambda t: pa.table({"x": t.column("u"), "y": t.column("w"),
+                                    "u": t.column("u"), "v": t.column("v"),
+                                    "w": t.column("w"),
+                                    "_m": pa.array(np.zeros(t.num_rows,
+                                                            np.int8))}),
+                batch_format="pyarrow")
+        marks = arcs.map_batches(
+            lambda t: pa.table({"x": t.column("src"), "y": t.column("dst"),
+                                "u": pa.nulls(t.num_rows, pa.int64()),
+                                "v": pa.nulls(t.num_rows, pa.int64()),
+                                "w": pa.nulls(t.num_rows, pa.int64()),
+                                "_m": pa.array(np.ones(t.num_rows,
+                                                       np.int8))}),
+            batch_format="pyarrow")
+
+        def count(g: pd.DataFrame) -> pd.DataFrame:
+            has = g.loc[g["_m"] == 1, ["x", "y"]]
+            closed = g[g["_m"] == 0].merge(has, on=["x", "y"])
+            if kind == "cyclic":
+                # canonical rotation: count the cycle at its min vid
+                closed = closed[(closed["u"] < closed["v"])
+                                & (closed["u"] < closed["w"])]
+            return pd.DataFrame({"n": [len(closed)]})
+
+        out = bucketed_group_apply(probe.union(marks), ["x", "y"], count,
+                                   num_buckets=32)
+        return int(out.to_pandas()["n"].sum())
+
+    return {"cyclic": census("cyclic"), "transitive": census("transitive")}

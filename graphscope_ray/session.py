@@ -377,6 +377,15 @@ def triangles(graph: Graph) -> Context:
     return Context(triangle_counts(graph.edges_dataset()), graph)
 
 
+def triangle_census(graph: Graph) -> dict:
+    """Directed cyclic/transitive triangle counts (flash
+    cyclic-/acyclic-triangle); requires a directed graph."""
+    if not graph.directed:
+        raise ValueError("triangle_census requires a directed graph")
+    from graphscope_ray.pipelines.triangles import directed_triangle_census
+    return directed_triangle_census(graph.edges_dataset())
+
+
 def clustering(graph: Graph, degree_threshold: int = 10**9) -> Context:
     from graphscope_ray.pipelines.structure import clustering_coefficient
     return Context(clustering_coefficient(graph.edges_dataset()), graph)
