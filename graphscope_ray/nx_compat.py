@@ -163,6 +163,25 @@ def wcc(G: Graph) -> dict:
     return _sess_mod.wcc(G._graph()).to_dict()
 
 
+def weakly_connected_components(G: "DiGraph"):
+    """Iterator of vertex sets over the undirected support of a
+    directed graph (networkx shape)."""
+    und = Graph()
+    und._nodes, und._edges = list(G._nodes), list(G._edges)
+    und._version = 1
+    yield from connected_components(und)
+
+
+def strongly_connected_components(G: "DiGraph"):
+    """Iterator of vertex sets (engine scc: FLASH fwd-bwd coloring)."""
+    comp = _sess_mod.scc(G._graph()).to_dict()
+    groups: dict = {}
+    for node, c in comp.items():
+        groups.setdefault(c, set()).add(node)
+    for c in sorted(groups):
+        yield groups[c]
+
+
 def lpa(G: Graph, max_round: int = 10) -> dict:
     return _sess_mod.lpa(G._graph(), max_round=max_round).to_dict()
 

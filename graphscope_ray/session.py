@@ -184,8 +184,8 @@ class Graph:
         object.__setattr__(self, "_node_map_ds", m)
         return m
 
-    def _pool(self, reverse: bool = False):
-        key = "rev" if reverse else "fwd"
+    def _pool(self, reverse: bool = False, with_reverse: bool = False):
+        key = ("rev" if reverse else "fwd") + ("+bidi" if with_reverse else "")
         if not hasattr(self, "_sealed"):
             object.__setattr__(self, "_sealed", {})  # frozen dataclass
         cached = self._sealed.get(key)
@@ -202,6 +202,7 @@ class Graph:
             edges = edges.map_batches(flip, batch_format="pyarrow")
         g = build_graph(edges, num_partitions=self.session.num_partitions,
                         directed=self.directed,
+                        with_reverse=with_reverse,
                         extra_vertices=self._int_vertices())
         self._sealed[key] = g
         self.session._pools[(id(g), key)] = g
@@ -375,6 +376,15 @@ def sssp(graph: Graph, src=0, weight: str | None = None) -> Context:
 def triangles(graph: Graph) -> Context:
     from graphscope_ray.pipelines.triangles import triangle_counts
     return Context(triangle_counts(graph.edges_dataset()), graph)
+
+
+def scc(graph: Graph) -> Context:
+    """Strongly connected components (FLASH fwd-bwd max coloring);
+    requires a directed graph — the bidi pool is built on demand."""
+    if not graph.directed:
+        raise ValueError("scc requires a directed graph")
+    from graphscope_ray.pipelines.algorithms import scc as _scc
+    return Context(_scc(graph._pool(with_reverse=True)), graph)
 
 
 def triangle_census(graph: Graph) -> dict:

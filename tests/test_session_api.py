@@ -210,6 +210,19 @@ def test_nx_compat_structure_metrics(karate_like):
         assert abs(got[k] - v) < 1e-9, k
 
 
+def test_nx_compat_digraph_components():
+    D = nx.gnp_random_graph(25, 0.12, seed=4, directed=True)
+    G = gnx.DiGraph()
+    G.add_nodes_from(D.nodes())
+    G.add_edges_from(D.edges())
+    weak = {frozenset(c) for c in gnx.weakly_connected_components(G)}
+    assert weak == {frozenset(c)
+                    for c in nx.weakly_connected_components(D)}
+    strong = {frozenset(c) for c in gnx.strongly_connected_components(G)}
+    assert strong == {frozenset(c)
+                      for c in nx.strongly_connected_components(D)}
+
+
 def test_nx_compat_flash_family(karate_like):
     """articlerank / MIS / diameter via the nx-compat surface."""
     G = gnx.Graph()
