@@ -341,6 +341,20 @@ def pagerank_nx(graph: Graph, alpha: float = 0.85, max_iter: int = 100,
     return Context(ds, graph)
 
 
+def personalized_pagerank(graph: Graph, seeds, alpha: float = 0.85,
+                          max_iter: int = 100, tol: float = 1e-6
+                          ) -> Context:
+    """Seed-set teleport PPR (FLASH ppr; networkx
+    pagerank(personalization=uniform-over-seeds))."""
+    from graphscope_ray.pipelines.algorithms import (
+        personalized_pagerank as ppr,
+    )
+    vids = [_src_vid(graph, s) for s in seeds]
+    ds, _ = ppr(graph._pool(), vids, alpha=alpha, max_iter=max_iter,
+                tol=tol)
+    return Context(ds, graph)
+
+
 def wcc(graph: Graph) -> Context:
     from graphscope_ray.pipelines.algorithms import wcc as _wcc
     ds, _ = _wcc(graph._pool(), ckpt_dir=graph.session.ckpt_dir)

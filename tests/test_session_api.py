@@ -161,6 +161,13 @@ def test_nx_compat_mutation_invalidates_cache():
     assert after[4] == after[5] != after[1]
 
 
+def test_session_ppr_mass_and_seed_bias(g, karate_like):
+    src = min(karate_like.nodes())
+    d = gs.personalized_pagerank(g, seeds=[src], tol=1e-10).to_dict()
+    assert abs(sum(d.values()) - 1.0) < 1e-9
+    assert d[src] == max(d.values())
+
+
 def test_session_structure_metrics(g, karate_like):
     r = gs.degree_assortativity_coefficient(g)
     assert abs(r - nx.degree_assortativity_coefficient(karate_like)) < 1e-9
