@@ -293,6 +293,14 @@ def diameter_approximation(G: Graph, k: int = 16) -> int:
     return _sess_mod.diameter_approximation(G._graph(), k=k)
 
 
+def closeness_centrality(G: Graph) -> dict:
+    return _sess_mod.closeness_centrality(G._graph()).to_dict()
+
+
+def harmonic_centrality(G: Graph) -> dict:
+    return _sess_mod.harmonic_centrality(G._graph()).to_dict()
+
+
 def core_number(G: Graph) -> dict:
     return {k: int(v) for k, v in
             _sess_mod.kcore_decomposition(G._graph()).to_dict().items()}

@@ -558,6 +558,29 @@ def maximal_independent_set(graph: Graph) -> Context:
     return Context(mis(graph._pool()), graph)
 
 
+def closeness_centrality(graph: Graph, wf_improved: bool = True
+                         ) -> Context:
+    """Exact closeness (flash closeness_centrality; O(V) BFS batches —
+    sample via the algorithms layer on huge graphs)."""
+    import ray.data
+
+    from graphscope_ray.pipelines.algorithms import (
+        closeness_centrality as cc,
+    )
+    df = cc(graph._pool(), wf_improved=wf_improved)
+    return Context(ray.data.from_pandas(df), graph)
+
+
+def harmonic_centrality(graph: Graph) -> Context:
+    import ray.data
+
+    from graphscope_ray.pipelines.algorithms import (
+        closeness_centrality as cc,
+    )
+    df = cc(graph._pool(), harmonic=True)
+    return Context(ray.data.from_pandas(df), graph)
+
+
 def k_center(graph: Graph, k: int = 3):
     """(centers, distance-Context) — FLASH greedy k-center."""
     from graphscope_ray.pipelines.algorithms import k_center as kc

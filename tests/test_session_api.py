@@ -217,6 +217,17 @@ def test_nx_compat_structure_metrics(karate_like):
         assert abs(got[k] - v) < 1e-9, k
 
 
+def test_nx_compat_closeness_harmonic(karate_like):
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    cl = gnx.closeness_centrality(G)
+    for k, v in nx.closeness_centrality(karate_like).items():
+        assert abs(cl[k] - v) < 1e-12, k
+    hm = gnx.harmonic_centrality(G)
+    for k, v in nx.harmonic_centrality(karate_like).items():
+        assert abs(hm[k] - v) < 1e-12, k
+
+
 def test_nx_compat_digraph_components():
     D = nx.gnp_random_graph(25, 0.12, seed=4, directed=True)
     G = gnx.DiGraph()
