@@ -314,5 +314,152 @@ def densest_subgraph(G: Graph):
     return density, set(df[key])
 
 
+def _vidmap(g) -> dict | None:
+    """vid→node dict for relabelled graphs (None = identity). The nx
+    layer's graphs are driver-buffered by construction, so a driver
+    dict is in-contract here (the Dataset surfaces use joins)."""
+    m = g._node_map()
+    if m is None:
+        return None
+    return {r["vid"]: r["node"] for r in m.take_all()}
+
+
+def _nodes_of(m, vids):
+    return list(vids) if m is None else [m[v] for v in vids]
+
+
+def in_degree_centrality(G: DiGraph) -> dict:
+    return _degree_centrality_mode(G, "in")
+
+
+def out_degree_centrality(G: DiGraph) -> dict:
+    return _degree_centrality_mode(G, "out")
+
+
+def _degree_centrality_mode(G: Graph, mode: str) -> dict:
+    from graphscope_ray.pipelines.degree import degree_centrality as dc
+    g = G._graph()
+    df = dc(g.edges_dataset(), g._pool().n_vertices, mode=mode).to_pandas()
+    m = _vidmap(g)
+    out = {(_n if m is None else m[_n]): c
+           for _n, c in zip(df["vid"], df["centrality"])}
+    # vertices with no arcs in this direction: centrality 0
+    for v in (set(G._nodes) | {u for u, _, _ in G._edges}
+              | {w for _, w, _ in G._edges}):
+        out.setdefault(v, 0.0)
+    return out
+
+
+def transitivity(G: Graph) -> float:
+    from graphscope_ray.pipelines.structure import transitivity as tr
+    return tr(G._graph().edges_dataset())
+
+
+def average_clustering(G: Graph) -> float:
+    from graphscope_ray.pipelines.structure import average_clustering as ac
+    g = G._graph()
+    return ac(g.edges_dataset(), n_vertices=g._pool().n_vertices)
+
+
+def node_boundary(G: Graph, nbunch) -> set:
+    from graphscope_ray.pipelines.structure import node_boundary as nb
+    g = G._graph()
+    s = [_sess_mod._src_vid(g, n) for n in nbunch]
+    vids = nb(g.edges_dataset(), s).to_pandas()["vid"]
+    return set(_nodes_of(_vidmap(g), vids))
+
+
+def edge_boundary(G: Graph, nbunch) -> list:
+    from graphscope_ray.pipelines.structure import edge_boundary as eb
+    g = G._graph()
+    s = [_sess_mod._src_vid(g, n) for n in nbunch]
+    df = eb(g.edges_dataset(), s).to_pandas()
+    m = _vidmap(g)
+    return sorted(zip(_nodes_of(m, df["u"]), _nodes_of(m, df["v"])))
+
+
+def has_path(G: Graph, source, target) -> bool:
+    from graphscope_ray.pipelines.algorithms import sssp_has_path
+    g = G._graph()
+    return sssp_has_path(g._pool(), _sess_mod._src_vid(g, source),
+                         _sess_mod._src_vid(g, target))
+
+
+def shortest_path(G: Graph, source, target) -> list:
+    """ONE shortest path source→target (unweighted, the engine's
+    deterministic min-parent pick; networkx also returns an arbitrary
+    one). Raises if unreachable, like networkx."""
+    from graphscope_ray.pipelines.algorithms import sssp_path
+    g = G._graph()
+    _, path = sssp_path(g._pool(), _sess_mod._src_vid(g, source),
+                        _sess_mod._src_vid(g, target), weighted=False)
+    if path is None:
+        raise ValueError(f"no path between {source} and {target}")
+    return _nodes_of(_vidmap(g), path)
+
+
+def bfs_predecessors(G: Graph, source) -> dict:
+    """{node: predecessor} over the BFS tree (deterministic min-parent;
+    networkx yields an iterator whose parent choice is order-dependent,
+    so tests check tree validity, not equality)."""
+    import numpy as np
+
+    from graphscope_ray.pipelines.algorithms import sssp_path
+    g = G._graph()
+    src = _sess_mod._src_vid(g, source)
+    table, _ = sssp_path(g._pool(), src, None, weighted=False)
+    df = table.to_pandas()
+    df = df[np.isfinite(df["distance"]) & (df["vid"] != src)]
+    m = _vidmap(g)
+    return dict(zip(_nodes_of(m, df["vid"]), _nodes_of(m, df["parent"])))
+
+
+def bfs_tree(G: Graph, source) -> "DiGraph":
+    t = DiGraph()
+    t.add_node(source)
+    t.add_edges_from((p, c) for c, p in bfs_predecessors(G, source).items())
+    return t
+
+
+def all_pairs_shortest_path_length(G: Graph) -> dict:
+    from graphscope_ray.pipelines.algorithms import (
+        all_pairs_shortest_path_length as apsp,
+    )
+    g = G._graph()
+    df = apsp(g._pool()).to_pandas()
+    m = _vidmap(g)
+    out: dict = {}
+    for s, d, ln in zip(_nodes_of(m, df["src"]), _nodes_of(m, df["dst"]),
+                        df["length"]):
+        out.setdefault(s, {})[d] = int(ln)
+    return out
+
+
+def all_simple_paths(G: Graph, source, target, cutoff: int) -> list:
+    from graphscope_ray.pipelines.paths import (
+        all_simple_paths as asp,
+    )
+    g = G._graph()
+    ds = asp(g.edges_dataset(), _sess_mod._src_vid(g, source),
+             _sess_mod._src_vid(g, target), cutoff=cutoff,
+             directed=G.directed)
+    m = _vidmap(g)
+    return sorted(_nodes_of(m, (int(x) for x in r["path"].split("-")))
+                  for r in ds.take_all())
+
+
+get_all_simple_paths = all_simple_paths
+
+
+def betweenness_centrality(G: Graph, normalized: bool = True) -> dict:
+    from graphscope_ray.pipelines.algorithms import (
+        betweenness_centrality as bc,
+    )
+    g = G._graph()
+    df = bc(g._pool(), normalized=normalized).to_pandas()
+    m = _vidmap(g)
+    return dict(zip(_nodes_of(m, df["vid"]), df["betweenness"]))
+
+
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]

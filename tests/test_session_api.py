@@ -217,6 +217,63 @@ def test_nx_compat_structure_metrics(karate_like):
         assert abs(got[k] - v) < 1e-9, k
 
 
+def test_nx_compat_builtin_parity_batch(karate_like):
+    """The remaining reference nx/algorithms/builtin.py wrappers:
+    structure scalars, boundaries, paths, BFS trees, APSP,
+    betweenness — all vs networkx."""
+    G = gnx.Graph()
+    G.add_edges_from(karate_like.edges())
+    H = karate_like
+
+    assert abs(gnx.transitivity(G) - nx.transitivity(H)) < 1e-12
+    assert abs(gnx.average_clustering(G)
+               - nx.average_clustering(H)) < 1e-12
+
+    nbunch = sorted(H.nodes())[:8]
+    assert gnx.node_boundary(G, nbunch) == nx.node_boundary(H, nbunch)
+    want_eb = {tuple(sorted(e)) for e in nx.edge_boundary(H, nbunch)}
+    assert {tuple(sorted(e))
+            for e in gnx.edge_boundary(G, nbunch)} == want_eb
+
+    s = min(H.nodes())
+    comp = nx.node_connected_component(H, s)
+    t = max(comp)
+    assert gnx.has_path(G, s, t) is True
+    p = gnx.shortest_path(G, s, t)
+    assert len(p) - 1 == nx.shortest_path_length(H, s, t)
+    assert all(H.has_edge(a, b) for a, b in zip(p, p[1:]))
+
+    pred = gnx.bfs_predecessors(G, s)
+    dist = nx.single_source_shortest_path_length(H, s)
+    assert set(pred) == set(dist) - {s}
+    for v, pr in pred.items():
+        assert H.has_edge(pr, v) and dist[pr] == dist[v] - 1
+    tree = gnx.bfs_tree(G, s)
+    assert tree.number_of_edges() == len(pred)
+
+    apsp = gnx.all_pairs_shortest_path_length(G)
+    want = dict(nx.all_pairs_shortest_path_length(H))
+    assert {k: dict(v) for k, v in want.items()} == apsp
+
+    paths = gnx.all_simple_paths(G, s, t, cutoff=3)
+    assert paths == sorted(nx.all_simple_paths(H, s, t, cutoff=3))
+
+    bc = gnx.betweenness_centrality(G)
+    for k, v in nx.betweenness_centrality(H).items():
+        assert abs(bc[k] - v) < 1e-9, k
+
+
+def test_nx_compat_in_out_degree():
+    D = nx.gnp_random_graph(20, 0.2, seed=6, directed=True)
+    G = gnx.DiGraph()
+    G.add_nodes_from(D.nodes())
+    G.add_edges_from(D.edges())
+    for k, v in nx.in_degree_centrality(D).items():
+        assert abs(gnx.in_degree_centrality(G)[k] - v) < 1e-12, k
+    for k, v in nx.out_degree_centrality(D).items():
+        assert abs(gnx.out_degree_centrality(G)[k] - v) < 1e-12, k
+
+
 def test_nx_compat_closeness_harmonic(karate_like):
     G = gnx.Graph()
     G.add_edges_from(karate_like.edges())
