@@ -40,18 +40,31 @@ class Graph:
     def __init__(self, edges=None):
         self._nodes: list = []
         self._edges: list = []          # (u, v, weight-or-None)
+        self._attrs: dict = {}          # node -> {attr: value}
         self._version = 0
         self._built = None              # (version, session.Graph)
         if edges is not None:
             self.add_edges_from(edges)
 
     # -- mutation ---------------------------------------------------------
-    def add_node(self, n) -> None:
+    def add_node(self, n, **attrs) -> None:
         self._nodes.append(n)
+        if attrs:
+            self._attrs.setdefault(n, {}).update(attrs)
         self._version += 1
 
     def add_nodes_from(self, ns) -> None:
-        self._nodes.extend(ns)
+        for n in ns:
+            if isinstance(n, tuple) and len(n) == 2 and isinstance(n[1],
+                                                                   dict):
+                self.add_node(n[0], **n[1])
+            else:
+                self._nodes.append(n)
+        self._version += 1
+
+    def set_node_attributes(self, values: dict, name: str) -> None:
+        for n, v in values.items():
+            self._attrs.setdefault(n, {})[name] = v
         self._version += 1
 
     def add_edge(self, u, v, weight: float | None = None) -> None:
@@ -463,3 +476,32 @@ def betweenness_centrality(G: Graph, normalized: bool = True) -> dict:
 
 # gnx.builtin.<fn> aliases this module (reference users import builtin)
 builtin = sys.modules[__name__]
+
+
+def _attr_dataset(G: Graph, g, attribute: str):
+    import pandas as pd
+    import ray.data
+
+    items = [(n, a[attribute]) for n, a in G._attrs.items()
+             if attribute in a]
+    if not items:
+        raise KeyError(f"no node carries attribute {attribute!r}")
+    return ray.data.from_pandas(pd.DataFrame({
+        "vid": [_sess_mod._src_vid(g, n) for n, _ in items],
+        attribute: [v for _, v in items]}))
+
+
+def attribute_assortativity_coefficient(G: Graph, attribute: str) -> float:
+    from graphscope_ray.pipelines.structure import attribute_assortativity
+    g = G._graph()
+    return attribute_assortativity(g.edges_dataset(),
+                                   _attr_dataset(G, g, attribute),
+                                   attribute)
+
+
+def numeric_assortativity_coefficient(G: Graph, attribute: str) -> float:
+    from graphscope_ray.pipelines.structure import numeric_assortativity
+    g = G._graph()
+    return numeric_assortativity(g.edges_dataset(),
+                                 _attr_dataset(G, g, attribute),
+                                 attribute)

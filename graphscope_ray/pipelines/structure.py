@@ -421,3 +421,45 @@ def densest_subgraph_approx(graph, edges: ray.data.Dataset):
     e_in = e2.count()  # inner joins: both endpoints in the max core
     density = (2.0 * e_in / nv) if nv else 0.0
     return density, members
+
+
+def numeric_assortativity(
+    edges: ray.data.Dataset,
+    attrs: ray.data.Dataset,
+    attr_col: str,
+) -> float:
+    """Numeric assortativity — Pearson correlation of a numeric vertex
+    attribute across edge endpoints (both orientations; networkx
+    numeric_assortativity_coefficient, the reference's
+    apps/assortativity/attribute_assortativity.h ctx.numeric=true
+    path). Attribute attach = two co-group joins on vid; only six
+    scalar moments reach the driver."""
+    canon = _canonical_edges(edges)
+    a1 = cogroup_join(canon, attrs.map_batches(
+        lambda t: pa.table({"vid": t.column("vid"),
+                            "xu": t.column(attr_col).cast(pa.float64())}),
+        batch_format="pyarrow"), on="u", right_on="vid")
+    a2 = cogroup_join(a1, attrs.map_batches(
+        lambda t: pa.table({"vid": t.column("vid"),
+                            "xv": t.column(attr_col).cast(pa.float64())}),
+        batch_format="pyarrow"), on="v", right_on="vid")
+
+    def moments(t: pa.Table) -> pa.Table:
+        xu = t.column("xu").to_numpy(zero_copy_only=False)
+        xv = t.column("xv").to_numpy(zero_copy_only=False)
+        x = np.concatenate([xu, xv])
+        y = np.concatenate([xv, xu])
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+        })
+
+    agg = a2.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    cov = agg["sxy"] / n - (sx / n) * (sy / n)
+    vx = agg["sxx"] / n - (sx / n) ** 2
+    vy = agg["syy"] / n - (sy / n) ** 2
+    return float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")

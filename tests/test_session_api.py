@@ -333,3 +333,21 @@ def test_nx_compat_hits_eigen_katz(karate_like):
     wkz = nx.katz_centrality(karate_like, alpha=0.05, tol=1e-10)
     for k in wkz:
         assert abs(kz[k] - wkz[k]) < 1e-5
+
+
+def test_nx_compat_assortativity_with_attrs():
+    H = nx.gnm_random_graph(24, 60, seed=12)
+    colors = {v: ("r" if v % 3 == 0 else "b") for v in H}
+    sizes = {v: float(v % 7) for v in H}
+    nx.set_node_attributes(H, colors, "color")
+    nx.set_node_attributes(H, sizes, "size")
+    G = gnx.Graph()
+    G.add_edges_from(H.edges())
+    G.set_node_attributes(colors, "color")
+    G.set_node_attributes(sizes, "size")
+    got = gnx.attribute_assortativity_coefficient(G, "color")
+    want = nx.attribute_assortativity_coefficient(H, "color")
+    assert abs(got - want) < 1e-9
+    gotn = gnx.numeric_assortativity_coefficient(G, "size")
+    wantn = nx.numeric_assortativity_coefficient(H, "size")
+    assert abs(gotn - wantn) < 1e-9
