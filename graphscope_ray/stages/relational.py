@@ -629,3 +629,66 @@ def select_expr(
     """Filter with a vectorized predicate (GIE Select) — batch-level
     mask, not the per-row ``Dataset.filter``."""
     return ds.map_batches(lambda t: t.filter(pred(t)), batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: list[str],
+    direction: str = "backward",
+    right_suffix: str = "_r",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """As-of join: each left row picks the right row with the greatest
+    ``on`` ≤ left.``on`` (``direction="backward"``; ``"forward"`` =
+    smallest ≥) within its ``by`` group — the standard event-enrichment
+    join (DuckDB/pandas ASOF LEFT JOIN semantics; Ray Data has no
+    native equivalent).
+
+    Distributed as ONE bucketed co-group on the ``by`` keys (whole
+    groups co-located, many groups per vectorized ``pandas.merge_asof``
+    call); left rows with no match keep nulls. Both sides are padded to
+    one union schema with typed nulls because the sort-based shuffle
+    needs block-schema consistency. ``by`` is required — it is the
+    partitioning key; a keyless as-of needs a range partition (pass one
+    constant key column if the data is genuinely global and small)."""
+    ls, rs = left.schema(), right.schema()
+    lcols, rcols = list(ls.names), list(rs.names)
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    overlap = (set(lcols) & set(rcols)) - set(by)
+    rren = {c: c + right_suffix for c in rcols
+            if c in overlap and c not in by}
+    r_value_cols = [rren.get(c, c) for c in rcols if c not in by]
+    out_on_r = rren.get(on, on)
+    all_cols = lcols + r_value_cols
+    types = dict(ltypes)
+    for c in rcols:
+        if c not in by:
+            types[rren.get(c, c)] = rtypes[c]
+
+    def pad(side: int, present: list, ren: dict):
+        def f(t: pa.Table) -> pa.Table:
+            have = {ren.get(c, c): t.column(c) for c in present}
+            cols = {c: have.get(c, pa.nulls(t.num_rows, types[c]))
+                    for c in all_cols}
+            cols["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(cols).replace_schema_metadata(None)
+        return f
+
+    l_t = left.map_batches(pad(0, lcols, {}), batch_format="pyarrow")
+    r_t = right.map_batches(pad(1, rcols, rren), batch_format="pyarrow")
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
+        rg = g[g["_side"] == 1][list(by) + r_value_cols]
+        rg = rg.sort_values(out_on_r, kind="mergesort")
+        if lg.empty:
+            return pd.DataFrame(columns=all_cols)
+        m = pd.merge_asof(lg, rg, left_on=on, right_on=out_on_r,
+                          by=list(by), direction=direction)
+        return m[all_cols]
+
+    return bucketed_group_apply(l_t.union(r_t), list(by), run,
+                                num_buckets=num_buckets)
