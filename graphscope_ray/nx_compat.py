@@ -434,6 +434,22 @@ def bfs_tree(G: Graph, source) -> "DiGraph":
     return t
 
 
+def bfs_edges(G: Graph, source) -> list:
+    """Tree edges (parent, child) sorted by child — the engine's
+    deterministic min-parent BFS tree (networkx yields traversal
+    order, which is representation-dependent; the edge SET matches
+    a valid BFS tree either way)."""
+    return sorted((p, c) for c, p in bfs_predecessors(G, source).items())
+
+
+def bfs_successors(G: Graph, source) -> dict:
+    """{parent: [children...]} over the BFS tree."""
+    out: dict = {}
+    for c, p in bfs_predecessors(G, source).items():
+        out.setdefault(p, []).append(c)
+    return {p: sorted(cs) for p, cs in out.items()}
+
+
 def all_pairs_shortest_path_length(G: Graph) -> dict:
     from graphscope_ray.pipelines.algorithms import (
         all_pairs_shortest_path_length as apsp,

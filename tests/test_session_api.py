@@ -250,6 +250,9 @@ def test_nx_compat_builtin_parity_batch(karate_like):
         assert H.has_edge(pr, v) and dist[pr] == dist[v] - 1
     tree = gnx.bfs_tree(G, s)
     assert tree.number_of_edges() == len(pred)
+    assert gnx.bfs_edges(G, s) == sorted((p, c) for c, p in pred.items())
+    succ = gnx.bfs_successors(G, s)
+    assert sorted(c for cs in succ.values() for c in cs) == sorted(pred)
 
     apsp = gnx.all_pairs_shortest_path_length(G)
     want = dict(nx.all_pairs_shortest_path_length(H))
