@@ -103,3 +103,40 @@ def approx_count_distinct(
 
     return bucketed_group_apply(partials, keys, merge,
                                 num_buckets=num_buckets)
+
+
+def approx_top_k(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> ray.data.Dataset:
+    """Approximate top-k heavy hitters of ``col`` (distributed
+    Misra–Gries / Space-Saving): each batch reduces its exact counts to
+    a ``capacity``-entry summary (subtract the (capacity+1)-th largest
+    count, keep the positive remainder), the summaries are sum-merged
+    with one SMALL keyed shuffle (≤ capacity rows per block, not the
+    raw value stream), and the global top-k by merged count comes back
+    with its estimate.
+
+    Guarantees (classic MG analysis): ``estimate`` is a LOWER bound
+    with ``count − n/capacity ≤ estimate ≤ count``, so every value with
+    true frequency > n/capacity survives to the candidate set; with
+    ``capacity`` ≥ the number of distinct values the result is exact.
+    Returns (``value`` named by ``col``, ``estimate``) sorted by
+    estimate desc, value asc (deterministic ties)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[col].value_counts()
+        if len(vc) > capacity:
+            cut = vc.iloc[capacity]
+            vc = (vc - cut).iloc[:capacity]
+            vc = vc[vc > 0]
+        return pd.DataFrame({col: vc.index.to_numpy(),
+                             "estimate": vc.to_numpy(np.int64)})
+
+    from graphscope_ray.stages.relational import grouped_agg, topk
+
+    summed = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                         [col], {"estimate": ("estimate", "sum")})
+    return topk(summed, "estimate", k, descending=True, tiebreak=[col])

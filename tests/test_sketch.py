@@ -56,3 +56,33 @@ def test_partition_invariance_of_grouped_sketch():
     a = dict(zip(one["k"], one["approx_distinct"]))
     b = dict(zip(many["k"], many["approx_distinct"]))
     assert a == b  # identical registers -> identical estimates
+
+
+def test_approx_top_k_heavy_hitters():
+    """Zipf-ish stream: exact when capacity covers the vocabulary;
+    under tight capacity every true heavy hitter survives and the
+    estimates stay within the n/capacity MG bound."""
+    rng = np.random.default_rng(17)
+    vals = rng.zipf(1.3, 80_000) % 997  # skewed, bounded vocab
+    df = pd.DataFrame({"v": vals})
+    true = df["v"].value_counts()
+
+    from graphscope_ray.stages.sketch import approx_top_k
+
+    exact = approx_top_k(ray.data.from_pandas(df).repartition(9),
+                         "v", k=10, capacity=2000).to_pandas()
+    want = true.iloc[:10]
+    assert list(exact["v"]) and len(exact) == 10
+    assert dict(zip(exact["v"], exact["estimate"])) \
+        == {int(i): int(c) for i, c in want.items()}
+
+    tight = approx_top_k(ray.data.from_pandas(df).repartition(9),
+                         "v", k=10, capacity=64).to_pandas()
+    est = dict(zip(tight["v"], tight["estimate"]))
+    bound = len(df) / 64
+    for v, e in est.items():
+        assert true[v] - bound <= e <= true[v], v
+    # the undisputed heavy hitters (freq >> n/capacity) must be present
+    for v, c in true.items():
+        if c > 2 * bound:
+            assert v in est, (v, c)
