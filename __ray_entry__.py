@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_louvain": sf_graph.q_part_louvain,
         "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
+        "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
     }
 
 

@@ -121,6 +121,18 @@ def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_doc_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end near-dup resolution (LSH → distributed Jaccard verify
+    → WCC over the dup-pair graph): (doc_id, cluster_id, keep) with one
+    deterministic keeper (min doc_id) per near-dup component. Validity
+    invariants (one keeper per cluster, cluster = min member, pairwise
+    threshold met inside clusters) pinned in pytest."""
+    from graphscope_ray.stages.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(sf_dir), threshold=0.5, bands=32,
+                            num_partitions=4)
+
+
 def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:
     """md5-hash variant so the gate has an interchange-exact DuckDB
     twin (md5_number_lower bit votes); the default sip-hash kernel is

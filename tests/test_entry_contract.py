@@ -86,6 +86,26 @@ def test_dfs_gate_is_valid_preorder():
         assert rank[r.parent] < r.rank, r.vid
 
 
+def test_doc_dedup_clusters_gate_invariants():
+    """doc_dedup_clusters (rows-only gate): every document exactly once,
+    one keeper per cluster, cluster id = min member id, and every
+    non-singleton member verifies ≥ threshold Jaccard against some
+    other member of its cluster (the pair graph is a closure of
+    verified pairs, so membership implies a verified incident edge)."""
+    from graphscope_ray.pipelines.textproc import q_doc_dedup_clusters
+
+    out = q_doc_dedup_clusters(SF).to_pandas()
+    con = _duck(SF)
+    docs = con.sql("SELECT doc_id FROM documents").df()
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    g = out.groupby("cluster_id")
+    assert g["keep"].sum().eq(1).all()
+    mins = g["doc_id"].min()
+    assert (mins.to_numpy() == mins.index.to_numpy()).all()
+    kept = out[out["keep"]]
+    assert (kept["doc_id"] == kept["cluster_id"]).all()
+
+
 def test_gate_order_puts_oracled_queries_first():
     """The round-2 driver sweep recorded exactly 50 rows for 51 exposed
     queries (dict order). Contract: the first 50 positions are exactly

@@ -80,6 +80,59 @@ def test_minhash_md5_variant(docs_df):
     assert cand == set(map(tuple, runs[1][["a", "b"]].to_numpy()))
 
 
+def test_neardup_clusters_end_to_end():
+    """Full dedup resolution: LSH -> verify -> WCC over dup pairs ->
+    (doc_id, cluster_id, keep). Disjoint per-doc vocabularies make the
+    true pair set exactly the planted one (cross-doc Jaccard 0), and
+    the planted chain 1~101~102 checks the transitive-closure step that
+    pairwise verification alone cannot produce."""
+    from graphscope_ray.stages.dedup import neardup_clusters
+
+    rows = []
+    for i in range(12):
+        words = [f"d{i}w{j}" for j in range(40)]
+        rows.append((i, " ".join(words)))
+    chain1 = rows[1][1].split()
+    chain1[5] = "x5"
+    rows.append((101, " ".join(chain1)))          # near-dup of 1
+    chain2 = list(chain1)
+    chain2[20] = "x20"
+    rows.append((102, " ".join(chain2)))          # near-dup of 101
+    rows.append((201, rows[2][1]))                # exact dup of 2
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    out = (neardup_clusters(ray.data.from_pandas(docs), threshold=0.7,
+                            bands=32, num_partitions=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])  # every doc once
+    by = out.set_index("doc_id")
+    # transitive chain collapses to min id 1; only 1 is kept
+    assert by.loc[1, "cluster_id"] == 1 and by.loc[101, "cluster_id"] == 1 \
+        and by.loc[102, "cluster_id"] == 1
+    assert bool(by.loc[1, "keep"]) and not bool(by.loc[101, "keep"]) \
+        and not bool(by.loc[102, "keep"])
+    assert by.loc[201, "cluster_id"] == 2 and not bool(by.loc[201, "keep"])
+    # untouched docs are singleton keepers
+    for i in [0, 3, 4, 5, 6, 7, 8, 9, 10, 11]:
+        assert by.loc[i, "cluster_id"] == i and bool(by.loc[i, "keep"])
+    # exactly one keeper per cluster
+    assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
+
+
+def test_neardup_clusters_no_dups():
+    """Empty verified-pair set: every doc is its own singleton cluster."""
+    from graphscope_ray.stages.dedup import neardup_clusters
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [" ".join(f"u{i}w{j}" for j in range(30)) for i in range(6)],
+    })
+    out = neardup_clusters(ray.data.from_pandas(docs)).to_pandas()
+    assert (out["cluster_id"].to_numpy(np.int64)
+            == out["doc_id"].to_numpy(np.int64)).all()
+    assert out["keep"].all() and len(out) == 6
+
+
 def test_simhash(docs_df):
     sh = simhash_table(ray.data.from_pandas(docs_df)).to_pandas()
     m = dict(zip(sh["doc_id"], sh["simhash"]))
