@@ -327,6 +327,16 @@ def densest_subgraph(G: Graph):
     return density, set(df[key])
 
 
+def minimum_spanning_edges(G: Graph) -> list:
+    """nx.minimum_spanning_edges(..., algorithm='kruskal') shape:
+    sorted (u, v, weight) triples of the forest."""
+    g = G._graph()
+    df = _sess_mod.minimum_spanning_forest(g).to_pandas()
+    m = _vidmap(g)
+    return sorted(zip(_nodes_of(m, df["src"]), _nodes_of(m, df["dst"]),
+                      df["weight"]))
+
+
 def _vidmap(g) -> dict | None:
     """vid→node dict for relabelled graphs (None = identity). The nx
     layer's graphs are driver-buffered by construction, so a driver

@@ -615,6 +615,16 @@ def diameter_approximation(graph: Graph, k: int = 16) -> int:
     return da(graph._pool(), k=k)
 
 
+def minimum_spanning_forest(graph: Graph) -> ray.data.Dataset:
+    """Kruskal minimum spanning forest (flash/measurement/msf.h:47-64 —
+    local Kruskal per partition + merge reduce): (src, dst, weight)
+    rows, deterministic under weight ties. Unweighted graphs get unit
+    weights (nx semantics)."""
+    from graphscope_ray.pipelines.msf import minimum_spanning_forest as msf
+
+    return msf(graph.edges_dataset())
+
+
 def _src_vid(graph: Graph, src) -> int:
     if graph._needs_relabel:
         from graphscope_ray.functions.hashing import hash64_strings

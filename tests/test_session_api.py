@@ -318,6 +318,27 @@ def test_nx_compat_flash_family(karate_like):
     assert 1 <= gnx.diameter_approximation(G2, k=6) <= nx.diameter(H)
 
 
+def test_nx_compat_minimum_spanning_edges(karate_like):
+    """Kruskal MSF via the nx-compat surface: same total weight and
+    edge count as networkx on a weighted copy (string node labels
+    exercise the relabel map)."""
+    G = gnx.Graph()
+    H = nx.Graph()
+    rng = np.random.default_rng(13)
+    for u, w in karate_like.edges():
+        wt = float(rng.integers(1, 10))
+        G.add_edge(f"n{u}", f"n{w}", weight=wt)
+        H.add_edge(f"n{u}", f"n{w}", weight=wt)
+    got = gnx.minimum_spanning_edges(G)
+    want = list(nx.minimum_spanning_edges(H, algorithm="kruskal", data=True))
+    assert len(got) == len(want)
+    assert sum(w for _, _, w in got) == pytest.approx(
+        sum(d["weight"] for _, _, d in want))
+    nodes = set(H.nodes())
+    for u, w, _ in got:
+        assert u in nodes and w in nodes
+
+
 def test_nx_compat_hits_eigen_katz(karate_like):
     G = gnx.Graph()
     G.add_edges_from(karate_like.edges())

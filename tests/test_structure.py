@@ -242,3 +242,73 @@ def test_kshell_pool(rgraph, k):
     df = kshell_pool(sg, k).to_pandas()
     got = sorted(df["vid"]) if "vid" in df.columns else []
     assert got == want
+
+
+# ------------------------------------------------------------------ MSF
+
+
+def test_msf_distinct_weights_exact():
+    """Distinct weights => the MSF edge set is unique: exact parity vs
+    networkx Kruskal, including across a disconnected forest."""
+    from graphscope_ray.pipelines.msf import minimum_spanning_forest, msf_weight
+
+    rng = np.random.default_rng(11)
+    # two disjoint components (0-19, 100-119) => a true forest;
+    # canonical (min,max) pairs so nx.Graph and the engine see the
+    # same simple graph (a (b,a) twin with another weight would be a
+    # multigraph nx.Graph silently collapses last-write-wins)
+    edges = list({(min(int(a), int(b)), max(int(a), int(b)))
+                  for a, b in rng.integers(0, 20, (80, 2)) if a != b})
+    edges += [(a + 100, b + 100) for a, b in edges]
+    w = rng.permutation(len(edges)) + 1.0  # distinct integer weights
+    g = nx.Graph()
+    for (a, b), ww in zip(edges, w):
+        g.add_edge(a, b, weight=float(ww))
+    want = {(min(a, b), max(a, b)): d["weight"]
+            for a, b, d in nx.minimum_spanning_edges(g, algorithm="kruskal",
+                                                     data=True)}
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges],
+         "weight": w})).repartition(7)
+    got = minimum_spanning_forest(ds).to_pandas()
+    gset = {(int(r.src), int(r.dst)): float(r.weight)
+            for r in got.itertuples()}
+    assert gset == want
+    assert msf_weight(ds) == pytest.approx(sum(want.values()))
+
+
+def test_msf_ties_partition_invariant():
+    """Equal weights: total weight always matches networkx, and the
+    chosen forest is identical at any partitioning (deterministic
+    (w, min, max) tie order)."""
+    from graphscope_ray.pipelines.msf import minimum_spanning_forest
+
+    rng = np.random.default_rng(5)
+    edges = list({(min(int(a), int(b)), max(int(a), int(b)))
+                  for a, b in rng.integers(0, 30, (150, 2)) if a != b})
+    w = rng.integers(1, 4, len(edges)).astype(float)  # many ties
+    g = nx.Graph()
+    for (a, b), ww in zip(edges, w):
+        g.add_edge(a, b, weight=float(ww))
+    want_total = sum(d["weight"] for _, _, d in nx.minimum_spanning_edges(
+        g, algorithm="kruskal", data=True))
+    df = pd.DataFrame({"src": [a for a, _ in edges],
+                       "dst": [b for _, b in edges], "weight": w})
+    outs = []
+    for parts in (1, 4, 13):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = minimum_spanning_forest(ds).to_pandas().sort_values(
+            ["src", "dst"]).reset_index(drop=True)
+        outs.append(out)
+        assert out["weight"].sum() == pytest.approx(want_total)
+        assert len(out) == sum(1 for _ in nx.minimum_spanning_edges(g))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_msf_unweighted_defaults_to_unit(rgraph):
+    from graphscope_ray.pipelines.msf import minimum_spanning_forest
+
+    g, ds = rgraph
+    got = minimum_spanning_forest(ds).to_pandas()
+    assert len(got) == g.number_of_nodes() - nx.number_connected_components(g)
+    assert (got["weight"] == 1.0).all()
