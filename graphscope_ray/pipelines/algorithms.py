@@ -894,3 +894,103 @@ def k_center(graph: ShardedGraph, k: int):
 
         mind = joined.map_batches(mn, batch_format="pyarrow").materialize()
     return centers, mind
+
+
+def _matching_vid_bits(graph: ShardedGraph) -> int:
+    """Bit width of the largest vid — the packed (degree, vid) key
+    split used by the FLASH matching family (shard._check_key_bits)."""
+    return max(1, max(graph.call_all("max_vid")).bit_length())
+
+
+def maximal_matching(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Greedy maximal matching (FLASH apps/flash/matching/mm.h:44-77):
+    every unmatched vertex proposes to its max-id unmatched neighbor;
+    mutual proposals match; vertices with no active neighbors retire.
+    Deterministic (max-id rule), ≥½ the maximum matching by the classic
+    greedy bound. Returns a (vid, mate) Dataset, mate=-1 for unmatched.
+    Undirected (both-arcs) graphs only; two fused waves per round."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("maximal_matching requires an undirected graph")
+    graph.call_all("mm_init")
+    refs = graph.step_refs("mm_step_a")
+    for _ in range(max_rounds):
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+        refs_b = graph.step_refs("mm_step_b", inbox=refs)
+        refs = graph.step_refs("mm_step_a", inbox=refs_b)
+    return ray.data.from_arrow_refs(
+        [s.mm_table.remote() for s in graph.shards])
+
+
+def min_vertex_cover(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Greedy min vertex cover (FLASH matching/min-cover-greedy.h:43-86):
+    per round, every uncovered vertex whose (residual degree, vid) is a
+    local max among uncovered neighbors joins the cover; selected
+    vertices decrement neighbors' residual degrees; repeat until no
+    uncovered vertex has uncovered incident edges. Returns a
+    (vid, in_cover) Dataset. Undirected graphs only."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("min_vertex_cover requires an undirected graph")
+    graph.call_all("mc_init", _matching_vid_bits(graph))
+    refs = graph.step_refs("mc_step_a")
+    for _ in range(max_rounds):
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+        refs_b = graph.step_refs("mc_step_b", inbox=refs)
+        refs = graph.step_refs("mc_step_a", inbox=refs_b)
+    return ray.data.from_arrow_refs(
+        [s.mc_table.remote() for s in graph.shards])
+
+
+def min_dominating_set(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Greedy min dominating set (FLASH
+    matching/min-dominating-set.h:46-95): per round each undominated
+    vertex takes the 2-hop max of (undominated-neighbor count, vid);
+    local winners join the set and dominate their closed neighborhood;
+    counts are then recomputed. Returns a (vid, in_set) Dataset.
+    Undirected graphs only; four fused waves per round."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("min_dominating_set requires an undirected graph")
+    graph.call_all("mds_init", _matching_vid_bits(graph))
+    refs = graph.step_refs("mds_step_a")
+    for _ in range(max_rounds):
+        refs = graph.step_refs("mds_step_b", inbox=refs)
+        refs = graph.step_refs("mds_step_c", inbox=refs)
+        refs = graph.step_refs("mds_step_d", inbox=refs)
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+        refs = graph.step_refs("mds_step_a", inbox=refs)
+    return ray.data.from_arrow_refs(
+        [s.mds_table.remote() for s in graph.shards])
+
+
+def min_edge_cover(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Greedy min edge cover (FLASH matching/min-edge-cover.h:44-93):
+    unmatched vertices propose to their min-(degree, vid) unmatched
+    neighbor, mutual proposals pair up, and proposals whose target just
+    matched are reset and retried; leftover unmatched vertices each
+    count one arbitrary incident edge. Returns ((vid, mate) Dataset,
+    cover_size) with cover_size = |matched|/2 + |unmatched, deg>0| —
+    the reference's GlobalRes. Undirected graphs only."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("min_edge_cover requires an undirected graph")
+    graph.call_all("mec_init", _matching_vid_bits(graph))
+    refs = graph.step_refs("mec_step_a")
+    for _ in range(max_rounds):
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+        refs_b = graph.step_refs("mec_step_b", inbox=refs)
+        refs_c = graph.step_refs("mec_step_c", inbox=refs_b)
+        refs = graph.step_refs("mec_step_a", inbox=refs_c)
+    matched, uncov = map(sum, zip(*graph.call_all("mec_counts")))
+    size = matched // 2 + uncov
+    return ray.data.from_arrow_refs(
+        [s.mec_table.remote() for s in graph.shards]), size

@@ -1046,6 +1046,318 @@ class GraphShard:
             "core": pa.array(self._kc_core, pa.int64()),
         })
 
+    # ----------------------------------------- FLASH matching family
+    # BSP restatements of the reference's round-based greedy matching
+    # apps (apps/flash/matching/{mm,min-cover-greedy,min-dominating-set,
+    # min-edge-cover}.h). Lexicographic (degree, vid) comparisons ride
+    # a single int64 max/min-combined message as packed keys
+    # ``deg * 2^vid_bits + vid`` — the driver picks vid_bits from the
+    # real max vid and init checks the degree field fits (62-vid_bits
+    # bits keeps the key a positive signed int64). Handshake checks
+    # ("did MY proposal target propose back to me?") are membership
+    # tests no associative combiner expresses — those waves ship RAW
+    # (dst, sender) pairs, masked to one edge per proposer, so raw
+    # volume is O(frontier), not O(E).
+
+    def max_vid(self) -> int:
+        return int(self.local.max()) if self.n_local else -1
+
+    def _emit_per_part_raw(self, edge_mask, values):
+        """Per-destination-shard (dst, val) pairs WITHOUT combining."""
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            m = edge_mask[lo:hi]
+            if not m.any():
+                out.append(None)
+                continue
+            out.append((self.e_dst[lo:hi][m], values[lo:hi][m]))
+        return out if self.P > 1 else out[0]
+
+    def _check_key_bits(self, vid_bits: int, what: str):
+        self._key_shift = np.int64(1) << vid_bits
+        if self.n_local and self.out_deg.size and \
+                int(self.out_deg.max()) >= (1 << (62 - vid_bits)):
+            raise ValueError(
+                f"{what}: packed (degree, vid) key overflow — degree "
+                f"needs more than {62 - vid_bits} bits")
+
+    # --- maximal matching (mm.h:44-77): unmatched vertices propose to
+    # their max-id active neighbor; mutual proposals match; repeat.
+    def mm_init(self) -> int:
+        self._mm_s = np.full(self.n_local, -1, np.int64)   # partner
+        self._mm_p = np.full(self.n_local, -1, np.int64)   # proposal
+        self._mm_active = np.ones(self.n_local, dtype=bool)
+        return self.n_local
+
+    def mm_step_a(self, *inbox):
+        """Apply handshake responses (mutual ⇒ matched), then advertise
+        this round's active unmatched ids (mm.h update1 scatter)."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.maximum)
+                pos = np.searchsorted(self.local, u)
+                # m_v == p_v  ⇔  my proposal target proposed back to me
+                # (every responder is an active neighbor, and p_v is
+                # the max active-neighbor id, so responses never exceed
+                # p_v — equality is exactly mutuality, mm.h check2)
+                ok = self._mm_active[pos] & (self._mm_p[pos] == s)
+                pos = pos[ok]
+                self._mm_s[pos] = self._mm_p[pos]
+        self._mm_active &= self._mm_s == -1
+        self._mm_p[self._mm_active] = -1
+        mask = self._mm_active[self.e_src_pos]
+        vals = self.local[self.e_src_pos].astype(np.int64)
+        msgs = self._emit_per_part(mask, vals, np.maximum)
+        return self._msgs_tuple(msgs) + (int(self._mm_active.sum()),)
+
+    def mm_step_b(self, *inbox):
+        """Apply proposals p = max active-neighbor id (targets heard
+        from ≥1 active neighbor stay active — EdgeMapDense's updated
+        set), then respond along the proposal edge only."""
+        got = np.zeros(self.n_local, dtype=bool)
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.maximum)
+                pos = np.searchsorted(self.local, u)
+                upd = self._mm_active[pos]
+                pos = pos[upd]
+                self._mm_p[pos] = s[upd]
+                got[pos] = True
+        self._mm_active &= got
+        mask = self._mm_active[self.e_src_pos] & \
+            (self._mm_p[self.e_src_pos] == self.e_dst)
+        vals = self.local[self.e_src_pos].astype(np.int64)
+        msgs = self._emit_per_part(mask, vals, np.maximum)
+        return self._msgs_tuple(msgs) + (int(self._mm_active.sum()),)
+
+    def mm_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "mate": pa.array(self._mm_s, pa.int64()),
+        })
+
+    # --- greedy min vertex cover (min-cover-greedy.h:43-86): a vertex
+    # joins the cover when no uncovered neighbor beats its (residual
+    # degree, vid); selected vertices decrement neighbors' residuals.
+    def mc_init(self, vid_bits: int) -> int:
+        self._check_key_bits(vid_bits, "min_vertex_cover")
+        self._mc_c = np.zeros(self.n_local, dtype=bool)
+        self._mc_d = self.out_deg.astype(np.int64).copy()
+        return self.n_local
+
+    def _mc_packed(self):
+        return self._mc_d * self._key_shift + self.local
+
+    def mc_step_a(self, *inbox):
+        """Apply residual-degree decrements from the newly selected,
+        then broadcast packed (d, vid) beat keys from live vertices."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                pos = np.searchsorted(self.local, u)
+                upd = ~self._mc_c[pos]
+                self._mc_d[pos[upd]] -= s[upd]
+        active = ~self._mc_c & (self._mc_d > 0)
+        mask = active[self.e_src_pos]
+        vals = self._mc_packed()[self.e_src_pos]
+        msgs = self._emit_per_part(mask, vals, np.maximum)
+        return self._msgs_tuple(msgs) + (int(active.sum()),)
+
+    def mc_step_b(self, *inbox):
+        """Select local (d, vid)-maxima into the cover (filter1), then
+        scatter +1 decrements from the selected."""
+        beat = np.full(self.n_local, -1, dtype=np.int64)
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.maximum)
+                beat[np.searchsorted(self.local, u)] = s
+        active = ~self._mc_c & (self._mc_d > 0)
+        sel = active & (beat <= self._mc_packed())
+        self._mc_c |= sel
+        mask = sel[self.e_src_pos]
+        vals = np.ones(self.n_edges, dtype=np.int64)
+        msgs = self._emit_per_part(mask, vals, np.add)
+        return self._msgs_tuple(msgs) + (int(sel.sum()),)
+
+    def mc_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "in_cover": pa.array(self._mc_c),
+        })
+
+    # --- greedy min dominating set (min-dominating-set.h:46-95): each
+    # round every undominated vertex takes the 2-hop max of
+    # (undominated-neighbor count, vid); local winners join the set and
+    # dominate their neighborhoods.
+    def mds_init(self, vid_bits: int) -> int:
+        self._check_key_bits(vid_bits, "min_dominating_set")
+        self._mds_dom = np.zeros(self.n_local, dtype=bool)   # v.d
+        self._mds_in = np.zeros(self.n_local, dtype=bool)    # v.b
+        self._mds_cnt = self.out_deg.astype(np.int64).copy()  # v.max_cnt
+        self._mds_mid = self.local.copy()                     # v.max_id
+        return self.n_local
+
+    def _mds_packed(self):
+        return self._mds_cnt * self._key_shift + self._mds_mid
+
+    def _mds_apply_max(self, inbox):
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.maximum)
+                pos = np.searchsorted(self.local, u)
+                upd = ~self._mds_dom[pos] & (s > self._mds_packed()[pos])
+                pos, s = pos[upd], s[upd]
+                self._mds_cnt[pos] = s // self._key_shift
+                self._mds_mid[pos] = s % self._key_shift
+
+    def _mds_scatter_packed(self):
+        mask = (~self._mds_dom)[self.e_src_pos]
+        vals = self._mds_packed()[self.e_src_pos]
+        return self._emit_per_part(mask, vals, np.maximum)
+
+    def mds_step_a(self, *inbox):
+        """Apply the recount (undominated-neighbor totals → max_cnt,
+        reset max_id=id — local2), then scatter hop-1 packed maxima."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            counts = np.zeros(self.n_local, dtype=np.int64)
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                counts[np.searchsorted(self.local, u)] = s
+            live = ~self._mds_dom
+            self._mds_cnt[live] = counts[live]
+            self._mds_mid[live] = self.local[live]
+        msgs = self._mds_scatter_packed()
+        n_live = int((~self._mds_dom).sum())
+        return self._msgs_tuple(msgs) + (n_live,)
+
+    def mds_step_b(self, *inbox):
+        """Hop-1 max apply + hop-2 scatter."""
+        self._mds_apply_max(inbox)
+        msgs = self._mds_scatter_packed()
+        return self._msgs_tuple(msgs) + (0,)
+
+    def mds_step_c(self, *inbox):
+        """Hop-2 max apply; local winners (max_id == id) join the set
+        and become dominated; scatter domination marks."""
+        self._mds_apply_max(inbox)
+        sel = ~self._mds_dom & (self._mds_mid == self.local)
+        self._mds_in |= sel
+        self._mds_dom |= sel
+        mask = sel[self.e_src_pos]
+        vals = np.ones(self.n_edges, dtype=np.int64)
+        msgs = self._emit_per_part(mask, vals, np.maximum)
+        return self._msgs_tuple(msgs) + (int(sel.sum()),)
+
+    def mds_step_d(self, *inbox):
+        """Apply domination marks, then scatter the recount wave (+1
+        from every still-undominated vertex)."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, _ = _group_reduce(dst, val, np.maximum)
+                self._mds_dom[np.searchsorted(self.local, u)] = True
+        mask = (~self._mds_dom)[self.e_src_pos]
+        vals = np.ones(self.n_edges, dtype=np.int64)
+        msgs = self._emit_per_part(mask, vals, np.add)
+        return self._msgs_tuple(msgs) + (int((~self._mds_dom).sum()),)
+
+    def mds_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "in_set": pa.array(self._mds_in),
+        })
+
+    # --- greedy min edge cover (min-edge-cover.h:44-93): unmatched
+    # vertices propose to their min-(initial degree, vid) unmatched
+    # neighbor; mutual proposals match; proposals whose target just
+    # matched are reset and retried. Vertices left unmatched at the
+    # fixpoint are covered by one arbitrary incident edge (counted,
+    # not materialized — the reference counts them the same way).
+    def mec_init(self, vid_bits: int) -> int:
+        self._check_key_bits(vid_bits, "min_edge_cover")
+        self._mec_s = np.full(self.n_local, -1, np.int64)
+        self._mec_p = np.full(self.n_local, -1, np.int64)
+        self._mec_active = np.ones(self.n_local, dtype=bool)
+        return self.n_local
+
+    def mec_step_a(self, *inbox):
+        """Apply proposal invalidations (raw sender ids from the newly
+        matched: targets still pointing at one reset p and retry —
+        check3), then advertise packed (deg, vid) keys from every
+        unmatched vertex."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            retry = np.zeros(self.n_local, dtype=bool)
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                hit = (self._mec_s[pos] == -1) & (self._mec_p[pos] == val)
+                pos = pos[hit]
+                self._mec_p[pos] = -1
+                retry[pos] = True
+            self._mec_active = retry
+        unmatched = self._mec_s == -1
+        mask = unmatched[self.e_src_pos]
+        vals = (self.out_deg.astype(np.int64) * self._key_shift
+                + self.local)[self.e_src_pos]
+        msgs = self._emit_per_part(mask, vals, np.minimum)
+        return self._msgs_tuple(msgs) + (int(self._mec_active.sum()),)
+
+    def mec_step_b(self, *inbox):
+        """Active vertices pick p = min-(deg, vid) unmatched neighbor,
+        then send their id RAW along the proposal edge."""
+        got = np.full(self.n_local, -1, dtype=np.int64)
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.minimum)
+                pos = np.searchsorted(self.local, u)
+                got[pos] = s % self._key_shift
+        self._mec_p[self._mec_active] = got[self._mec_active]
+        self._mec_active &= self._mec_p >= 0
+        mask = self._mec_active[self.e_src_pos] & \
+            (self._mec_p[self.e_src_pos] == self.e_dst)
+        vals = self.local[self.e_src_pos].astype(np.int64)
+        msgs = self._emit_per_part_raw(mask, vals)
+        return self._msgs_tuple(msgs) + (int(self._mec_active.sum()),)
+
+    def mec_step_c(self, *inbox):
+        """Mutual-proposal handshake (raw membership test: some sender
+        IS my proposal target ⇒ matched — check2), then notify
+        neighborhoods of the newly matched (raw, for check3)."""
+        matched = np.zeros(self.n_local, dtype=bool)
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                hit = (self._mec_s[pos] == -1) & (self._mec_p[pos] == val)
+                pos = pos[hit]
+                self._mec_s[pos] = self._mec_p[pos]
+                matched[pos] = True
+        mask = matched[self.e_src_pos]
+        vals = self.local[self.e_src_pos].astype(np.int64)
+        msgs = self._emit_per_part_raw(mask, vals)
+        return self._msgs_tuple(msgs) + (int(matched.sum()),)
+
+    def mec_counts(self):
+        """(matched vertices, unmatched-with-degree) partials for the
+        reference's edge-cover size: |matched|/2 + |unmatched, d>0|."""
+        matched = int((self._mec_s >= 0).sum())
+        uncov = int(((self._mec_s == -1) & (self.out_deg > 0)).sum())
+        return matched, uncov
+
+    def mec_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "mate": pa.array(self._mec_s, pa.int64()),
+        })
+
     # ------------------------------------------------------------ VoteRank
     def voterank_init(self) -> int:
         """ability=1 for all, nobody elected (apps/voterank/voterank.h:230,

@@ -154,3 +154,132 @@ def oracle_sssp(weighted_edges, vertices, source, directed):
     for s, d, w in weighted_edges:
         g.add_edge(s, d, weight=w)
     return nx.single_source_dijkstra_path_length(g, source)
+
+
+def _undirected_adj(edges, vertices):
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    for v in vertices:
+        adj[v]  # touch so isolated vertices exist
+    return adj
+
+
+def oracle_maximal_matching(edges, vertices):
+    """Phase-exact pure-python replica of FLASH mm.h:44-77 under BSP
+    snapshot semantics: propose max-id active neighbor, mutual ⇒
+    matched, drop vertices with no active neighbors."""
+    adj = _undirected_adj(edges, vertices)
+    mate = {v: -1 for v in vertices}
+    active = set(vertices)
+    while active:
+        p, new_a = {}, set()
+        for v in active:
+            nbrs = [u for u in adj[v] if u in active]
+            if nbrs:
+                p[v] = max(nbrs)
+                new_a.add(v)
+        for v in new_a:
+            u = p[v]
+            if u in new_a and p[u] == v:
+                mate[v] = u
+        active = {v for v in new_a if mate[v] == -1}
+    return mate
+
+
+def oracle_min_vertex_cover(edges, vertices):
+    """Replica of FLASH min-cover-greedy.h:43-86 (snapshot rounds):
+    lexicographic (residual degree, vid) local maxima join the cover."""
+    adj = _undirected_adj(edges, vertices)
+    c = {v: False for v in vertices}
+    d = {v: len(adj[v]) for v in vertices}
+    active = {v for v in vertices if d[v] > 0}
+    while active:
+        sel = [v for v in active
+               if not any(not c[u] and (d[u], u) > (d[v], v)
+                          for u in adj[v])]
+        for v in sel:
+            c[v] = True
+        dec = Counter()
+        for v in sel:
+            for u in adj[v]:
+                if not c[u]:
+                    dec[u] += 1
+        for u, k in dec.items():
+            d[u] -= k
+        active = {v for v in vertices if not c[v] and d[v] > 0}
+    return c
+
+
+def oracle_min_dominating_set(edges, vertices):
+    """Replica of FLASH min-dominating-set.h:46-95: 2-hop
+    (undominated-neighbor count, vid) maxima join the set."""
+    adj = _undirected_adj(edges, vertices)
+    dom = {v: False for v in vertices}
+    inset = {v: False for v in vertices}
+    cnt = {v: len(adj[v]) for v in vertices}
+    mid = {v: v for v in vertices}
+    while True:
+        live = [v for v in vertices if not dom[v]]
+        if not live:
+            break
+        for _ in range(2):  # two synchronized max-propagation hops
+            new = {}
+            for v in live:
+                best = (cnt[v], mid[v])
+                for u in adj[v]:
+                    if not dom[u] and (cnt[u], mid[u]) > best:
+                        best = (cnt[u], mid[u])
+                new[v] = best
+            for v in live:
+                cnt[v], mid[v] = new[v]
+        sel = [v for v in live if mid[v] == v]
+        for v in sel:
+            inset[v] = True
+            dom[v] = True
+        for v in sel:
+            for u in adj[v]:
+                dom[u] = True
+        for v in vertices:
+            if not dom[v]:
+                mid[v] = v
+                cnt[v] = sum(1 for u in adj[v] if not dom[u])
+    return inset
+
+
+def oracle_min_edge_cover(edges, vertices):
+    """Replica of FLASH min-edge-cover.h:44-93: propose to the
+    min-(degree, vid) unmatched neighbor; mutual (or stale-proposal
+    one-sided) handshakes assign mates; proposals at newly matched
+    targets retry. Returns (mate_map, cover_size)."""
+    adj = _undirected_adj(edges, vertices)
+    deg = {v: len(adj[v]) for v in vertices}
+    mate = {v: -1 for v in vertices}
+    p = {v: -1 for v in vertices}
+    active = set(vertices)
+    while active:
+        new_a = set()
+        for v in active:
+            cands = [(deg[u], u) for u in adj[v] if mate[u] == -1]
+            p[v] = min(cands)[1] if cands else -1
+            if p[v] >= 0:
+                new_a.add(v)
+        snap = dict(p)
+        matched = set()
+        for v in vertices:
+            if mate[v] == -1 and snap[v] != -1:
+                u = snap[v]
+                if u in new_a and snap[u] == v:
+                    mate[v] = u
+                    matched.add(v)
+        retry = set()
+        for v in vertices:
+            if mate[v] == -1 and p[v] != -1 and p[v] in matched:
+                retry.add(v)
+                p[v] = -1
+        active = retry
+    size = (sum(1 for v in vertices if mate[v] >= 0) // 2
+            + sum(1 for v in vertices if mate[v] == -1 and deg[v] > 0))
+    return mate, size
