@@ -994,3 +994,50 @@ def min_edge_cover(graph: ShardedGraph, max_rounds: int = 10**6):
     size = matched // 2 + uncov
     return ray.data.from_arrow_refs(
         [s.mec_table.remote() for s in graph.shards]), size
+
+
+def onion_layers(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Onion-layer ordering (FLASH apps/flash/core/
+    onion-layer-ordering.h:44-100): per-vertex (core, layer), where
+    layer is the peel wave at which the vertex's count of
+    same-or-higher-core neighbors drops to ≤ its core number; ranked
+    vertices decrement only SAME-core unranked neighbors. Runs on top
+    of ``core_decomposition`` (one incremental peel), then one raw
+    O(E) core-exchange wave + frontier-sized ranking rounds.
+    Undirected graphs only."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("onion_layers requires an undirected graph")
+    core_decomposition(graph).materialize()  # stamps _kc_core shard-side
+    refs = graph.step_refs("onion_init")
+    i = 0
+    refs = graph.step_refs("onion_round", i, True, inbox=refs)
+    while sum(graph.step_scalars(refs)) and i < max_rounds:
+        i += 1
+        refs = graph.step_refs("onion_round", i, False, inbox=refs)
+    return ray.data.from_arrow_refs(
+        [s.onion_table.remote() for s in graph.shards])
+
+
+def degeneracy_ordering(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Degeneracy ordering (FLASH apps/flash/core/
+    degeneracy-ordering.h:43-110): dg = max core number; wave i ranks
+    every unranked vertex whose residual degree is ≤ dg, then
+    decrements unranked neighbors. Returns (vid, rank) — ranks are
+    consecutive peel waves, the parallel analogue of the sequential
+    min-degree elimination order. Undirected graphs only."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("degeneracy_ordering requires an undirected graph")
+    core_decomposition(graph).materialize()
+    dg = max(graph.call_all("kc_core_max"))
+    graph.call_all("degen_init", dg)
+    i = 0
+    refs = graph.step_refs("degen_round", i)
+    while sum(graph.step_scalars(refs)) and i < max_rounds:
+        i += 1
+        refs = graph.step_refs("degen_round", i, inbox=refs)
+    return ray.data.from_arrow_refs(
+        [s.degen_table.remote() for s in graph.shards])

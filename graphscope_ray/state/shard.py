@@ -1046,6 +1046,88 @@ class GraphShard:
             "core": pa.array(self._kc_core, pa.int64()),
         })
 
+    # ------------------------------- FLASH core-ordering family
+    # Onion-layer and degeneracy orderings (apps/flash/core/
+    # onion-layer-ordering.h:44-100, degeneracy-ordering.h:43-110):
+    # ranking peels on top of the core numbers stamped by
+    # core_decomposition (self._kc_core). Onion's initial residual
+    # (#neighbors with core ≥ mine) and its same-core decrement checks
+    # compare BOTH endpoint cores, so those waves ship raw (dst,
+    # sender-core) pairs — one O(E) exchange at init, then frontier-
+    # sized rounds.
+
+    def kc_core_max(self) -> int:
+        return int(self._kc_core.max()) if self.n_local else 0
+
+    def onion_init(self):
+        """Scatter-only: every vertex ships its core along its arcs
+        (raw — the receiver compares against its own core)."""
+        self._on_rank = np.full(self.n_local, -1, np.int64)
+        self._on_d = np.zeros(self.n_local, np.int64)
+        vals = self._kc_core[self.e_src_pos]
+        mask = np.ones(self.n_edges, dtype=bool)
+        msgs = self._emit_per_part_raw(mask, vals)
+        return self._msgs_tuple(msgs) + (0,)
+
+    def onion_round(self, i: int, first: bool, *inbox):
+        """Apply (init residuals, or same-core decrements from the
+        newly ranked), rank vertices with d ≤ core at layer ``i``, and
+        scatter their cores raw for the next decrement wave."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                if first:
+                    hit = val >= self._kc_core[pos]
+                    np.add.at(self._on_d, pos[hit], 1)
+                else:
+                    hit = (val == self._kc_core[pos]) & \
+                        (self._on_rank[pos] == -1)
+                    np.add.at(self._on_d, pos[hit], -1)
+        sel = (self._on_rank == -1) & (self._on_d <= self._kc_core)
+        self._on_rank[sel] = int(i)
+        mask = sel[self.e_src_pos]
+        vals = self._kc_core[self.e_src_pos]
+        msgs = self._emit_per_part_raw(mask, vals)
+        return self._msgs_tuple(msgs) + (int(sel.sum()),)
+
+    def onion_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "core": pa.array(self._kc_core, pa.int64()),
+            "layer": pa.array(self._on_rank, pa.int64()),
+        })
+
+    def degen_init(self, dg: int) -> int:
+        self._dg_rank = np.full(self.n_local, -1, np.int64)
+        self._dg_d = self.out_deg.astype(np.int64).copy()
+        self._dg = int(dg)
+        return self.n_local
+
+    def degen_round(self, i: int, *inbox):
+        """Apply degree decrements (receivers still unranked), rank
+        vertices with residual degree ≤ degeneracy at wave ``i``, and
+        scatter −1s from the newly ranked."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                pos = np.searchsorted(self.local, u)
+                upd = self._dg_rank[pos] == -1
+                self._dg_d[pos[upd]] -= s[upd]
+        sel = (self._dg_rank == -1) & (self._dg_d <= self._dg)
+        self._dg_rank[sel] = int(i)
+        mask = sel[self.e_src_pos]
+        vals = np.ones(self.n_edges, dtype=np.int64)
+        msgs = self._emit_per_part(mask, vals, np.add)
+        return self._msgs_tuple(msgs) + (int(sel.sum()),)
+
+    def degen_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "rank": pa.array(self._dg_rank, pa.int64()),
+        })
+
     # ----------------------------------------- FLASH matching family
     # BSP restatements of the reference's round-based greedy matching
     # apps (apps/flash/matching/{mm,min-cover-greedy,min-dominating-set,

@@ -283,3 +283,59 @@ def oracle_min_edge_cover(edges, vertices):
     size = (sum(1 for v in vertices if mate[v] >= 0) // 2
             + sum(1 for v in vertices if mate[v] == -1 and deg[v] > 0))
     return mate, size
+
+
+def oracle_onion_layers(edges, vertices):
+    """Replica of FLASH onion-layer-ordering.h:44-100 ranking phase on
+    exact core numbers: wave i ranks unranked vertices whose count of
+    same-or-higher-core neighbors ≤ core; ranked vertices decrement
+    same-core unranked neighbors. Returns {vid: (core, layer)}."""
+    import networkx as nx
+
+    adj = _undirected_adj(edges, vertices)
+    g = nx.Graph()
+    g.add_nodes_from(vertices)
+    g.add_edges_from((a, b) for a, b in edges if a != b)
+    core = nx.core_number(g)
+    d = {v: sum(1 for u in adj[v] if core[u] >= core[v]) for v in vertices}
+    rank = {v: -1 for v in vertices}
+    i = 0
+    while True:
+        sel = [v for v in vertices if rank[v] == -1 and d[v] <= core[v]]
+        if not sel:
+            break
+        for v in sel:
+            rank[v] = i
+        for v in sel:
+            for u in adj[v]:
+                if core[u] == core[v] and rank[u] == -1:
+                    d[u] -= 1
+        i += 1
+    return {v: (core[v], rank[v]) for v in vertices}
+
+
+def oracle_degeneracy_ordering(edges, vertices):
+    """Replica of FLASH degeneracy-ordering.h:43-110: wave i ranks
+    unranked vertices with residual degree ≤ degeneracy."""
+    import networkx as nx
+
+    adj = _undirected_adj(edges, vertices)
+    g = nx.Graph()
+    g.add_nodes_from(vertices)
+    g.add_edges_from((a, b) for a, b in edges if a != b)
+    dg = max(nx.core_number(g).values()) if g.number_of_edges() else 0
+    d = {v: len(adj[v]) for v in vertices}
+    rank = {v: -1 for v in vertices}
+    i = 0
+    while True:
+        sel = [v for v in vertices if rank[v] == -1 and d[v] <= dg]
+        if not sel:
+            break
+        for v in sel:
+            rank[v] = i
+        for v in sel:
+            for u in adj[v]:
+                if rank[u] == -1:
+                    d[u] -= 1
+        i += 1
+    return rank
