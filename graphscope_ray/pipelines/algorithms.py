@@ -1041,3 +1041,42 @@ def degeneracy_ordering(graph: ShardedGraph, max_rounds: int = 10**6):
         refs = graph.step_refs("degen_round", i, inbox=refs)
     return ray.data.from_arrow_refs(
         [s.degen_table.remote() for s in graph.shards])
+
+
+def bridges(graph: ShardedGraph, max_iter: int = 10**6):
+    """All bridge edges (FLASH apps/flash/connectivity/bridge.h:44-150
+    semantics, scalable restatement): (u, v) Dataset, u < v.
+
+    The reference replicates O(V) parent/depth arrays on every worker
+    and walks tree paths with random access; here: (1) hash-min WCC
+    picks per-component min-vid roots, (2) a deterministic BFS forest
+    (min-parent re-pick) spans each component, (3) every vertex XORs
+    deterministic 64-bit hashes of its incident NON-TREE edges, (4) an
+    O(depth)-round child→parent sweep accumulates subtree XORs — a
+    tree edge is a bridge iff its subtree XOR is zero (non-tree edges
+    inside or outside the subtree self-cancel; crossing edges can't,
+    up to a 2⁻⁶⁴-per-edge Monte-Carlo error, deterministic given
+    vids). Non-tree edges are never bridges (they sit on a cycle).
+    Undirected simple graphs only."""
+    import numpy as np
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("bridges requires an undirected graph")
+    wcc(graph, max_iter=max_iter)  # state := component min vid
+    roots = np.concatenate(graph.call_all("bridge_roots"))
+    graph.call_all("path_init", roots)
+    refs = graph.step_refs("path_step", False)
+    for _ in range(max_iter):
+        refs = graph.step_refs("path_step", False, inbox=refs)
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+    fin = graph.scatter_refs("path_finalize_scatter", False)
+    graph.apply_all("path_finalize_apply", fin)
+    refs = graph.step_refs("bridge_init")
+    maxd = max(graph.apply_all("bridge_init_apply", refs))
+    refs = graph.step_refs("bridge_sweep", maxd)
+    for t in range(maxd - 1, 0, -1):
+        refs = graph.step_refs("bridge_sweep", t, inbox=refs)
+    return ray.data.from_arrow_refs(
+        [s.bridge_table.remote() for s in graph.shards])

@@ -26,9 +26,20 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from graphscope_ray.functions.hashing import partition_of
+from graphscope_ray.functions.hashing import partition_of, splitmix64
 
 INF = np.float64(np.inf)
+
+
+def _edge_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of the canonical undirected edge
+    (min, max) — the bridge sweep's Monte-Carlo XOR labels."""
+    lo = np.minimum(a, b).astype(np.uint64)
+    hi = np.maximum(a, b).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = splitmix64(lo) ^ splitmix64(
+            hi * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(0x165667B19E3779F9))
+    return mixed.view(np.int64)
 
 
 def _concat_msgs(parts, dtypes):
@@ -1044,6 +1055,75 @@ class GraphShard:
         return pa.table({
             "vid": pa.array(self.local, pa.int64()),
             "core": pa.array(self._kc_core, pa.int64()),
+        })
+
+    # ------------------------------------------- bridges (XOR forest)
+    # Scalable restatement of apps/flash/connectivity/bridge.h:44-150.
+    # The reference replicates O(V) parent/dis arrays on every worker
+    # and walks tree paths with random access (sync_all_=true); here a
+    # tree edge (v, parent v) is a bridge iff the XOR of deterministic
+    # 64-bit edge hashes over all NON-TREE edges incident to subtree(v)
+    # is zero — a non-tree edge fully inside or fully outside the
+    # subtree cancels itself, so a zero XOR means no non-tree edge
+    # crosses the cut (Monte Carlo, error ≤ 2⁻⁶⁴ per tree edge;
+    # deterministic given vids). Subtree XORs ride an O(depth)-round
+    # child→parent sweep on the BFS forest from path_step.
+
+    def bridge_roots(self) -> np.ndarray:
+        """After the minprop (wcc) fixpoint: local vids that are their
+        own component minimum — the BFS forest roots."""
+        return self.local[self.state == self.local]
+
+    def bridge_init(self):
+        """x_v = XOR of incident non-tree edge hashes: XOR over ALL
+        incident arcs, minus the parent edge locally; each child's
+        tree-edge hash arrives on the XOR wave and cancels (XOR
+        removal = addition). Snapshots integer BFS depths (simple
+        graphs assumed — parallel arcs would self-cancel)."""
+        self._br_depth = self.state.astype(np.int64) if self.n_local \
+            else np.empty(0, np.int64)
+        h = _edge_hash(self.local[self.e_src_pos], self.e_dst)
+        x = np.zeros(self.n_local, np.int64)
+        if len(h):
+            u_pos, xs = _group_reduce(
+                self.e_src_pos.astype(np.int64), h, np.bitwise_xor)
+            x[u_pos] = xs
+        hasp = self._parent != -1
+        x[hasp] ^= _edge_hash(self.local[hasp], self._parent[hasp])
+        self._br_x = x
+        mask = self._parent[self.e_src_pos] == self.e_dst
+        msgs = self._emit_per_part(mask, h, np.bitwise_xor)
+        return self._msgs_tuple(msgs) + (0,)
+
+    def bridge_init_apply(self, *inbox) -> int:
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.bitwise_xor)
+                self._br_x[np.searchsorted(self.local, u)] ^= s
+        self._br_s = self._br_x.copy()
+        return int(self._br_depth.max()) if self.n_local else 0
+
+    def bridge_sweep(self, t: int, *inbox):
+        """Apply subtree XORs from depth-(t+1) children, then emit
+        depth-t accumulators along the parent arc."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.bitwise_xor)
+                self._br_s[np.searchsorted(self.local, u)] ^= s
+        mask = (self._br_depth[self.e_src_pos] == t) & \
+            (self._parent[self.e_src_pos] == self.e_dst)
+        vals = self._br_s[self.e_src_pos]
+        msgs = self._emit_per_part(mask, vals, np.bitwise_xor)
+        return self._msgs_tuple(msgs) + (0,)
+
+    def bridge_table(self) -> pa.Table:
+        br = (self._parent != -1) & (self._br_s == 0)
+        a, b = self.local[br], self._parent[br]
+        return pa.table({
+            "u": pa.array(np.minimum(a, b), pa.int64()),
+            "v": pa.array(np.maximum(a, b), pa.int64()),
         })
 
     # ------------------------------- FLASH core-ordering family
