@@ -1063,7 +1063,22 @@ def bridges(graph: ShardedGraph, max_iter: int = 10**6):
 
     if graph.directed:
         raise ValueError("bridges requires an undirected graph")
-    wcc(graph, max_iter=max_iter)  # state := component min vid
+    _bfs_forest(graph, max_iter)
+    refs = graph.step_refs("bridge_init")
+    maxd = max(graph.apply_all("bridge_init_apply", refs))
+    refs = graph.step_refs("bridge_sweep", maxd)
+    for t in range(maxd - 1, 0, -1):
+        refs = graph.step_refs("bridge_sweep", t, inbox=refs)
+    return ray.data.from_arrow_refs(
+        [s.bridge_table.remote() for s in graph.shards])
+
+
+def _bfs_forest(graph: ShardedGraph, max_iter: int):
+    """wcc → per-component min-vid roots → deterministic BFS forest
+    with min-parent re-pick (shared by bridges / biconnectivity)."""
+    import numpy as np
+
+    wcc(graph, max_iter=max_iter)
     roots = np.concatenate(graph.call_all("bridge_roots"))
     graph.call_all("path_init", roots)
     refs = graph.step_refs("path_step", False)
@@ -1073,10 +1088,96 @@ def bridges(graph: ShardedGraph, max_iter: int = 10**6):
             break
     fin = graph.scatter_refs("path_finalize_scatter", False)
     graph.apply_all("path_finalize_apply", fin)
-    refs = graph.step_refs("bridge_init")
-    maxd = max(graph.apply_all("bridge_init_apply", refs))
-    refs = graph.step_refs("bridge_sweep", maxd)
-    for t in range(maxd - 1, 0, -1):
-        refs = graph.step_refs("bridge_sweep", t, inbox=refs)
-    return ray.data.from_arrow_refs(
-        [s.bridge_table.remote() for s in graph.shards])
+
+
+def _tarjan_vishkin_labels(graph: ShardedGraph, max_iter: int = 10**6):
+    """Per-non-root-vertex BCC labels (= the biconnected component of
+    the vertex's parent tree edge) via Tarjan–Vishkin on the BFS
+    forest; returns a (vid, component) Dataset or None on an edgeless
+    graph. See the shard-side section for the reduction."""
+    import ray.data
+
+    from graphscope_ray.state.graph import build_graph
+
+    if graph.directed:
+        raise ValueError("biconnectivity requires an undirected graph")
+    _bfs_forest(graph, max_iter)
+    maxd = max(graph.call_all("tv_init"))
+    refs = graph.step_refs("tv_size_sweep", maxd)
+    for t in range(maxd - 1, -1, -1):
+        refs = graph.step_refs("tv_size_sweep", t, inbox=refs)
+    ch = graph.scatter_refs("tv_children_scatter")
+    graph.apply_all("tv_children_apply", ch)
+    refs = graph.step_refs("tv_pre_level", 0)
+    for t in range(1, maxd + 1):
+        refs = graph.step_refs("tv_pre_level", t, inbox=refs)
+    base = graph.step_refs("tv_base_scatter")
+    graph.apply_all("tv_base_apply", base)
+    refs = graph.step_refs("tv_lohi_sweep", maxd)
+    for t in range(maxd - 1, -1, -1):
+        refs = graph.step_refs("tv_lohi_sweep", t, inbox=refs)
+    nonroot = ray.data.from_arrow_refs(
+        [s.tv_nonroot_table.remote() for s in graph.shards])
+    if nonroot.count() == 0:
+        return None
+    aux_edges = ray.data.from_arrow_refs(
+        [s.tv_aux_table.remote() for s in graph.shards])
+    aux_g = build_graph(aux_edges, num_partitions=graph.P, directed=False,
+                        extra_vertices=nonroot)
+    labels, _ = wcc(aux_g, max_iter=max_iter)
+    return labels
+
+
+def biconnected_components(graph: ShardedGraph, max_iter: int = 10**6):
+    """Per-edge biconnected-component labels (u, v, bcc) — the FLASH
+    bcc family's per-vertex union-find labeling re-keyed to edges (the
+    unambiguous form: articulation points belong to several BCCs, an
+    edge to exactly one). Tree edges take their child's label;
+    non-tree edges the label of their descendant / smaller-preorder
+    endpoint (equal by rule A)."""
+    import pyarrow as pa
+    import ray.data
+
+    from graphscope_ray.stages.relational import cogroup_join
+
+    labels = _tarjan_vishkin_labels(graph, max_iter)
+    if labels is None:
+        import numpy as np
+
+        return ray.data.from_arrow(pa.table({
+            "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+            "bcc": pa.array([], pa.int64())}))
+    edge_rows = ray.data.from_arrow_refs(
+        [s.tv_edge_rows.remote() for s in graph.shards])
+    lab = labels.map_batches(
+        lambda t: pa.table({"vid": t.column("vid"),
+                            "bcc": t.column("component")}),
+        batch_format="pyarrow")
+    return cogroup_join(edge_rows, lab, on="key", right_on="vid"
+                        ).select_columns(["u", "v", "bcc"])
+
+
+def articulation_points(graph: ShardedGraph, max_iter: int = 10**6):
+    """Cut vertices (FLASH cut-point.h semantics): a vertex whose
+    incident edges span ≥ 2 biconnected components. Incidence rows
+    (vertex touches its own parent edge and each child's parent edge)
+    joined with the aux-graph labels, then a distinct-count per
+    vertex. Returns a (vid) Dataset."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from graphscope_ray.stages.relational import cogroup_join, grouped_agg
+
+    labels = _tarjan_vishkin_labels(graph, max_iter)
+    if labels is None:
+        return ray.data.from_arrow(pa.table({"vid": pa.array([], pa.int64())}))
+    inc = ray.data.from_arrow_refs(
+        [s.tv_incidence_rows.remote() for s in graph.shards])
+    joined = cogroup_join(inc, labels, on="key", right_on="vid")
+    counts = grouped_agg(joined, ["vertex"],
+                         {"n": ("component", "nunique")})
+    return counts.map_batches(
+        lambda t: pa.table({"vid": t.filter(
+            pc.greater_equal(t.column("n"), 2)).column("vertex")}),
+        batch_format="pyarrow")

@@ -1126,6 +1126,223 @@ class GraphShard:
             "v": pa.array(np.maximum(a, b), pa.int64()),
         })
 
+    # ----------------------- Tarjan–Vishkin biconnectivity (BCC)
+    # Scalable restatement of apps/flash/connectivity/{bcc,bcc-2,
+    # cut-point,cut-point-2}.h, which replicate an O(V) union-find on
+    # every worker and walk tree paths per non-tree edge. Here the
+    # classic Tarjan–Vishkin reduction runs on the deterministic BFS
+    # forest (any rooted spanning tree works): subtree sizes → preorder
+    # intervals → low/high (min/max preorder reachable from each
+    # subtree via non-tree edges) → an auxiliary graph on TREE EDGES
+    # (identified by their child vertex) whose connected components
+    # are the biconnected components:
+    #   rule A: non-tree edge {v,w}, neither an ancestor of the other
+    #           (disjoint preorder intervals) → aux edge {v, w};
+    #   rule B: tree edge (p(w), w) with p(w) non-root → aux edge
+    #           {w, p(w)} iff low(w) < pre(p(w)) or
+    #           high(w) ≥ pre(p(w)) + size(p(w)).
+    # Per-vertex BCC labels are then the aux-graph WCC of each child
+    # vertex = the BCC of its parent edge. All sweeps are O(depth)
+    # rounds; the one O(E) wave ships (pre, size, tree-flag, sender)
+    # raw along every arc. Preorders are per-component (roots start at
+    # 0); intervals are only ever compared within a component.
+
+    def tv_init(self) -> int:
+        """Snapshot integer BFS depths, unit subtree sizes."""
+        self._tv_depth = self.state.astype(np.int64) if self.n_local \
+            else np.empty(0, np.int64)
+        self._tv_size = np.ones(self.n_local, np.int64)
+        return int(self._tv_depth.max()) if self.n_local else 0
+
+    def tv_size_sweep(self, t: int, *inbox):
+        """Child→parent subtree-size accumulation, one depth per wave."""
+        if inbox:
+            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                u, s = _group_reduce(dst, val, np.add)
+                self._tv_size[np.searchsorted(self.local, u)] += s
+        mask = (self._tv_depth[self.e_src_pos] == t) & \
+            (self._parent[self.e_src_pos] == self.e_dst)
+        msgs = self._emit_per_part(mask, self._tv_size[self.e_src_pos],
+                                   np.add)
+        return self._msgs_tuple(msgs) + (0,)
+
+    def tv_children_scatter(self):
+        """Raw (parent ← child, size) — the parent shard needs its
+        sorted children to hand out preorder offsets."""
+        mask = self._parent[self.e_src_pos] == self.e_dst
+        return self._emit_per_part_raw(
+            mask, self.local[self.e_src_pos].astype(np.int64),
+            self._tv_size[self.e_src_pos])
+
+    def tv_children_apply(self, *inbox) -> int:
+        """Store per-parent child offsets (preorder = parent pre + 1 +
+        Σ sizes of smaller-vid siblings) and per-arc tree flags."""
+        dst, child, size = _concat_msgs(
+            inbox, (np.int64, np.int64, np.int64))
+        ppos = np.searchsorted(self.local, dst) if len(dst) else \
+            np.empty(0, np.int64)
+        order = np.lexsort((child, ppos))
+        ppos, child, size = ppos[order], child[order], size[order]
+        # exclusive segmented cumsum of sizes per parent
+        csum = np.cumsum(size) - size
+        if len(ppos):
+            seg0 = np.concatenate(([True], ppos[1:] != ppos[:-1]))
+            base = np.where(seg0, csum, 0)
+            np.maximum.accumulate(base, out=base)
+            off = 1 + csum - base
+        else:
+            off = csum
+        # arc-aligned: child-arc offsets (+ tree flags) via a C-speed
+        # merge on (src_pos, dst vid)
+        import pandas as pd
+        arcs = pd.DataFrame({
+            "i": np.arange(self.n_edges, dtype=np.int64),
+            "p": self.e_src_pos.astype(np.int64),
+            "c": self.e_dst,
+        })
+        pairs = pd.DataFrame({"p": ppos, "c": child, "off": off})
+        m = arcs.merge(pairs, on=["p", "c"], how="left")
+        m = m.sort_values("i")
+        offs = m["off"].to_numpy()
+        is_child = ~np.isnan(offs)
+        self._tv_arc_off = np.where(is_child, offs, 0).astype(np.int64)
+        self._tv_arc_tree = is_child | \
+            (self._parent[self.e_src_pos] == self.e_dst)
+        # preorder state: roots start each component at 0
+        self._tv_pre = np.full(self.n_local, -1, np.int64)
+        roots = self._parent == -1
+        self._tv_pre[roots] = 0
+        self._tv_ppre = np.full(self.n_local, -1, np.int64)
+        self._tv_psz = np.zeros(self.n_local, np.int64)
+        return int(len(dst))
+
+    def tv_pre_level(self, t: int, *inbox):
+        """Apply preorder assignments (base, parent pre, parent size)
+        to depth-(t) vertices, then hand bases to depth-(t+1)."""
+        if inbox:
+            dst, base, ppre, psz = _concat_msgs(
+                inbox, (np.int64, np.int64, np.int64, np.int64))
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                self._tv_pre[pos] = base
+                self._tv_ppre[pos] = ppre
+                self._tv_psz[pos] = psz
+        mask = (self._tv_depth[self.e_src_pos] == t) & self._tv_arc_tree & \
+            (self._parent[self.e_src_pos] != self.e_dst)
+        sp = self.e_src_pos
+        base = self._tv_pre[sp] + self._tv_arc_off
+        msgs = self._emit_per_part_raw(
+            mask, base, self._tv_pre[sp], self._tv_size[sp])
+        return self._msgs_tuple(msgs) + (0,)
+
+    def tv_base_scatter(self):
+        """The one O(E) raw wave: (pre, size, tree-flag, sender vid)
+        along every arc."""
+        sp = self.e_src_pos
+        msgs = self._emit_per_part_raw(
+            np.ones(self.n_edges, dtype=bool),
+            self._tv_pre[sp], self._tv_size[sp],
+            self._tv_arc_tree.astype(np.int64),
+            self.local[sp].astype(np.int64))
+        return self._msgs_tuple(msgs) + (0,)
+
+    def tv_base_apply(self, *inbox) -> int:
+        """Non-tree neighbor preorder extrema (low/high seeds), rule-A
+        aux pairs, and the non-tree edge-labeling rows."""
+        dst, pre_u, sz_u, tree, sender = _concat_msgs(
+            inbox, (np.int64, np.int64, np.int64, np.int64, np.int64))
+        self._tv_low = self._tv_pre.copy()
+        self._tv_high = self._tv_pre.copy()
+        aux_a = aux_b = np.empty(0, np.int64)
+        eu = ev = ekey = np.empty(0, np.int64)
+        nt = tree == 0
+        if nt.any():
+            d_nt, pu_nt, su_nt, snd = (dst[nt], pre_u[nt], sz_u[nt],
+                                       sender[nt])
+            pos = np.searchsorted(self.local, d_nt)
+            u, mn = _group_reduce(pos, pu_nt, np.minimum)
+            self._tv_low[u] = np.minimum(self._tv_low[u], mn)
+            u, mx = _group_reduce(pos, pu_nt, np.maximum)
+            self._tv_high[u] = np.maximum(self._tv_high[u], mx)
+            d_pre = self._tv_pre[pos]
+            d_sz = self._tv_size[pos]
+            u_anc = (pu_nt <= d_pre) & (d_pre < pu_nt + su_nt)
+            d_anc = (d_pre <= pu_nt) & (pu_nt < d_pre + d_sz)
+            unrel = ~u_anc & ~d_anc
+            if unrel.any():
+                aux_a = d_nt[unrel]
+                aux_b = snd[unrel]
+            # edge-label rows: exactly one side emits each non-tree
+            # edge — the descendant under an ancestor, else the
+            # smaller-preorder side (labels agree via rule A)
+            emit = u_anc | (unrel & (d_pre < pu_nt))
+            if emit.any():
+                a, b = d_nt[emit], snd[emit]
+                eu, ev = np.minimum(a, b), np.maximum(a, b)
+                ekey = d_nt[emit]
+        self._tv_auxA = (aux_a, aux_b)
+        self._tv_enontree = (eu, ev, ekey)
+        return int(nt.sum())
+
+    def tv_lohi_sweep(self, t: int, *inbox):
+        """Child→parent low/high accumulation (raw two-column)."""
+        if inbox:
+            dst, lo, hi = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                u, mn = _group_reduce(pos, lo, np.minimum)
+                self._tv_low[u] = np.minimum(self._tv_low[u], mn)
+                u, mx = _group_reduce(pos, hi, np.maximum)
+                self._tv_high[u] = np.maximum(self._tv_high[u], mx)
+        mask = (self._tv_depth[self.e_src_pos] == t) & \
+            (self._parent[self.e_src_pos] == self.e_dst)
+        sp = self.e_src_pos
+        msgs = self._emit_per_part_raw(
+            mask, self._tv_low[sp], self._tv_high[sp])
+        return self._msgs_tuple(msgs) + (0,)
+
+    def tv_aux_table(self) -> pa.Table:
+        """Aux-graph edges: rule A (stored) + rule B (local check)."""
+        w = (self._parent != -1) & (self._tv_depth >= 2)
+        escape = (self._tv_low < self._tv_ppre) | \
+            (self._tv_high >= self._tv_ppre + self._tv_psz)
+        sel = w & escape
+        a = np.concatenate([self.local[sel], self._tv_auxA[0]])
+        b = np.concatenate([self._parent[sel], self._tv_auxA[1]])
+        return pa.table({"src": pa.array(a, pa.int64()),
+                         "dst": pa.array(b, pa.int64())})
+
+    def tv_nonroot_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local[self._parent != -1], pa.int64())})
+
+    def tv_edge_rows(self) -> pa.Table:
+        """Per-edge labeling rows (u, v, key): tree edges keyed by
+        their child; non-tree edges keyed by the side chosen in
+        tv_base_apply."""
+        ch = self._parent != -1
+        a, b = self.local[ch], self._parent[ch]
+        eu, ev, ekey = self._tv_enontree
+        return pa.table({
+            "u": pa.array(np.concatenate([np.minimum(a, b), eu]), pa.int64()),
+            "v": pa.array(np.concatenate([np.maximum(a, b), ev]), pa.int64()),
+            "key": pa.array(np.concatenate([self.local[ch], ekey]),
+                            pa.int64()),
+        })
+
+    def tv_incidence_rows(self) -> pa.Table:
+        """(vertex, key) rows: each non-root w touches its own parent
+        edge at both endpoints — vertex-incident BCC sets for the
+        articulation test."""
+        ch = self._parent != -1
+        w = self.local[ch]
+        p = self._parent[ch]
+        return pa.table({
+            "vertex": pa.array(np.concatenate([w, p]), pa.int64()),
+            "key": pa.array(np.concatenate([w, w]), pa.int64()),
+        })
+
     # ------------------------------- FLASH core-ordering family
     # Onion-layer and degeneracy orderings (apps/flash/core/
     # onion-layer-ordering.h:44-100, degeneracy-ordering.h:43-110):
@@ -1224,8 +1441,9 @@ class GraphShard:
     def max_vid(self) -> int:
         return int(self.local.max()) if self.n_local else -1
 
-    def _emit_per_part_raw(self, edge_mask, values):
-        """Per-destination-shard (dst, val) pairs WITHOUT combining."""
+    def _emit_per_part_raw(self, edge_mask, *value_cols):
+        """Per-destination-shard (dst, col1[, col2, …]) tuples WITHOUT
+        combining — aligned payload columns for receiver-side logic."""
         out = []
         for d in range(self.P):
             lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
@@ -1233,7 +1451,8 @@ class GraphShard:
             if not m.any():
                 out.append(None)
                 continue
-            out.append((self.e_dst[lo:hi][m], values[lo:hi][m]))
+            out.append((self.e_dst[lo:hi][m],)
+                       + tuple(c[lo:hi][m] for c in value_cols))
         return out if self.P > 1 else out[0]
 
     def _check_key_bits(self, vid_bits: int, what: str):
