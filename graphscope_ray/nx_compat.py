@@ -531,3 +531,75 @@ def numeric_assortativity_coefficient(G: Graph, attribute: str) -> float:
     return numeric_assortativity(g.edges_dataset(),
                                  _attr_dataset(G, g, attribute),
                                  attribute)
+
+
+def maximal_matching(G: Graph) -> set:
+    """Set of matched (u, v) pairs, u-side arbitrary (the FLASH greedy
+    max-id-handshake matching — deterministic, maximal)."""
+    g = G._graph()
+    df = _sess_mod.maximal_matching(g).to_dataset().to_pandas()
+    m = _vidmap(g)
+    key = "node" if "node" in df.columns else "vid"
+    matched = df[df["matched"]]
+    mates = _nodes_of(m, matched["mate"])
+    seen = {frozenset((a, b)) for a, b in zip(matched[key], mates)}
+    return {tuple(sorted(p, key=str)) for p in seen}
+
+
+def min_vertex_cover(G: Graph) -> set:
+    g = G._graph()
+    df = _sess_mod.min_vertex_cover(g).to_dataset().to_pandas()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df.loc[df["in_cover"], key])
+
+
+def dominating_set(G: Graph) -> set:
+    g = G._graph()
+    df = _sess_mod.min_dominating_set(g).to_dataset().to_pandas()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df.loc[df["in_set"], key])
+
+
+def min_edge_cover_size(G: Graph) -> int:
+    _, size = _sess_mod.min_edge_cover(G._graph())
+    return size
+
+
+def bridges(G: Graph) -> list:
+    g = G._graph()
+    df = _sess_mod.bridges(g).to_pandas()
+    if not len(df):
+        return []
+    m = _vidmap(g)
+    return sorted(tuple(sorted(p, key=str)) for p in
+                  zip(_nodes_of(m, df["u"]), _nodes_of(m, df["v"])))
+
+
+def articulation_points(G: Graph) -> set:
+    g = G._graph()
+    df = _sess_mod.articulation_points(g).to_dataset().to_pandas()
+    if not len(df):
+        return set()
+    key = "node" if "node" in df.columns else "vid"
+    return set(df[key])
+
+
+def biconnected_components(G: Graph) -> list:
+    """Vertex sets per biconnected component (networkx shape), derived
+    from the per-edge labels."""
+    g = G._graph()
+    df = _sess_mod.biconnected_components(g).to_pandas()
+    if not len(df):
+        return []
+    m = _vidmap(g)
+    comps = {}
+    for u, v, lab in zip(_nodes_of(m, df["u"]), _nodes_of(m, df["v"]),
+                         df["bcc"]):
+        comps.setdefault(lab, set()).update((u, v))
+    return list(comps.values())
+
+
+def degeneracy_ordering_ranks(G: Graph) -> dict:
+    df = _sess_mod.degeneracy_ordering(G._graph()).to_dataset().to_pandas()
+    key = "node" if "node" in df.columns else "vid"
+    return dict(zip(df[key], df["rank"]))

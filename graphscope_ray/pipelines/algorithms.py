@@ -896,12 +896,6 @@ def k_center(graph: ShardedGraph, k: int):
     return centers, mind
 
 
-def _matching_vid_bits(graph: ShardedGraph) -> int:
-    """Bit width of the largest vid — the packed (degree, vid) key
-    split used by the FLASH matching family (shard._check_key_bits)."""
-    return max(1, max(graph.call_all("max_vid")).bit_length())
-
-
 def maximal_matching(graph: ShardedGraph, max_rounds: int = 10**6):
     """Greedy maximal matching (FLASH apps/flash/matching/mm.h:44-77):
     every unmatched vertex proposes to its max-id unmatched neighbor;
@@ -935,7 +929,7 @@ def min_vertex_cover(graph: ShardedGraph, max_rounds: int = 10**6):
 
     if graph.directed:
         raise ValueError("min_vertex_cover requires an undirected graph")
-    graph.call_all("mc_init", _matching_vid_bits(graph))
+    graph.call_all("mc_init")
     refs = graph.step_refs("mc_step_a")
     for _ in range(max_rounds):
         if sum(graph.step_scalars(refs)) == 0:
@@ -957,7 +951,7 @@ def min_dominating_set(graph: ShardedGraph, max_rounds: int = 10**6):
 
     if graph.directed:
         raise ValueError("min_dominating_set requires an undirected graph")
-    graph.call_all("mds_init", _matching_vid_bits(graph))
+    graph.call_all("mds_init")
     refs = graph.step_refs("mds_step_a")
     for _ in range(max_rounds):
         refs = graph.step_refs("mds_step_b", inbox=refs)
@@ -982,7 +976,7 @@ def min_edge_cover(graph: ShardedGraph, max_rounds: int = 10**6):
 
     if graph.directed:
         raise ValueError("min_edge_cover requires an undirected graph")
-    graph.call_all("mec_init", _matching_vid_bits(graph))
+    graph.call_all("mec_init")
     refs = graph.step_refs("mec_step_a")
     for _ in range(max_rounds):
         if sum(graph.step_scalars(refs)) == 0:

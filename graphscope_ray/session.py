@@ -631,3 +631,94 @@ def _src_vid(graph: Graph, src) -> int:
         return int(hash64_strings(np.asarray([str(src)], object))
                    .view(np.int64)[0])
     return int(src)
+
+
+def maximal_matching(graph: Graph) -> Context:
+    """Greedy maximal matching (flash/matching/mm.h): per-vertex mate,
+    -1 for unmatched."""
+    from graphscope_ray.pipelines.algorithms import maximal_matching as mm
+    return Context(mm(graph._pool()), graph)
+
+
+def min_vertex_cover(graph: Graph) -> Context:
+    """(vid, in_cover) per the greedy local-maxima rule
+    (flash/matching/min-cover-greedy.h)."""
+    from graphscope_ray.pipelines.algorithms import min_vertex_cover as mvc
+    return Context(mvc(graph._pool()), graph)
+
+
+def min_dominating_set(graph: Graph) -> Context:
+    """(vid, in_set) per flash/matching/min-dominating-set.h."""
+    from graphscope_ray.pipelines.algorithms import min_dominating_set as mds
+    return Context(mds(graph._pool()), graph)
+
+
+def min_edge_cover(graph: Graph) -> tuple[Context, int]:
+    """((vid, mate) Context, cover size) per
+    flash/matching/min-edge-cover.h."""
+    from graphscope_ray.pipelines.algorithms import min_edge_cover as mec
+    ds, size = mec(graph._pool())
+    return Context(ds, graph), size
+
+
+def onion_layers(graph: Graph) -> Context:
+    """(vid, core, layer) — flash/core/onion-layer-ordering.h
+    semantics (NOT networkx.onion_layers: layers advance per peel wave
+    inside each core, same-core decrements only)."""
+    from graphscope_ray.pipelines.algorithms import onion_layers as ol
+    return Context(ol(graph._pool()), graph)
+
+
+def degeneracy_ordering(graph: Graph) -> Context:
+    """(vid, rank) peel-wave ranks, flash/core/degeneracy-ordering.h."""
+    from graphscope_ray.pipelines.algorithms import degeneracy_ordering as dg
+    return Context(dg(graph._pool()), graph)
+
+
+def bridges(graph: Graph) -> ray.data.Dataset:
+    """(u, v) bridge edges (flash/connectivity/bridge.h semantics via
+    the XOR subtree sweep). Integer-vid graphs only return raw vids;
+    map through the node table for relabeled graphs."""
+    from graphscope_ray.pipelines.algorithms import bridges as br
+    return br(graph._pool())
+
+
+def articulation_points(graph: Graph) -> Context:
+    """(vid) cut vertices (flash/connectivity/cut-point.h semantics via
+    Tarjan–Vishkin)."""
+    from graphscope_ray.pipelines.algorithms import articulation_points as ap
+    return Context(ap(graph._pool()), graph)
+
+
+def biconnected_components(graph: Graph) -> ray.data.Dataset:
+    """(u, v, bcc) per-edge biconnected-component labels
+    (flash/connectivity/bcc.h semantics, edge-keyed)."""
+    from graphscope_ray.pipelines.algorithms import (
+        biconnected_components as bcc,
+    )
+    return bcc(graph._pool())
+
+
+def rectangle_count(graph: Graph) -> int:
+    from graphscope_ray.pipelines.motifs import rectangle_count as rc
+    return rc(graph.edges_dataset())
+
+
+def diamond_count(graph: Graph) -> int:
+    from graphscope_ray.pipelines.motifs import diamond_count as dc
+    return dc(graph.edges_dataset())
+
+
+def tailed_triangle_count(graph: Graph) -> int:
+    from graphscope_ray.pipelines.motifs import tailed_triangle_count as tc
+    return tc(graph.edges_dataset())
+
+
+def three_path_count(graph: Graph) -> int:
+    from graphscope_ray.pipelines.motifs import three_path_count as tp
+    return tp(graph.edges_dataset())
+
+
+def k_clique_count(graph: Graph, k: int) -> int:
+    from graphscope_ray.pipelines.motifs import k_clique_count as kc
+    return kc(graph.edges_dataset(), k)

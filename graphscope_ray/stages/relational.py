@@ -260,8 +260,18 @@ def cogroup_join(
         def f(t: pa.Table) -> pa.Table:
             cols = {"_k": t.column(key).cast(pa.int64())}
             for c, typ in payload.items():
-                cols[c] = (t.column(c) if c in t.column_names
-                           else pa.nulls(t.num_rows, typ))
+                if c in t.column_names:
+                    cols[c] = t.column(c)
+                elif pa.types.is_integer(typ):
+                    # pad integers with ZEROS, not nulls: the other
+                    # side's padding is never read (merge selects each
+                    # side's own payload), and null-padded int64 would
+                    # go through pandas as float64 — silently rounding
+                    # |vid| > 2^53 (hashed string-node ids)
+                    cols[c] = pa.array(
+                        np.zeros(t.num_rows, np.int64)).cast(typ)
+                else:
+                    cols[c] = pa.nulls(t.num_rows, typ)
             cols["_side"] = pa.array(np.full(t.num_rows, side, np.int8))
             return pa.table(cols)
 

@@ -31,6 +31,18 @@ from graphscope_ray.functions.hashing import partition_of, splitmix64
 INF = np.float64(np.inf)
 
 
+def _lex_reduce(dst, hi, lo, biggest=True):
+    """Per-dst lexicographic (hi, lo) extremum via lexsort + segment
+    first/last — the two-column analogue of _group_reduce(min/max)."""
+    order = np.lexsort((lo, hi, dst))
+    dst, hi, lo = dst[order], hi[order], lo[order]
+    if biggest:
+        idx = np.flatnonzero(np.concatenate((dst[1:] != dst[:-1], [True])))
+    else:
+        idx = np.flatnonzero(np.concatenate(([True], dst[1:] != dst[:-1])))
+    return dst[idx], hi[idx], lo[idx]
+
+
 def _edge_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Deterministic 64-bit hash of the canonical undirected edge
     (min, max) — the bridge sweep's Monte-Carlo XOR labels."""
@@ -1429,17 +1441,31 @@ class GraphShard:
     # BSP restatements of the reference's round-based greedy matching
     # apps (apps/flash/matching/{mm,min-cover-greedy,min-dominating-set,
     # min-edge-cover}.h). Lexicographic (degree, vid) comparisons ride
-    # a single int64 max/min-combined message as packed keys
-    # ``deg * 2^vid_bits + vid`` — the driver picks vid_bits from the
-    # real max vid and init checks the degree field fits (62-vid_bits
-    # bits keeps the key a positive signed int64). Handshake checks
-    # ("did MY proposal target propose back to me?") are membership
-    # tests no associative combiner expresses — those waves ship RAW
+    # TWO-column messages combined by a sort-based segment reduce (the
+    # _path_emit shape) — exact for arbitrary signed 64-bit vids
+    # (hashed string-node ids) and unbounded degrees, where a packed
+    # single-int64 key would overflow. Handshake checks ("did MY
+    # proposal target propose back to me?") are membership tests no
+    # associative combiner expresses — those waves ship RAW
     # (dst, sender) pairs, masked to one edge per proposer, so raw
     # volume is O(frontier), not O(E).
 
     def max_vid(self) -> int:
         return int(self.local.max()) if self.n_local else -1
+
+    def _emit_per_part_lex(self, edge_mask, hi, lo, biggest=True):
+        """Per-destination lexicographic (hi, lo) max/min combine."""
+        out = []
+        for d in range(self.P):
+            b0, b1 = self.part_bounds[d], self.part_bounds[d + 1]
+            m = edge_mask[b0:b1]
+            if not m.any():
+                out.append(None)
+                continue
+            dsts = self.e_dst[b0:b1][m]
+            h, l = hi[b0:b1][m], lo[b0:b1][m]
+            out.append(_lex_reduce(dsts, h, l, biggest))
+        return out if self.P > 1 else out[0]
 
     def _emit_per_part_raw(self, edge_mask, *value_cols):
         """Per-destination-shard (dst, col1[, col2, …]) tuples WITHOUT
@@ -1455,19 +1481,12 @@ class GraphShard:
                        + tuple(c[lo:hi][m] for c in value_cols))
         return out if self.P > 1 else out[0]
 
-    def _check_key_bits(self, vid_bits: int, what: str):
-        self._key_shift = np.int64(1) << vid_bits
-        if self.n_local and self.out_deg.size and \
-                int(self.out_deg.max()) >= (1 << (62 - vid_bits)):
-            raise ValueError(
-                f"{what}: packed (degree, vid) key overflow — degree "
-                f"needs more than {62 - vid_bits} bits")
-
     # --- maximal matching (mm.h:44-77): unmatched vertices propose to
     # their max-id active neighbor; mutual proposals match; repeat.
     def mm_init(self) -> int:
         self._mm_s = np.full(self.n_local, -1, np.int64)   # partner
         self._mm_p = np.full(self.n_local, -1, np.int64)   # proposal
+        self._mm_matched = np.zeros(self.n_local, dtype=bool)
         self._mm_active = np.ones(self.n_local, dtype=bool)
         return self.n_local
 
@@ -1486,7 +1505,8 @@ class GraphShard:
                 ok = self._mm_active[pos] & (self._mm_p[pos] == s)
                 pos = pos[ok]
                 self._mm_s[pos] = self._mm_p[pos]
-        self._mm_active &= self._mm_s == -1
+                self._mm_matched[pos] = True
+        self._mm_active &= ~self._mm_matched
         self._mm_p[self._mm_active] = -1
         mask = self._mm_active[self.e_src_pos]
         vals = self.local[self.e_src_pos].astype(np.int64)
@@ -1515,26 +1535,24 @@ class GraphShard:
         return self._msgs_tuple(msgs) + (int(self._mm_active.sum()),)
 
     def mm_table(self) -> pa.Table:
+        mate = np.where(self._mm_matched, self._mm_s, -1)
         return pa.table({
             "vid": pa.array(self.local, pa.int64()),
-            "mate": pa.array(self._mm_s, pa.int64()),
+            "mate": pa.array(mate, pa.int64()),
+            "matched": pa.array(self._mm_matched),
         })
 
     # --- greedy min vertex cover (min-cover-greedy.h:43-86): a vertex
     # joins the cover when no uncovered neighbor beats its (residual
     # degree, vid); selected vertices decrement neighbors' residuals.
-    def mc_init(self, vid_bits: int) -> int:
-        self._check_key_bits(vid_bits, "min_vertex_cover")
+    def mc_init(self) -> int:
         self._mc_c = np.zeros(self.n_local, dtype=bool)
         self._mc_d = self.out_deg.astype(np.int64).copy()
         return self.n_local
 
-    def _mc_packed(self):
-        return self._mc_d * self._key_shift + self.local
-
     def mc_step_a(self, *inbox):
         """Apply residual-degree decrements from the newly selected,
-        then broadcast packed (d, vid) beat keys from live vertices."""
+        then broadcast (d, vid) beat keys from live vertices."""
         if inbox:
             dst, val = _concat_msgs(inbox, (np.int64, np.int64))
             if len(dst):
@@ -1544,21 +1562,24 @@ class GraphShard:
                 self._mc_d[pos[upd]] -= s[upd]
         active = ~self._mc_c & (self._mc_d > 0)
         mask = active[self.e_src_pos]
-        vals = self._mc_packed()[self.e_src_pos]
-        msgs = self._emit_per_part(mask, vals, np.maximum)
+        msgs = self._emit_per_part_lex(
+            mask, self._mc_d[self.e_src_pos],
+            self.local[self.e_src_pos].astype(np.int64))
         return self._msgs_tuple(msgs) + (int(active.sum()),)
 
     def mc_step_b(self, *inbox):
         """Select local (d, vid)-maxima into the cover (filter1), then
         scatter +1 decrements from the selected."""
-        beat = np.full(self.n_local, -1, dtype=np.int64)
+        beaten = np.zeros(self.n_local, dtype=bool)
         if inbox:
-            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            dst, bh, bl = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
             if len(dst):
-                u, s = _group_reduce(dst, val, np.maximum)
-                beat[np.searchsorted(self.local, u)] = s
+                u, h, l = _lex_reduce(dst, bh, bl)
+                pos = np.searchsorted(self.local, u)
+                beaten[pos] = (h > self._mc_d[pos]) | \
+                    ((h == self._mc_d[pos]) & (l > self.local[pos]))
         active = ~self._mc_c & (self._mc_d > 0)
-        sel = active & (beat <= self._mc_packed())
+        sel = active & ~beaten
         self._mc_c |= sel
         mask = sel[self.e_src_pos]
         vals = np.ones(self.n_edges, dtype=np.int64)
@@ -1575,32 +1596,31 @@ class GraphShard:
     # round every undominated vertex takes the 2-hop max of
     # (undominated-neighbor count, vid); local winners join the set and
     # dominate their neighborhoods.
-    def mds_init(self, vid_bits: int) -> int:
-        self._check_key_bits(vid_bits, "min_dominating_set")
+    def mds_init(self) -> int:
         self._mds_dom = np.zeros(self.n_local, dtype=bool)   # v.d
         self._mds_in = np.zeros(self.n_local, dtype=bool)    # v.b
         self._mds_cnt = self.out_deg.astype(np.int64).copy()  # v.max_cnt
         self._mds_mid = self.local.copy()                     # v.max_id
         return self.n_local
 
-    def _mds_packed(self):
-        return self._mds_cnt * self._key_shift + self._mds_mid
-
     def _mds_apply_max(self, inbox):
         if inbox:
-            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            dst, mh, ml = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
             if len(dst):
-                u, s = _group_reduce(dst, val, np.maximum)
+                u, h, l = _lex_reduce(dst, mh, ml)
                 pos = np.searchsorted(self.local, u)
-                upd = ~self._mds_dom[pos] & (s > self._mds_packed()[pos])
-                pos, s = pos[upd], s[upd]
-                self._mds_cnt[pos] = s // self._key_shift
-                self._mds_mid[pos] = s % self._key_shift
+                upd = ~self._mds_dom[pos] & (
+                    (h > self._mds_cnt[pos]) |
+                    ((h == self._mds_cnt[pos]) & (l > self._mds_mid[pos])))
+                pos = pos[upd]
+                self._mds_cnt[pos] = h[upd]
+                self._mds_mid[pos] = l[upd]
 
     def _mds_scatter_packed(self):
         mask = (~self._mds_dom)[self.e_src_pos]
-        vals = self._mds_packed()[self.e_src_pos]
-        return self._emit_per_part(mask, vals, np.maximum)
+        return self._emit_per_part_lex(
+            mask, self._mds_cnt[self.e_src_pos],
+            self._mds_mid[self.e_src_pos])
 
     def mds_step_a(self, *inbox):
         """Apply the recount (undominated-neighbor totals → max_cnt,
@@ -1661,47 +1681,52 @@ class GraphShard:
     # matched are reset and retried. Vertices left unmatched at the
     # fixpoint are covered by one arbitrary incident edge (counted,
     # not materialized — the reference counts them the same way).
-    def mec_init(self, vid_bits: int) -> int:
-        self._check_key_bits(vid_bits, "min_edge_cover")
+    def mec_init(self) -> int:
         self._mec_s = np.full(self.n_local, -1, np.int64)
         self._mec_p = np.full(self.n_local, -1, np.int64)
+        self._mec_matched = np.zeros(self.n_local, dtype=bool)
+        self._mec_unset = np.ones(self.n_local, dtype=bool)
         self._mec_active = np.ones(self.n_local, dtype=bool)
         return self.n_local
 
     def mec_step_a(self, *inbox):
         """Apply proposal invalidations (raw sender ids from the newly
         matched: targets still pointing at one reset p and retry —
-        check3), then advertise packed (deg, vid) keys from every
-        unmatched vertex."""
+        check3), then advertise (deg, vid) keys from every unmatched
+        vertex."""
         if inbox:
             dst, val = _concat_msgs(inbox, (np.int64, np.int64))
             retry = np.zeros(self.n_local, dtype=bool)
             if len(dst):
                 pos = np.searchsorted(self.local, dst)
-                hit = (self._mec_s[pos] == -1) & (self._mec_p[pos] == val)
+                hit = ~self._mec_matched[pos] & ~self._mec_unset[pos] & \
+                    (self._mec_p[pos] == val)
                 pos = pos[hit]
-                self._mec_p[pos] = -1
+                self._mec_unset[pos] = True
                 retry[pos] = True
             self._mec_active = retry
-        unmatched = self._mec_s == -1
-        mask = unmatched[self.e_src_pos]
-        vals = (self.out_deg.astype(np.int64) * self._key_shift
-                + self.local)[self.e_src_pos]
-        msgs = self._emit_per_part(mask, vals, np.minimum)
+        mask = (~self._mec_matched)[self.e_src_pos]
+        msgs = self._emit_per_part_lex(
+            mask, self.out_deg.astype(np.int64)[self.e_src_pos],
+            self.local[self.e_src_pos].astype(np.int64), biggest=False)
         return self._msgs_tuple(msgs) + (int(self._mec_active.sum()),)
 
     def mec_step_b(self, *inbox):
         """Active vertices pick p = min-(deg, vid) unmatched neighbor,
         then send their id RAW along the proposal edge."""
         got = np.full(self.n_local, -1, dtype=np.int64)
+        has = np.zeros(self.n_local, dtype=bool)
         if inbox:
-            dst, val = _concat_msgs(inbox, (np.int64, np.int64))
+            dst, mh, ml = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
             if len(dst):
-                u, s = _group_reduce(dst, val, np.minimum)
+                u, _, l = _lex_reduce(dst, mh, ml, biggest=False)
                 pos = np.searchsorted(self.local, u)
-                got[pos] = s % self._key_shift
-        self._mec_p[self._mec_active] = got[self._mec_active]
-        self._mec_active &= self._mec_p >= 0
+                got[pos] = l
+                has[pos] = True
+        upd = self._mec_active
+        self._mec_p[upd] = got[upd]
+        self._mec_unset[upd] = ~has[upd]
+        self._mec_active &= ~self._mec_unset
         mask = self._mec_active[self.e_src_pos] & \
             (self._mec_p[self.e_src_pos] == self.e_dst)
         vals = self.local[self.e_src_pos].astype(np.int64)
@@ -1717,9 +1742,11 @@ class GraphShard:
             dst, val = _concat_msgs(inbox, (np.int64, np.int64))
             if len(dst):
                 pos = np.searchsorted(self.local, dst)
-                hit = (self._mec_s[pos] == -1) & (self._mec_p[pos] == val)
+                hit = ~self._mec_matched[pos] & ~self._mec_unset[pos] & \
+                    (self._mec_p[pos] == val)
                 pos = pos[hit]
                 self._mec_s[pos] = self._mec_p[pos]
+                self._mec_matched[pos] = True
                 matched[pos] = True
         mask = matched[self.e_src_pos]
         vals = self.local[self.e_src_pos].astype(np.int64)
@@ -1729,14 +1756,16 @@ class GraphShard:
     def mec_counts(self):
         """(matched vertices, unmatched-with-degree) partials for the
         reference's edge-cover size: |matched|/2 + |unmatched, d>0|."""
-        matched = int((self._mec_s >= 0).sum())
-        uncov = int(((self._mec_s == -1) & (self.out_deg > 0)).sum())
+        matched = int(self._mec_matched.sum())
+        uncov = int((~self._mec_matched & (self.out_deg > 0)).sum())
         return matched, uncov
 
     def mec_table(self) -> pa.Table:
+        mate = np.where(self._mec_matched, self._mec_s, -1)
         return pa.table({
             "vid": pa.array(self.local, pa.int64()),
-            "mate": pa.array(self._mec_s, pa.int64()),
+            "mate": pa.array(mate, pa.int64()),
+            "matched": pa.array(self._mec_matched),
         })
 
     # ------------------------------------------------------------ VoteRank

@@ -257,31 +257,35 @@ def oracle_min_edge_cover(edges, vertices):
     adj = _undirected_adj(edges, vertices)
     deg = {v: len(adj[v]) for v in vertices}
     mate = {v: -1 for v in vertices}
-    p = {v: -1 for v in vertices}
+    done = {v: False for v in vertices}
+    # None = no proposal (a -1 sentinel would collide with real
+    # negative vids — hashed string-node ids use the full int64 range)
+    p = {v: None for v in vertices}
     active = set(vertices)
     while active:
         new_a = set()
         for v in active:
-            cands = [(deg[u], u) for u in adj[v] if mate[u] == -1]
-            p[v] = min(cands)[1] if cands else -1
-            if p[v] >= 0:
+            cands = [(deg[u], u) for u in adj[v] if not done[u]]
+            p[v] = min(cands)[1] if cands else None
+            if p[v] is not None:
                 new_a.add(v)
         snap = dict(p)
         matched = set()
         for v in vertices:
-            if mate[v] == -1 and snap[v] != -1:
+            if not done[v] and snap[v] is not None:
                 u = snap[v]
                 if u in new_a and snap[u] == v:
                     mate[v] = u
+                    done[v] = True
                     matched.add(v)
         retry = set()
         for v in vertices:
-            if mate[v] == -1 and p[v] != -1 and p[v] in matched:
+            if not done[v] and p[v] is not None and p[v] in matched:
                 retry.add(v)
-                p[v] = -1
+                p[v] = None
         active = retry
-    size = (sum(1 for v in vertices if mate[v] >= 0) // 2
-            + sum(1 for v in vertices if mate[v] == -1 and deg[v] > 0))
+    size = (sum(1 for v in vertices if done[v]) // 2
+            + sum(1 for v in vertices if not done[v] and deg[v] > 0))
     return mate, size
 
 

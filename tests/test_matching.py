@@ -141,3 +141,25 @@ def test_matching_empty_graph():
     assert set(_col_map(min_dominating_set(g), "in_set").values()) == {True}
     _, size = min_edge_cover(g)
     assert size == 0
+
+
+@pytest.mark.parametrize("P", [1, 2])
+def test_matching_huge_and_negative_vids(P):
+    """Hashed string-node vids are arbitrary signed 64-bit — the
+    lexicographic two-column combine must stay exact above 2^53 and
+    below zero (regression: packed int64 keys overflowed)."""
+    base = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    big = np.int64(2**62)
+    vmap = {0: -big + 7, 1: -3, 2: 5, 3: big - 11, 4: big - 2}
+    edges = [(int(vmap[a]), int(vmap[b])) for a, b in base]
+    verts = [int(vmap[v]) for v in range(5)]
+    g = _build(edges, verts, P)
+    assert _col_map(maximal_matching(g), "mate") == \
+        oracle_maximal_matching(edges, verts)
+    assert _col_map(min_vertex_cover(g), "in_cover") == \
+        oracle_min_vertex_cover(edges, verts)
+    assert _col_map(min_dominating_set(g), "in_set") == \
+        oracle_min_dominating_set(edges, verts)
+    ds, size = min_edge_cover(g)
+    want, want_size = oracle_min_edge_cover(edges, verts)
+    assert _col_map(ds, "mate") == want and size == want_size
