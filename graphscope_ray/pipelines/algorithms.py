@@ -1175,3 +1175,24 @@ def articulation_points(graph: ShardedGraph, max_iter: int = 10**6):
         lambda t: pa.table({"vid": t.filter(
             pc.greater_equal(t.column("n"), 2)).column("vertex")}),
         batch_format="pyarrow")
+
+
+def graph_coloring(graph: ShardedGraph, max_rounds: int = 10**6):
+    """Greedy graph coloring (FLASH apps/flash/clustering/color.h:
+    43-82): iterate cc[v] = mex of higher-(deg, vid) neighbors'
+    colors to fixpoint. Proper coloring guaranteed at fixpoint (every
+    vertex differs from all higher neighbors, and the relation is a
+    total order). Returns (vid, color). Undirected simple graphs."""
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("graph_coloring requires an undirected graph")
+    refs = graph.step_refs("color_init")
+    graph.apply_all("color_setup", refs)
+    refs = graph.step_refs("color_round")
+    for _ in range(max_rounds):
+        refs = graph.step_refs("color_round", inbox=refs)
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+    return ray.data.from_arrow_refs(
+        [s.color_table.remote() for s in graph.shards])

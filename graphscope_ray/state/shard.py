@@ -1138,6 +1138,86 @@ class GraphShard:
             "v": pa.array(np.maximum(a, b), pa.int64()),
         })
 
+    # ----------------------------------- greedy graph coloring
+    # apps/flash/clustering/color.h:43-82: every round each vertex
+    # takes the mex (minimum excluded value) of its higher-(deg, vid)
+    # neighbors' colors; fixpoint when nothing changes. Colors ride a
+    # raw per-round wave along the higher→lower arcs only (the same
+    # O(E) the reference's dense pull walks); orientation flags are
+    # fixed once by a degree-exchange wave. Simple graphs (deduped
+    # arcs) assumed — the setup merge pairs each arc with its mirror.
+
+    def color_init(self):
+        """Scatter-only: ship degrees along all arcs (raw)."""
+        self._cl_c = np.zeros(self.n_local, np.int64)
+        sp = self.e_src_pos
+        msgs = self._emit_per_part_raw(
+            np.ones(self.n_edges, dtype=bool),
+            self.out_deg.astype(np.int64)[sp],
+            self.local[sp].astype(np.int64))
+        return self._msgs_tuple(msgs) + (0,)
+
+    def color_setup(self, *inbox) -> int:
+        """Pair each out-arc with its mirror's degree info; store the
+        sender-is-higher orientation flags."""
+        import pandas as pd
+
+        dst, deg_nb, nb = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
+        arcs = pd.DataFrame({
+            "i": np.arange(self.n_edges, dtype=np.int64),
+            "p": self.e_src_pos.astype(np.int64),
+            "c": self.e_dst,
+        })
+        recv = pd.DataFrame({
+            "p": np.searchsorted(self.local, dst) if len(dst) else
+            np.empty(0, np.int64),
+            "c": nb, "dnb": deg_nb})
+        m = arcs.merge(recv, on=["p", "c"], how="left").sort_values("i")
+        dnb = m["dnb"].to_numpy(np.float64)
+        ds_ = self.out_deg.astype(np.int64)[self.e_src_pos]
+        vs = self.local[self.e_src_pos]
+        self._cl_higher = (ds_ > dnb) | \
+            ((ds_ == dnb) & (vs > self.e_dst))
+        return int(self._cl_higher.sum())
+
+    def color_round(self, *inbox):
+        """Apply mex of received higher-neighbor colors, commit
+        changes, re-emit committed colors along higher arcs."""
+        changed = 0
+        if inbox:
+            dst, col = _concat_msgs(inbox, (np.int64, np.int64))
+            cc = np.zeros(self.n_local, np.int64)
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                order = np.lexsort((col, pos))
+                pos, col = pos[order], col[order]
+                keep = np.concatenate(
+                    ([True], (pos[1:] != pos[:-1]) | (col[1:] != col[:-1])))
+                pos, col = pos[keep], col[keep]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], pos[1:] != pos[:-1])))
+                rank = np.arange(len(pos), dtype=np.int64) - \
+                    np.repeat(starts, np.diff(np.append(starts, len(pos))))
+                big = np.int64(1) << 62
+                cand = np.where(col != rank, rank, big)
+                mex = np.minimum.reduceat(cand, starts)
+                seg_len = np.diff(np.append(starts, len(pos)))
+                mex = np.where(mex == big, seg_len, mex)
+                upos = pos[starts]
+                cc[upos] = mex
+            diff = cc != self._cl_c
+            changed = int(diff.sum())
+            self._cl_c = cc
+        msgs = self._emit_per_part_raw(
+            self._cl_higher, self._cl_c[self.e_src_pos])
+        return self._msgs_tuple(msgs) + (changed,)
+
+    def color_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "color": pa.array(self._cl_c, pa.int64()),
+        })
+
     # ----------------------- Tarjan–Vishkin biconnectivity (BCC)
     # Scalable restatement of apps/flash/connectivity/{bcc,bcc-2,
     # cut-point,cut-point-2}.h, which replicate an O(V) union-find on

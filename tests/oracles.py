@@ -343,3 +343,23 @@ def oracle_degeneracy_ordering(edges, vertices):
                     d[u] -= 1
         i += 1
     return rank
+
+
+def oracle_graph_coloring(edges, vertices):
+    """Replica of FLASH color.h:43-82: synchronized rounds of
+    cc = mex(colors of higher-(deg, vid) neighbors)."""
+    adj = _undirected_adj(edges, vertices)
+    deg = {v: len(adj[v]) for v in vertices}
+    c = {v: 0 for v in vertices}
+    while True:
+        cc = {}
+        for v in vertices:
+            used = {c[u] for u in adj[v]
+                    if (deg[u], u) > (deg[v], v)}
+            i = 0
+            while i in used:
+                i += 1
+            cc[v] = i
+        if cc == c:
+            return c
+        c = cc
