@@ -1196,3 +1196,37 @@ def graph_coloring(graph: ShardedGraph, max_rounds: int = 10**6):
             break
     return ray.data.from_arrow_refs(
         [s.color_table.remote() for s in graph.shards])
+
+
+def fluid_communities(graph: ShardedGraph, k: int = 10,
+                      max_rounds: int = 100):
+    """Fluid communities (FLASH apps/flash/clustering/
+    fluid-community.h:43-105): k seeds, density-max label adoption,
+    oscillation-guarded fixpoint, ≤100 rounds. The reference seeds
+    with rand(time()); here the k seeds are the vertices with the
+    smallest splitmix64(vid) — deterministic and unbiased. Rounds are
+    synchronized (BSP snapshot) where the reference reads neighbor
+    labels mid-round in thread order — its results are
+    nondeterministic, ours are exactly reproducible. Returns
+    (vid, community), community ∈ [-1, k)."""
+    import numpy as np
+    import ray.data
+
+    if graph.directed:
+        raise ValueError("fluid_communities requires an undirected graph")
+    cands = graph.call_all("fluid_seed_candidates", k)
+    h = np.concatenate([c[0] for c in cands])
+    v = np.concatenate([c[1] for c in cands])
+    order = np.lexsort((v, h))[:k]
+    seeds = np.sort(v[order])
+    parts = graph.call_all("fluid_init", seeds)
+    cnt = np.sum(parts, axis=0)
+    refs = graph.step_refs("fluid_scatter")
+    for _ in range(max_rounds):
+        refs = graph.step_refs("fluid_round", cnt, inbox=refs)
+        scalars = graph.step_scalars(refs)
+        cnt = cnt + np.sum([sc[0] for sc in scalars], axis=0)
+        if sum(sc[1] for sc in scalars) == 0:
+            break
+    return ray.data.from_arrow_refs(
+        [s.fluid_table.remote() for s in graph.shards])

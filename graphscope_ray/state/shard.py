@@ -1218,6 +1218,92 @@ class GraphShard:
             "color": pa.array(self._cl_c, pa.int64()),
         })
 
+    # --------------------------------------- fluid communities
+    # apps/flash/clustering/fluid-community.h:43-105: k seed vertices
+    # start one community each; every round a vertex adopts the
+    # community with max density Σ 1/|community| over itself + its
+    # neighbors (strictly-greater ε=1e-10 replacement scanning labels
+    # in order, exactly the reference's loop), until labels stop
+    # changing (2-cycle oscillators excluded via the l1/l2 shift
+    # registers) or 100 rounds. The reference seeds with rand(time) —
+    # here seeds are deterministic (min splitmix64(vid)); community
+    # sizes are a tiny O(k) allreduce; labels ride a raw per-round
+    # wave like graph coloring.
+
+    def fluid_seed_candidates(self, k: int):
+        """Local k smallest (splitmix64(vid), vid) pairs."""
+        if not self.n_local:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        h = splitmix64(self.local.astype(np.uint64))
+        idx = np.argsort(h, kind="stable")[:k]
+        return h[idx], self.local[idx]
+
+    def fluid_init(self, seeds: np.ndarray):
+        """lab = seed index (sorted-seed order) or -1; returns this
+        shard's per-community counts."""
+        s = len(seeds)
+        self._fl_lab = np.full(self.n_local, -1, np.int64)
+        pos = np.searchsorted(self.local, seeds)
+        ok = (pos < self.n_local)
+        safe = np.minimum(pos, max(0, self.n_local - 1))
+        ok &= self.local[safe] == seeds if self.n_local else False
+        self._fl_lab[pos[ok]] = np.flatnonzero(ok)
+        self._fl_l1 = np.full(self.n_local, -2, np.int64)
+        self._fl_l2 = np.full(self.n_local, -2, np.int64)
+        self._fl_s = s
+        cnt = np.bincount(self._fl_lab[self._fl_lab >= 0], minlength=s)
+        return cnt.astype(np.int64)
+
+    def fluid_scatter(self):
+        """Round-0 label wave from the seeds."""
+        mask = (self._fl_lab >= 0)[self.e_src_pos]
+        msgs = self._emit_per_part_raw(
+            mask, self._fl_lab[self.e_src_pos])
+        return self._msgs_tuple(msgs) + ((np.zeros(self._fl_s, np.int64), 0),)
+
+    def fluid_round(self, cnt: np.ndarray, *inbox):
+        """One synchronized density-update round; scalar = (count
+        delta vector, #still-moving)."""
+        s = self._fl_s
+        inv = np.zeros(s, np.float64)
+        nz = cnt > 0
+        inv[nz] = 1.0 / cnt[nz]
+        d = np.zeros((self.n_local, s), np.float64)
+        if inbox:
+            dst, lab = _concat_msgs(inbox, (np.int64, np.int64))
+            if len(dst):
+                pos = np.searchsorted(self.local, dst)
+                flat = pos * s + lab
+                counts = np.bincount(flat, minlength=self.n_local * s)
+                d += counts.reshape(self.n_local, s) * inv
+        own = self._fl_lab >= 0
+        d[np.flatnonzero(own), self._fl_lab[own]] += inv[self._fl_lab[own]]
+        old = self._fl_lab.copy()
+        # l1/l2 shift registers (oscillation detection)
+        self._fl_l2 = np.where(own, self._fl_l1, self._fl_l2)
+        self._fl_l1 = np.where(own, self._fl_lab, self._fl_l1)
+        cur = self._fl_lab.copy()
+        curd = np.where(own, d[np.arange(self.n_local),
+                               np.maximum(cur, 0)], 0.0)
+        for i in range(s):
+            di = d[:, i]
+            better = (di > 1e-10) & ((cur == -1) | (di > curd + 1e-10))
+            cur[better] = i
+            curd[better] = di[better]
+        self._fl_lab = cur
+        delta = np.bincount(cur[cur >= 0], minlength=s).astype(np.int64) - \
+            np.bincount(old[old >= 0], minlength=s).astype(np.int64)
+        moving = int(((cur != old) & (cur != self._fl_l2)).sum())
+        mask = (cur >= 0)[self.e_src_pos]
+        msgs = self._emit_per_part_raw(mask, cur[self.e_src_pos])
+        return self._msgs_tuple(msgs) + ((delta, moving),)
+
+    def fluid_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "community": pa.array(self._fl_lab, pa.int64()),
+        })
+
     # ----------------------- Tarjan–Vishkin biconnectivity (BCC)
     # Scalable restatement of apps/flash/connectivity/{bcc,bcc-2,
     # cut-point,cut-point-2}.h, which replicate an O(V) union-find on

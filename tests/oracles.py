@@ -363,3 +363,45 @@ def oracle_graph_coloring(edges, vertices):
         if cc == c:
             return c
         c = cc
+
+
+def oracle_fluid_communities(edges, vertices, seeds, max_rounds=100):
+    """BSP-synchronized replica of FLASH fluid-community.h with the
+    engine's deterministic seed list."""
+    adj = _undirected_adj(edges, vertices)
+    s = len(seeds)
+    lab = {v: -1 for v in vertices}
+    for i, sd in enumerate(sorted(seeds)):
+        lab[sd] = i
+    l1 = {v: -2 for v in vertices}
+    l2 = {v: -2 for v in vertices}
+    cnt = [sum(1 for v in vertices if lab[v] == i) for i in range(s)]
+    for _ in range(max_rounds):
+        inv = [1.0 / c if c > 0 else 0.0 for c in cnt]
+        snapshot = dict(lab)
+        new = {}
+        for v in vertices:
+            d = [0.0] * s
+            if snapshot[v] >= 0:
+                d[snapshot[v]] += inv[snapshot[v]]
+            for u in adj[v]:
+                if snapshot[u] >= 0:
+                    d[snapshot[u]] += inv[snapshot[u]]
+            cur = snapshot[v]
+            curd = d[cur] if cur >= 0 else 0.0
+            for i in range(s):
+                if d[i] > 1e-10 and (cur == -1 or d[i] > curd + 1e-10):
+                    cur, curd = i, d[i]
+            new[v] = cur
+        moving = 0
+        for v in vertices:
+            if snapshot[v] >= 0:
+                l2[v] = l1[v]
+                l1[v] = snapshot[v]
+            if new[v] != snapshot[v] and new[v] != l2[v]:
+                moving += 1
+        cnt = [sum(1 for v in vertices if new[v] == i) for i in range(s)]
+        lab = new
+        if moving == 0:
+            break
+    return lab
