@@ -603,3 +603,21 @@ def degeneracy_ordering_ranks(G: Graph) -> dict:
     df = _sess_mod.degeneracy_ordering(G._graph()).to_dataset().to_pandas()
     key = "node" if "node" in df.columns else "vid"
     return dict(zip(df[key], df["rank"]))
+
+
+def greedy_color(G: Graph) -> dict:
+    """node → color (the FLASH fixpoint greedy — proper, deterministic;
+    not networkx's sequential strategy ordering)."""
+    return {k: int(v) for k, v in
+            _sess_mod.graph_coloring(G._graph()).to_dict().items()}
+
+
+def asyn_fluidc(G: Graph, k: int) -> list:
+    """k communities as vertex sets (deterministic seeds; reference
+    semantics, not networkx's random implementation)."""
+    d = _sess_mod.fluid_communities(G._graph(), k=k).to_dict()
+    comps = {}
+    for v, c in d.items():
+        if c >= 0:
+            comps.setdefault(c, set()).add(v)
+    return [comps[i] for i in sorted(comps)]

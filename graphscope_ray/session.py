@@ -722,3 +722,16 @@ def three_path_count(graph: Graph) -> int:
 def k_clique_count(graph: Graph, k: int) -> int:
     from graphscope_ray.pipelines.motifs import k_clique_count as kc
     return kc(graph.edges_dataset(), k)
+
+
+def graph_coloring(graph: Graph) -> Context:
+    """(vid, color) greedy coloring (flash/clustering/color.h)."""
+    from graphscope_ray.pipelines.algorithms import graph_coloring as gc
+    return Context(gc(graph._pool()), graph)
+
+
+def fluid_communities(graph: Graph, k: int = 10) -> Context:
+    """(vid, community) fluid communities
+    (flash/clustering/fluid-community.h, deterministic seeds)."""
+    from graphscope_ray.pipelines.algorithms import fluid_communities as fc
+    return Context(fc(graph._pool(), k=k), graph)

@@ -83,3 +83,14 @@ def test_session_motifs_and_orderings():
     layers = gs.onion_layers(g).to_dataframe()
     assert set(layers.columns) >= {"core", "layer"}
     sess.close()
+
+
+def test_nx_coloring_and_fluid():
+    G = _G()
+    colors = gnx.greedy_color(G)
+    for a, b in EDGES:
+        assert colors[a] != colors[b]
+    comms = gnx.asyn_fluidc(G, 2)
+    assert len(comms) == 2
+    covered = set().union(*comms)
+    assert covered <= set(NODES)
