@@ -346,3 +346,101 @@ def k_clique_count(edges: ray.data.Dataset, k: int) -> int:
     part = deg_ds.select_columns(["vid"]).map_batches(
         count_block, batch_format="pyarrow")
     return int(part.sum("s") or 0)
+
+
+def directed_triangle_plus_census(edges: ray.data.Dataset) -> dict:
+    """The FLASH bidirectional-edge triangle family over distinct arcs
+    (self-loops dropped):
+
+    - ``in_plus``   Σ over unordered mutual pairs {s,d} (s↔d) of
+      |out(s) ∩ out(d)|  (in-triangle.h:47-70 — both point at x)
+    - ``out_plus``  Σ over mutual pairs of |in(s) ∩ in(d)|
+      (out-triangle.h:47-70 — x points at both)
+    - ``cycle_plus`` Σ over ORDERED mutual arcs (s→d) of
+      |in(s) ∩ out(d)| (cycle-plus-triangle.h:48-72 — the cycle
+      d→x→s→d plus the back edge)
+
+    The totals are orientation-invariant (the reference's (deg,id)
+    check only picks which endpoint tallies), so each unordered pair
+    is intersected once. Adjacency CSRs broadcast once (documented
+    CSR_BROADCAST_LIMIT_ROWS cap, like k_clique_count); per-edge
+    intersections run vectorized against them."""
+    import pyarrow.compute as pc
+
+    from graphscope_ray.stages.relational import dedup_first
+
+    arcs = dedup_first(
+        edges.map_batches(
+            lambda t: pa.table({"src": t.column("src").cast(pa.int64()),
+                                "dst": t.column("dst").cast(pa.int64())}),
+            batch_format="pyarrow"
+        ).map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t.column("src"),
+                                                  t.column("dst")))),
+            batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    n_arcs = arcs.count()
+    if n_arcs == 0:
+        return {"in_plus": 0, "out_plus": 0, "cycle_plus": 0}
+    if n_arcs > CSR_BROADCAST_LIMIT_ROWS:
+        raise ValueError(
+            f"directed_triangle_plus_census: {n_arcs} arcs exceed the "
+            f"CSR broadcast cap {CSR_BROADCAST_LIMIT_ROWS}")
+
+    adf = arcs.to_pandas()
+    src = adf["src"].to_numpy(np.int64)
+    dst = adf["dst"].to_numpy(np.int64)
+    vkeys = np.unique(np.concatenate([src, dst]))
+    nv = len(vkeys)
+    s_loc = np.searchsorted(vkeys, src).astype(np.int64)
+    d_loc = np.searchsorted(vkeys, dst).astype(np.int64)
+
+    def csr(keys, vals):
+        order = np.lexsort((vals, keys))
+        k, v = keys[order], vals[order]
+        ptr = np.zeros(nv + 1, np.int64)
+        np.cumsum(np.bincount(k, minlength=nv), out=ptr[1:])
+        return ptr, v.astype(np.int32)
+
+    out_ptr, out_nb = csr(s_loc, d_loc)
+    in_ptr, in_nb = csr(d_loc, s_loc)
+    # mutual arcs: (s,d) with (d,s) present — sorted-key membership
+    key = s_loc * nv + d_loc
+    rkey = d_loc * nv + s_loc
+    mutual = np.isin(rkey, key)
+    ms, md = s_loc[mutual], d_loc[mutual]   # ordered mutual arcs
+    csr_ref = ray.put((out_ptr, out_nb, in_ptr, in_nb, ms, md))
+
+    def count_block(t: pa.Table) -> pa.Table:
+        op, on, ip, inb, s_, d_ = _resolve(csr_ref)
+        lo = int(t.column("lo")[0].as_py())
+        hi = int(t.column("hi")[0].as_py())
+        inp = outp = cycp = 0
+        for j in range(lo, hi):
+            a, b = s_[j], d_[j]
+            if a < b:  # unordered-pair families once per pair
+                inp += len(np.intersect1d(on[op[a]:op[a + 1]],
+                                          on[op[b]:op[b + 1]],
+                                          assume_unique=True))
+                outp += len(np.intersect1d(inb[ip[a]:ip[a + 1]],
+                                           inb[ip[b]:ip[b + 1]],
+                                           assume_unique=True))
+            cycp += len(np.intersect1d(inb[ip[a]:ip[a + 1]],
+                                       on[op[b]:op[b + 1]],
+                                       assume_unique=True))
+        return pa.table({"inp": pa.array([inp], pa.int64()),
+                         "outp": pa.array([outp], pa.int64()),
+                         "cycp": pa.array([cycp], pa.int64())})
+
+    m = len(ms)
+    if m == 0:
+        return {"in_plus": 0, "out_plus": 0, "cycle_plus": 0}
+    bounds = np.linspace(0, m, min(64, m) + 1, dtype=np.int64)
+    spans = ray.data.from_arrow(pa.table({
+        "lo": pa.array(bounds[:-1], pa.int64()),
+        "hi": pa.array(bounds[1:], pa.int64())})).repartition(min(64, m))
+    part = spans.map_batches(count_block, batch_size=1,
+                             batch_format="pyarrow")
+    agg = part.to_pandas().sum()
+    return {"in_plus": int(agg["inp"]), "out_plus": int(agg["outp"]),
+            "cycle_plus": int(agg["cycp"])}

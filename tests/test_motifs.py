@@ -149,3 +149,48 @@ def test_motifs_triangle_free():
     assert rectangle_count(_ds(edges)) == 0  # C8 has no C4
     assert three_path_count(None, codeg_ds=codeg) == 8
     assert k_clique_count(ds, 3) == 0
+
+
+def oracle_triangle_plus(arcs):
+    """Brute force over distinct arcs."""
+    arcs = {(a, b) for a, b in arcs if a != b}
+    out = {}
+    inn = {}
+    for a, b in arcs:
+        out.setdefault(a, set()).add(b)
+        inn.setdefault(b, set()).add(a)
+    mutual = {(a, b) for a, b in arcs if (b, a) in arcs}
+    inp = outp = cycp = 0
+    for a, b in mutual:
+        cycp += len(inn.get(a, set()) & out.get(b, set()))
+        if a < b:
+            inp += len(out.get(a, set()) & out.get(b, set()))
+            outp += len(inn.get(a, set()) & inn.get(b, set()))
+    return {"in_plus": inp, "out_plus": outp, "cycle_plus": cycp}
+
+
+@pytest.mark.parametrize("seed", [2, 29, 41])
+def test_directed_triangle_plus(seed):
+    from graphscope_ray.pipelines.motifs import directed_triangle_plus_census
+
+    rng = np.random.default_rng(seed)
+    n, m = 25, 220
+    arcs = sorted({(int(a), int(b)) for a, b in
+                   zip(rng.integers(0, n, m), rng.integers(0, n, m))
+                   if a != b})
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in arcs], pa.int64()),
+        "dst": pa.array([b for _, b in arcs], pa.int64())}))
+    assert directed_triangle_plus_census(ds) == oracle_triangle_plus(arcs)
+
+
+def test_directed_triangle_plus_no_mutual():
+    from graphscope_ray.pipelines.motifs import directed_triangle_plus_census
+
+    # a DAG has no mutual edges -> all zero
+    arcs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in arcs], pa.int64()),
+        "dst": pa.array([b for _, b in arcs], pa.int64())}))
+    assert directed_triangle_plus_census(ds) == \
+        {"in_plus": 0, "out_plus": 0, "cycle_plus": 0}
