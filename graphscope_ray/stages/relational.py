@@ -527,6 +527,89 @@ def shortest_path_expand(
     return best.map_batches(finish, batch_format="pyarrow")
 
 
+def edge_expand(
+    bindings: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    vertex_col: str,
+    direction: str = "out",
+    expand_opt: str = "vertex",
+    alias: str = "nbr",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE EdgeExpand (algebra.proto:285-312): expand every bound vertex
+    in ``bindings[vertex_col]`` to its incident arcs in ``edges``
+    (``src``/``dst`` + property columns), one output row per arc.
+
+    ``direction`` follows the proto's Direction enum: ``out`` matches
+    arcs whose src is the bound vertex, ``in`` matches dst, ``both`` is
+    the bag union of the two.  ``expand_opt`` follows ExpandOpt:
+    ``vertex`` appends only the opposite endpoint as ``alias`` (the
+    fused expand the compiler emits when no edge predicate needs the
+    edge row); ``edge`` additionally appends the edge property columns
+    (prefixed ``alias_`` to stay collision-free with binding columns).
+
+    Pure composition: one bucketed cogroup shuffle per direction —
+    no driver materialization, no per-row logic."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"EdgeExpand direction {direction!r}")
+    if expand_opt not in ("vertex", "edge"):
+        raise ValueError(f"EdgeExpand opt {expand_opt!r}")
+    eprops = [f.name for f in edges.schema().base_schema
+              if f.name not in ("src", "dst")]
+
+    def leg(key_side: str) -> ray.data.Dataset:
+        other = "dst" if key_side == "src" else "src"
+
+        def prep(t: pa.Table) -> pa.Table:
+            cols = {"_ek": t.column(key_side).cast(pa.int64()),
+                    alias: t.column(other).cast(pa.int64())}
+            if expand_opt == "edge":
+                for c in eprops:
+                    cols[f"{alias}_{c}"] = t.column(c)
+            return pa.table(cols)
+
+        arcs = edges.map_batches(prep, batch_format="pyarrow")
+        return cogroup_join(bindings, arcs, on=vertex_col, right_on="_ek",
+                            num_buckets=num_buckets)
+
+    if direction == "out":
+        return leg("src")
+    if direction == "in":
+        return leg("dst")
+    return leg("src").union(leg("dst"))
+
+
+def get_v(
+    bindings: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    endpoint_col: str,
+    alias: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """GIE GetV (algebra.proto:257-283): resolve the vertex bound in
+    ``bindings[endpoint_col]`` against the vertex property table
+    ``vertices`` (``vid`` + property columns) and append that vertex's
+    properties, prefixed ``{alias}_`` (default: the endpoint column
+    name).  Acts as a semi-join too: rows whose endpoint has no vertex
+    row are dropped, matching the proto's label-filtered GetV.
+
+    One bucketed cogroup shuffle; the vertex table side ships only the
+    property columns it contributes."""
+    alias = alias or endpoint_col
+    vprops = [f.name for f in vertices.schema().base_schema
+              if f.name != "vid"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"_vk": t.column("vid").cast(pa.int64())}
+        for c in vprops:
+            cols[f"{alias}_{c}"] = t.column(c)
+        return pa.table(cols)
+
+    vt = vertices.map_batches(prep, batch_format="pyarrow")
+    return cogroup_join(bindings, vt, on=endpoint_col, right_on="_vk",
+                        num_buckets=num_buckets)
+
+
 def apply_correlate(
     ds: ray.data.Dataset,
     fn: Callable[[pd.DataFrame], pd.DataFrame],

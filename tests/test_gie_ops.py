@@ -177,3 +177,45 @@ def test_shortest_path_expand_max_agg(wgraph):
                     d[b] = cand
     want = {(0, v): dv for v, dv in d.items() if v != 0 and dv < INF}
     assert got == pytest.approx(want)
+
+
+def test_edge_expand_directions(ggraph):
+    from graphscope_ray.stages.relational import edge_expand
+
+    G, ds = ggraph
+    binds = _arrow(pd.DataFrame({"v": [3, 7, 7], "tagq": ["a", "b", "c"]}))
+    for direction, nbrs in (
+        ("out", lambda v: list(G.successors(v))),
+        ("in", lambda v: list(G.predecessors(v))),
+        ("both", lambda v: list(G.successors(v)) + list(G.predecessors(v))),
+    ):
+        out = edge_expand(binds, ds, "v", direction=direction).to_pandas()
+        want = sorted((v, n) for v in [3, 7, 7] for n in nbrs(v))
+        got = sorted(zip(out["v"], out["nbr"]))
+        assert got == want, direction
+        # binding payload survives the shuffle
+        assert set(out.loc[out["v"] == 7, "tagq"]) <= {"b", "c"}
+
+
+def test_edge_expand_edge_opt_carries_props():
+    from graphscope_ray.stages.relational import edge_expand
+
+    edges = _arrow(pd.DataFrame(
+        {"src": [1, 1, 2], "dst": [2, 3, 3], "w": [0.5, 1.5, 2.5]}))
+    binds = _arrow(pd.DataFrame({"v": [1, 2]}))
+    out = edge_expand(binds, edges, "v", direction="out",
+                      expand_opt="edge", alias="e").to_pandas()
+    got = sorted(zip(out["v"], out["e"], out["e_w"]))
+    assert got == [(1, 2, 0.5), (1, 3, 1.5), (2, 3, 2.5)]
+
+
+def test_get_v_attaches_props_and_semijoins():
+    from graphscope_ray.stages.relational import get_v
+
+    verts = _arrow(pd.DataFrame(
+        {"vid": [1, 2, 3], "name": ["a", "b", "c"], "age": [10, 20, 30]}))
+    binds = _arrow(pd.DataFrame({"end": [2, 3, 99], "k": [7, 8, 9]}))
+    out = get_v(binds, verts, "end").to_pandas()
+    got = sorted(zip(out["end"], out["end_name"], out["end_age"], out["k"]))
+    # vid 99 has no vertex row -> dropped (label-filter semantics)
+    assert got == [(2, "b", 20, 7), (3, "c", 30, 8)]
