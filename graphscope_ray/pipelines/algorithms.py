@@ -1230,3 +1230,43 @@ def fluid_communities(graph: ShardedGraph, k: int = 10,
             break
     return ray.data.from_arrow_refs(
         [s.fluid_table.remote() for s in graph.shards])
+
+
+def random_multi_bfs(graph: ShardedGraph, k: int = 64, seed: int = 42,
+                     sources=None):
+    """Multi-source BFS eccentricity samples (FLASH
+    apps/flash/traversal/random-multi-bfs.h:44-90): run k simultaneous
+    BFS waves and record per vertex the MAX distance to any source
+    that reaches it (−1 when none does) — the diameter-estimation
+    primitive. The reference seeds rand_r(time(NULL)); here sources
+    are the k vertices with the smallest splitmix64(vid ^ seed), so
+    runs are deterministic and partition-invariant. Pass ``sources``
+    to pin them explicitly. Returns Dataset(vid, res)."""
+    import numpy as np
+    import ray.data
+
+    from graphscope_ray.functions.hashing import splitmix64
+
+    if sources is None:
+        cands = np.unique(np.concatenate(
+            graph.call_all("sample_vids", k, seed)))
+        h = splitmix64(cands.astype(np.uint64) ^ np.uint64(seed))
+        sources = cands[np.argsort(h, kind="stable")[:k]]
+    sources = np.unique(np.asarray(sources, dtype=np.int64))
+    graph.call_all("msbfs_init", sources)
+    refs = graph.step_refs("msbfs_step")
+    while True:
+        refs = graph.step_refs("msbfs_step", inbox=refs)
+        if sum(graph.step_scalars(refs)) == 0:
+            break
+    out = ray.data.from_arrow_refs(
+        [s.msbfs_row_max_table.remote() for s in graph.shards]).materialize()
+    graph.call_all("msbfs_free")
+    return out
+
+
+def k_core_search(graph: ShardedGraph, k: int) -> int:
+    """Size of the k-core (FLASH apps/flash/core/k-core-search.h:42-67,
+    GlobalRes = surviving-set size after the peel): the
+    :func:`kcore_pool` BSP peel's membership count."""
+    return kcore_pool(graph, k).count()

@@ -735,3 +735,17 @@ def fluid_communities(graph: Graph, k: int = 10) -> Context:
     (flash/clustering/fluid-community.h, deterministic seeds)."""
     from graphscope_ray.pipelines.algorithms import fluid_communities as fc
     return Context(fc(graph._pool(), k=k), graph)
+
+
+def random_multi_bfs(graph: Graph, k: int = 64, seed: int = 42,
+                     sources=None) -> Context:
+    """(vid, res) max-distance-to-a-reaching-source samples
+    (flash/traversal/random-multi-bfs.h; deterministic seeding)."""
+    from graphscope_ray.pipelines.algorithms import random_multi_bfs as rmb
+    return Context(rmb(graph._pool(), k=k, seed=seed, sources=sources), graph)
+
+
+def k_core_search(graph: Graph, k: int) -> int:
+    """|k-core| (flash/core/k-core-search.h GlobalRes)."""
+    from graphscope_ray.pipelines.algorithms import k_core_search as kcs
+    return kcs(graph._pool(), k)

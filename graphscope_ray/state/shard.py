@@ -914,6 +914,25 @@ class GraphShard:
             "length": pa.array(d[vi, sj].astype(np.int64), pa.int64()),
         })
 
+    def msbfs_row_max_table(self) -> pa.Table:
+        """(vid, res) per local vertex: MAX finite distance to the
+        current multi-source batch, −1 when unreached by every source —
+        the final VertexMap of flash/traversal/random-multi-bfs.h:85-90."""
+        d = self._msd
+        res = np.where(np.isfinite(d), d, -1.0).max(axis=1)
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "res": pa.array(res.astype(np.int64), pa.int64()),
+        })
+
+    def sample_vids(self, n: int, seed: int) -> np.ndarray:
+        """The n local vids with smallest splitmix64(vid ^ seed) — a
+        deterministic stand-in for random-multi-bfs.h's rand_r source
+        pick (partition-invariant: the global min-k of the same hash)."""
+        h = splitmix64(self.local.astype(np.uint64) ^ np.uint64(seed))
+        idx = np.argsort(h, kind="stable")[:n]
+        return self.local[idx]
+
     def msbfs_free(self) -> int:
         """Release the distance/aux matrices (the pool may be a cached
         session graph — don't leave n_local × B doubles resident)."""
