@@ -131,6 +131,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
         "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
+        # corpus split / mix / exact-k sample (training-data prep) —
+        # each has an exact DuckDB twin in oracle_sql should the sweep
+        # extend past 50 rows; all three are also twin-pinned in pytest
+        # (tests/test_sampling_splits.py).
+        "doc_split": textproc.q_doc_split,
+        "doc_mix": textproc.q_doc_mix,
+        "doc_sample": textproc.q_doc_sample,
     }
 
 
@@ -1056,6 +1063,27 @@ QUALIFY row_number() OVER (
 SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
        substr(sha256(text), 1, 16) AS payload_digest
 FROM documents""",
+        # ---- corpus split / mix / exact-k sample (sampling.py twins)
+        "doc_split": """
+SELECT doc_id, CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 1000000 AS b
+      FROM documents)""",
+        "doc_mix": """
+SELECT doc_id, CAST(unnest(range(copies)) AS BIGINT) AS rep FROM (
+  SELECT doc_id,
+    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                WHEN 'src2' THEN 2 WHEN 'src3' THEN 0 ELSE 1 END
+    + CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix') % 1000000
+             < CASE source WHEN 'src1' THEN 500000
+                           WHEN 'src2' THEN 250000 ELSE 0 END
+      THEN 1 ELSE 0 END AS copies
+  FROM documents)""",
+        "doc_sample": """
+SELECT doc_id FROM documents
+ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':sample'), doc_id
+LIMIT 50""",
     }
     return sql
 

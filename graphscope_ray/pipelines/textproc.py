@@ -214,3 +214,40 @@ def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
 
     ds = _docs(sf_dir).map_batches(to_payload, batch_format="pyarrow")
     return attach_media_meta(ds).drop_columns(["payload"])
+
+
+def q_doc_split(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, split) deterministic 80/10/10 train/val/test assignment
+    keyed on md5(doc_id || ':split') — stages/sampling.hash_split with
+    the interchange kernel, exact vs the DuckDB CASE twin."""
+    from graphscope_ray.stages.sampling import hash_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def q_doc_mix(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, rep) after domain mixing over the documents `source`
+    column (src0 ×2, src1 ×0.5, src2 ×2.25, src3 dropped, rest ×1) —
+    stages/sampling.weighted_resample, exact vs the unnest(range())
+    DuckDB twin."""
+    from graphscope_ray.stages.sampling import weighted_resample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    mixed = weighted_resample(
+        docs, {"src0": 2.0, "src1": 0.5, "src2": 2.25, "src3": 0.0},
+        domain_col="source", key_col="doc_id")
+    return mixed.select_columns(["doc_id", "rep"])
+
+
+def q_doc_sample(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id) exactly-50 deterministic uniform sample: the 50 globally
+    smallest md5(doc_id || ':sample') hashes (distributed partial top-k
+    then a ≤50·blocks final sort) — stages/sampling.hash_order_sample."""
+    from graphscope_ray.stages.sampling import hash_order_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return hash_order_sample(docs, 50)

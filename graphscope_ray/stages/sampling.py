@@ -94,3 +94,146 @@ def neighbor_sample(
     for p in out_parts[1:]:
         out = out.union(p)
     return out.select_columns(["hop", "src", "dst"])
+
+
+# --------------------------------------------------------------------
+# Corpus splitting / mixing / exact-k sampling (training-data prep).
+#
+# All three ops are keyed on a DETERMINISTIC per-row hash so re-runs,
+# re-partitionings and resumed jobs produce the identical corpus — the
+# property a 100-TB training-data job needs for reproducible splits.
+# Two hash kernels, same convention as stages/dedup.MinHasherMD5:
+#   hash_fn="md5"  — md5 lower-64 of "key:salt", bit-identical to
+#                    DuckDB md5_number_lower(CAST(key AS VARCHAR) ||
+#                    ':salt') so every op has an exact SQL twin;
+#   hash_fn="fast" — splitmix64 over the int64 key (throughput path,
+#                    no SQL twin).
+
+
+def _key_hash_u64(keys: pd.Series, salt: str, hash_fn: str) -> np.ndarray:
+    """uint64 hash per key under the chosen kernel (see module note)."""
+    import hashlib
+
+    if hash_fn == "fast":
+        if pd.api.types.is_integer_dtype(keys):
+            base = keys.to_numpy(np.int64).astype(np.uint64)
+        else:
+            from graphscope_ray.functions.hashing import hash64_strings
+            base = hash64_strings(keys.astype(str).to_numpy(object)).astype(np.uint64)
+        from graphscope_ray.functions.hashing import stable_u64_of_str
+        return splitmix64(base ^ np.uint64(stable_u64_of_str(salt)))
+    if hash_fn != "md5":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    tail = f":{salt}".encode()
+    return np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(str(k).encode() + tail).digest()[8:], "little")
+         for k in keys),
+        dtype=np.uint64, count=len(keys))
+
+
+def _split_edges(fractions: dict[str, float], mod: int) -> np.ndarray:
+    cum, edges = 0.0, []
+    for f in fractions.values():
+        cum += f
+        edges.append(int(cum * mod + 0.5))
+    if abs(cum - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {cum}")
+    edges[-1] = mod  # guarantee total coverage despite rounding
+    return np.asarray(edges, dtype=np.uint64)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    hash_fn: str = "md5",
+    mod: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    naming the bin whose cumulative-fraction interval (at 1/mod
+    resolution) contains ``hash(key, salt) % mod``. Embarrassingly
+    parallel — no shuffle, no driver state; a row's split depends only
+    on its own key. SQL twin: a CASE over
+    ``md5_number_lower(CAST(key AS VARCHAR) || ':salt') % mod``."""
+    names = np.asarray(list(fractions), dtype=object)
+    edges = _split_edges(fractions, mod)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = _key_hash_u64(b[key_col], salt, hash_fn) % np.uint64(mod)
+        idx = np.searchsorted(edges, bucket, side="right")
+        out = b.copy()
+        out["split"] = names[idx]
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def weighted_resample(
+    ds: ray.data.Dataset,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mix",
+    hash_fn: str = "md5",
+    mod: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Domain mixing: every row of domain d appears
+    ``floor(w_d) + Bernoulli(frac(w_d))`` times (deterministic per-key
+    coin at 1/mod resolution), i.e. up-/down-sample each source to its
+    mixture weight. Adds ``rep`` (0-based copy index); rows whose copy
+    count is 0 are dropped. Embarrassingly parallel — the multiset a
+    row contributes depends only on (key, domain). SQL twin:
+    ``unnest(range(copies))`` over the same integer thresholds."""
+    base_w = {d: int(w) for d, w in weights.items()}
+    frac_w = {d: int(round((w - int(w)) * mod)) for d, w in weights.items()}
+    d_base = int(default_weight)
+    d_frac = int(round((default_weight - d_base) * mod))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        dom = b[domain_col]
+        base = dom.map(base_w).fillna(d_base).to_numpy(np.int64)
+        thr = dom.map(frac_w).fillna(d_frac).to_numpy(np.uint64)
+        bucket = _key_hash_u64(b[key_col], salt, hash_fn) % np.uint64(mod)
+        copies = base + (bucket < thr)
+        idx = np.repeat(np.arange(len(b)), copies)
+        out = b.iloc[idx].reset_index(drop=True)
+        out["rep"] = (np.arange(len(idx), dtype=np.int64)
+                      - np.repeat(np.cumsum(copies) - copies, copies))
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def hash_order_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+    hash_fn: str = "md5",
+) -> ray.data.Dataset:
+    """Exactly min(k, n) rows, chosen as the k globally smallest
+    ``hash(key, salt)`` values (tie-broken by key) — a deterministic
+    uniform sample with an exact size, the distributed stand-in for
+    reservoir sampling. Each block first reduces to its own k smallest
+    (partial top-k), so the final sort+limit sees ≤ k·num_blocks rows
+    regardless of input size. SQL twin: ``ORDER BY
+    md5_number_lower(...), key LIMIT k``."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash_u64(b[key_col], salt, hash_fn)
+        out = b.copy()
+        out["_h"] = h
+        out = out.sort_values(["_h", key_col], kind="stable").head(k)
+        return out
+
+    def drop_h(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=["_h"])
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .sort(["_h", key_col])
+             .limit(k)
+             .map_batches(drop_h, batch_format="pandas"))
+    return out

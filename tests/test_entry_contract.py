@@ -116,8 +116,12 @@ def test_gate_order_puts_oracled_queries_first():
 
     names = list(entrymod.queries())
     oracled = set(entrymod.oracle_sql())
-    assert set(names[:50]) == oracled, sorted(
-        oracled.symmetric_difference(names[:50]))
+    # every one of the first 50 slots is oracle-backed (exact check);
+    # oracled entries past 50 (doc_split/doc_mix/doc_sample) are bonus
+    # evidence if the sweep extends, never a lost exact slot.
+    assert set(names[:50]) <= oracled, sorted(
+        set(names[:50]) - oracled)
+    assert oracled <= set(names), sorted(oracled - set(names))
     # r02's red row must stay end-to-end exercised: the tail q_part_dfs
     # runs on gate input in test_dfs_gate_is_valid_preorder
     assert "part_dfs" in names
