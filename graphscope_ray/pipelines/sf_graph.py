@@ -283,25 +283,33 @@ def q_part_clustering(sf_dir: str) -> ray.data.Dataset:
 def q_part_avg_clustering(sf_dir: str) -> pd.DataFrame:
     from graphscope_ray.functions.format import fixed_str
 
-    tot, cnt = 0.0, 0
-    for b in _tri_deg_cached(sf_dir).iter_batches(batch_format="pandas"):
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b["degree"].to_numpy(np.float64)
         t = b["triangles"].to_numpy(np.float64)
         denom = d * (d - 1.0)
-        tot += float(np.where(denom > 0, 2.0 * t / np.maximum(denom, 1.0),
-                              0.0).sum())
-        cnt += len(b)
+        tot = float(np.where(denom > 0, 2.0 * t / np.maximum(denom, 1.0),
+                             0.0).sum())
+        return pd.DataFrame({"tot": [tot], "cnt": [len(b)]})
+
+    # per-block partials; only num_blocks rows reach the driver
+    parts = (_tri_deg_cached(sf_dir)
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    tot, cnt = float(parts["tot"].sum()), int(parts["cnt"].sum())
     return pd.DataFrame({"avg_clustering": fixed_str([tot / cnt if cnt else 0.0], 6)})
 
 
 def q_part_transitivity(sf_dir: str) -> pd.DataFrame:
     from graphscope_ray.functions.format import fixed_str
 
-    tri_sum, wedge_sum = 0.0, 0.0
-    for b in _tri_deg_cached(sf_dir).iter_batches(batch_format="pandas"):
-        tri_sum += float(b["triangles"].sum())
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b["degree"].to_numpy(np.float64)
-        wedge_sum += float((d * (d - 1.0) / 2.0).sum())
+        return pd.DataFrame({
+            "tri": [float(b["triangles"].sum())],
+            "wedge": [float((d * (d - 1.0) / 2.0).sum())]})
+
+    parts = (_tri_deg_cached(sf_dir)
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    tri_sum, wedge_sum = float(parts["tri"].sum()), float(parts["wedge"].sum())
     v = tri_sum / wedge_sum if wedge_sum else 0.0
     return pd.DataFrame({"transitivity": fixed_str([v], 6)})
 
@@ -495,9 +503,15 @@ def q_part_bfs_path(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     src = int(part_vid_array(sf_dir)[0])
     # target = max vid reachable from src (computable on both sides)
     depth, _ = algorithms.bfs(g, source=src)
-    reach = depth.to_pandas()
-    reach = reach[np.isfinite(reach["depth"])]
-    target = int(reach["vid"].max())
+
+    def _reachable(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_finite(t.column("depth")))
+
+    # distributed max over the reachable set (no O(V) driver pull)
+    target = int(depth.map_batches(_reachable, batch_format="pyarrow")
+                 .max("vid"))
     _, path = algorithms.sssp_path(g, source=src, target=target,
                                    weighted=False)
     return ray.data.from_pandas(pd.DataFrame({
@@ -581,10 +595,13 @@ def q_part_is_simple_path(sf_dir: str) -> pd.DataFrame:
     edges = part_cooccurrence_edges(sf_dir).materialize()
     # probe 1: lo plus its two smallest neighbors chained; probe 2 has
     # a guaranteed repeat
-    nbrs = sorted(
-        b for blk in edges.iter_batches(batch_format="pandas")
-        for b in blk.loc[blk["src"] == lo, "dst"].tolist()
-    )[:2]
+    def _of_lo(blk, lo=lo):
+        return blk.loc[blk["src"] == lo, ["dst"]]
+
+    # filter inside the Dataset; only lo's own neighbor rows reach
+    # the driver (bounded by one vertex's degree, not |E|)
+    nbrs = sorted(edges.map_batches(_of_lo, batch_format="pandas")
+                  .to_pandas()["dst"].tolist())[:2]
     p1 = [lo] + nbrs[:1]
     p2 = [lo, nbrs[0] if nbrs else lo, lo]
     return pd.DataFrame({
@@ -664,9 +681,8 @@ def q_part_sssp(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     explodes in pure SQL); exactness is covered by the pytest
     dijkstra oracle instead."""
     g = build_part_graph(sf_dir, num_partitions)
-    src = min(b["vid"].min() for b in
-              part_vertices(sf_dir).iter_batches(batch_format="pandas"))
-    state, _ = algorithms.sssp(g, source=int(src))
+    src = int(part_vid_array(sf_dir)[0])
+    state, _ = algorithms.sssp(g, source=src)
 
     def finite(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -746,10 +762,9 @@ def q_part_sssp_labeled(sf_dir: str, num_partitions: int = 8
     from graphscope_ray.pipelines.property import sssp_property
 
     pg = build_labeled_graph(sf_dir, num_partitions)
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    src = min(b["c_custkey"].min()
-              for b in cust.iter_batches(batch_format="pandas"))
+    src = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"]).min("c_custkey")
     state, _ = sssp_property(pg, "customer", int(src))
 
     def finite(t: pa.Table) -> pa.Table:
