@@ -156,6 +156,10 @@ def ivf_build(
     sample = _hash_sample(ds, id_col, rate, seed).to_pandas()
     if len(sample) == 0:  # tiny table edge case
         sample = ds.limit(sample_size).to_pandas()
+    # canonical order: sample rows arrive in block order, which depends
+    # on the input's partitioning — sort by id so the seeded pick (and
+    # therefore the whole index) is partition-invariant
+    sample = sample.sort_values(id_col, kind="mergesort")
     V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     C = V[rng.choice(len(V), size=min(num_centroids, len(V)), replace=False)]
@@ -199,3 +203,97 @@ def _filter_centroids(assigned: ray.data.Dataset, wanted: np.ndarray
         return batch[np.isin(batch["centroid"].to_numpy(), w)]
 
     return assigned.map_batches(f, batch_format="pandas")
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    seed: int = 42,
+    init: np.ndarray | None = None,
+):
+    """Distributed spherical k-means (Lloyd) over an embedding column —
+    the domain-discovery / corpus-clustering companion to the IVF
+    index (whose one-shot centroid pick this supersedes when real
+    clusters are wanted). Cosine geometry: vectors and centroids live
+    on the unit sphere, assignment = max dot product, the update is the
+    renormalized mean (classic spherical k-means; the natural metric
+    for embedding columns and the same one `brute_force_topk`/IVF use).
+
+    Scale shape: per iteration one streaming ``map_batches`` pass emits
+    a k × (d+1) partial (per-centroid vector sum + count) per block —
+    the corpus never shuffles and never lands on the driver; the driver
+    reduces O(blocks · k · d) floats. Determinism: partials are summed
+    in sorted order of each block's min id (block arrival order doesn't
+    change the float sum), and ties in assignment break to the lowest
+    centroid index (argmax semantics) — two runs give bit-identical
+    centroids. Empty clusters keep their previous centroid
+    (documented, matches the replica oracle in tests).
+
+    Returns ``(assigned, centroids, inertia)``: the input Dataset with
+    a ``centroid`` int64 column, the (k, d) float64 centroid matrix,
+    and Σ(1 - cos(v, c(v))) from the final assignment pass."""
+    if init is not None:
+        C = _normalize(np.asarray(init, dtype=np.float64))
+    else:
+        n = ds.count()
+        rate = max(1, n // max(1, sample_size))
+        sample = _hash_sample(ds, id_col, rate, seed).to_pandas()
+        if len(sample) == 0:
+            sample = ds.limit(sample_size).to_pandas()
+        # sort the sample by id: block order depends on partitioning,
+        # and the seeded init pick must not (same fix as ivf_build)
+        sample = sample.sort_values(id_col, kind="mergesort")
+        V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        C = V[rng.choice(len(V), size=min(k, len(V)), replace=False)]
+    k = len(C)
+
+    for _ in range(max(0, iters)):
+        cref = ray.put(C)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            Cm = _resolve(cref)
+            Vb = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+            a = (Vb @ Cm.T).argmax(axis=1)
+            sums = np.zeros((len(Cm), Vb.shape[1]), np.float64)
+            np.add.at(sums, a, Vb)
+            cnt = np.bincount(a, minlength=len(Cm)).astype(np.int64)
+            return pd.DataFrame({
+                "bkey": np.full(len(Cm), b[id_col].to_numpy(np.int64).min()),
+                "centroid": np.arange(len(Cm), dtype=np.int64),
+                "cnt": cnt,
+                "vecsum": list(sums),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        parts = parts.sort_values(["bkey", "centroid"], kind="mergesort")
+        sums = np.zeros((k, C.shape[1]), np.float64)
+        cnts = np.zeros(k, np.int64)
+        for c_idx, grp in parts.groupby("centroid", sort=True):
+            sums[c_idx] = np.sum(np.stack(grp["vecsum"].to_numpy()), axis=0)
+            cnts[c_idx] = grp["cnt"].sum()
+        newC = C.copy()
+        nonempty = cnts > 0
+        newC[nonempty] = _normalize(sums[nonempty])
+        C = newC
+
+    cref = ray.put(C)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = _resolve(cref)
+        Vb = _normalize(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        dots = Vb @ Cm.T
+        b = b.copy()
+        b["centroid"] = dots.argmax(axis=1).astype(np.int64)
+        b["_cos"] = dots.max(axis=1)
+        return b
+
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+    inertia = float(assigned.map_batches(
+        lambda b: pd.DataFrame({"s": [np.sum(1.0 - b["_cos"].to_numpy())]}),
+        batch_format="pandas").to_pandas()["s"].sum())
+    return assigned.drop_columns(["_cos"]), C, inertia

@@ -333,3 +333,101 @@ def score_bigram_lm(
 
     return ds.map_batches(Scorer, batch_format="pandas",
                           concurrency=(1, 8))
+
+
+# ------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ------------------------------------------------------------------
+
+def build_ngram_blocklist(
+    benchmark: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 8,
+) -> "ray.ObjectRef":
+    """Distinct n-gram hashes of a benchmark/eval corpus, as one sorted
+    uint64 array behind a ``ray.put`` ref (broadcast small side — the
+    standard shape for decontamination: eval suites are thousands of
+    documents, i.e. megabytes of n-gram hashes, while the corpus being
+    scanned is the 100 TB side that must stream).
+
+    Shingling reuses the dedup kernel (``dedup._batch_shingles`` —
+    lowercase ``TOKEN_RE`` tokens, doc-local rolling FNV combine), so a
+    training doc quoting a benchmark doc verbatim hits the exact same
+    hash values. Per-batch partial = distinct hashes (already a
+    projection); the driver unions the partials — O(benchmark n-grams)
+    driver heap, documented as the small side by contract."""
+    from graphscope_ray.stages.dedup import _batch_shingles
+
+    def distinct(b: pd.DataFrame) -> pd.DataFrame:
+        sh, _ = _batch_shingles(b[text_col], n)
+        return pd.DataFrame({"h": np.unique(sh).view(np.int64)})
+
+    parts = benchmark.map_batches(distinct, batch_format="pandas").to_pandas()
+    if "h" not in parts.columns:  # all-empty benchmark: schema-less frame
+        return ray.put(np.empty(0, np.uint64))
+    block = np.unique(parts["h"].to_numpy(np.int64).view(np.uint64))
+    return ray.put(block)
+
+
+def contamination_features(
+    docs: ray.data.Dataset,
+    blocklist: "ray.ObjectRef | np.ndarray",
+    text_col: str = "text",
+    n: int = 8,
+) -> ray.data.Dataset:
+    """Per-document benchmark-overlap counters: appends
+    ``contaminated_ngrams`` (n-gram occurrences found in the blocklist,
+    multiplicity included), ``total_ngrams`` and ``contamination_frac``.
+    One streaming pass: shingle the batch (vectorized), membership =
+    ``searchsorted`` against the sorted broadcast array (no shuffle,
+    no per-row loop), per-doc sums via boundary-cumsum (zero-length
+    safe). The blocklist ref resolves once per actor in ``__init__``."""
+    from graphscope_ray.stages.dedup import _batch_shingles
+
+    ref = blocklist if isinstance(blocklist, ray.ObjectRef) \
+        else ray.put(np.asarray(blocklist, dtype=np.uint64))
+
+    class Marker:
+        def __init__(self):
+            self.block = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sh, starts = _batch_shingles(b[text_col], n)
+            if len(self.block) and len(sh):
+                pos = np.searchsorted(self.block, sh)
+                pos[pos == len(self.block)] = 0
+                hit = (self.block[pos] == sh).astype(np.int64)
+            else:
+                hit = np.zeros(len(sh), np.int64)
+            csum = np.concatenate(([0], np.cumsum(hit)))
+            per_doc = csum[starts[1:]] - csum[starts[:-1]]
+            total = np.diff(starts)
+            b = b.copy()
+            b["contaminated_ngrams"] = per_doc
+            b["total_ngrams"] = total
+            b["contamination_frac"] = np.where(
+                total > 0, per_doc / np.maximum(total, 1), 0.0)
+            return b
+
+    return docs.map_batches(Marker, batch_format="pandas",
+                            concurrency=(1, 8))
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_col: str = "text",
+    n: int = 8,
+    max_frac: float = 0.0,
+) -> ray.data.Dataset:
+    """Drop documents whose benchmark n-gram overlap fraction exceeds
+    ``max_frac`` (the conventional policy is any-hit → drop, i.e. the
+    default 0.0). Composition of :func:`build_ngram_blocklist` (one
+    bounded pass over the small side) + :func:`contamination_features`
+    (one streaming pass over the corpus) + a vectorized filter; the
+    overlap counter columns stay on the surviving rows for audit."""
+    ref = build_ngram_blocklist(benchmark, text_col=text_col, n=n)
+    feat = contamination_features(docs, ref, text_col=text_col, n=n)
+    return feat.map_batches(
+        lambda b: b[b["contamination_frac"].to_numpy() <= max_frac],
+        batch_format="pandas")
