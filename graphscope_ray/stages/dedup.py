@@ -584,3 +584,112 @@ def neardup_clusters(
     both = (ids.map_batches(tag_ids, batch_format="pyarrow")
             .union(comp.map_batches(tag_comp, batch_format="pyarrow")))
     return bucketed_group_apply(both, ["doc"], resolve, num_buckets)
+
+
+def paragraph_dedup(
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Span-level (paragraph/line) exact dedup in the C4 style: every
+    repeated span keeps only its first occurrence corpus-wide (order =
+    lexicographic (``id_col``, position)); later occurrences are cut
+    out of their documents. Unlike :func:`exact_dedup` (whole-doc) this
+    removes boilerplate that recurs INSIDE otherwise-unique documents —
+    the dominant duplication mode in web corpora (navigation chrome,
+    license headers, cookie banners).
+
+    Three streaming stages, none of which ships span text twice:
+    1. explode — one flat pass emits ``(h, doc, pos)`` int64 rows per
+       span (hash only; the text stays in the source rows);
+    2. removals — :func:`bucketed_group_apply` on ``h`` keeps the min
+       (doc, pos) of each hash group and emits the REST as removal
+       rows (size-1 groups emit nothing, so the removal table is
+       O(duplicate spans), typically ≪ corpus);
+    3. rebuild — one bucketed co-group on the doc id re-splits each
+       document and drops its removed positions, fully vectorized
+       (explode + anti-merge + groupby-join, no per-row loop).
+
+    Empty spans (blank lines / double separators) are never treated as
+    duplicates — removing them would rewrite formatting, not content.
+    Output: ``(id_col, text_col, removed_spans)``; a document whose
+    every span was removed keeps an empty string."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        spans = b[text_col].str.split(sep)
+        lens = spans.str.len().fillna(0).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 "doc": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64)})
+        flat = pd.Series(np.concatenate([s for s in spans if len(s)]))
+        h = hash64_strings(flat.to_numpy(object)).view(np.int64)
+        doc = np.repeat(b[id_col].to_numpy(np.int64), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens])
+        keep = flat.str.len().to_numpy(np.int64) > 0
+        return pd.DataFrame({"h": h[keep], "doc": doc[keep],
+                             "pos": pos[keep]})
+
+    spans = docs.map_batches(explode, batch_format="pandas")
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc", "pos"], kind="mergesort")
+        first = ~g.duplicated("h", keep="first")
+        dup_any = g.duplicated("h", keep=False)
+        out = g.loc[dup_any & ~first]
+        return pd.DataFrame({"doc": out["doc"].to_numpy(np.int64),
+                             "pos": out["pos"].to_numpy(np.int64)})
+
+    rem = bucketed_group_apply(spans, ["h"], removals, num_buckets)
+
+    # common co-group schema: (doc, pos, text, _side) — body rows carry
+    # the text at pos=-1; removal rows carry empty text
+    body = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc": b[id_col].to_numpy(np.int64),
+            "pos": np.full(len(b), -1, np.int64),
+            text_col: b[text_col].astype(str),
+            "_side": np.zeros(len(b), np.int8),
+        }), batch_format="pandas")
+    cuts = rem.map_batches(
+        lambda b: pd.DataFrame({
+            "doc": b["doc"].to_numpy(np.int64),
+            "pos": b["pos"].to_numpy(np.int64),
+            text_col: np.full(len(b), "", object),
+            "_side": np.ones(len(b), np.int8),
+        }), batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["_side"] == 0]
+        cut = g.loc[g["_side"] == 1, ["doc", "pos"]]
+        spans = b[text_col].str.split(sep)
+        lens = spans.str.len().fillna(0).to_numpy(np.int64)
+        docv = b["doc"].to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({
+                id_col: docv, text_col: b[text_col].to_numpy(object),
+                "removed_spans": np.zeros(len(b), np.int64)})
+        flat = pd.DataFrame({
+            "doc": np.repeat(docv, lens),
+            "pos": np.concatenate(
+                [np.arange(n, dtype=np.int64) for n in lens]),
+            "s": np.concatenate([s for s in spans if len(s)]),
+        })
+        merged = flat.merge(cut, on=["doc", "pos"], how="left",
+                            indicator=True)
+        kept = merged[merged["_merge"] == "left_only"]
+        joined = kept.groupby("doc", sort=False)["s"].agg(sep.join)
+        out = pd.DataFrame({"doc": docv}).join(joined, on="doc")
+        n_kept = kept.groupby("doc", sort=False).size()
+        out = out.join(n_kept.rename("nk"), on="doc")
+        return pd.DataFrame({
+            id_col: docv,
+            text_col: out["s"].fillna("").to_numpy(object),
+            "removed_spans": lens - out["nk"].fillna(0).to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(body.union(cuts), ["doc"], rebuild,
+                                num_buckets)
