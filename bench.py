@@ -151,6 +151,45 @@ def headline() -> dict:
     }
 
 
+def _q_span_dedup(sf_dir: str):
+    """Stress shape for paragraph_dedup: the sf documents are one-line
+    word streams, so sep=' ' explodes EVERY token as a span — maximal
+    span rows per byte of corpus (worst case for the three shuffles)."""
+    import ray.data
+
+    from graphscope_ray.stages.dedup import paragraph_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return paragraph_dedup(docs, sep=" ")
+
+
+def _q_decontam(sf_dir: str):
+    """Benchmark-decontamination timing: blocklist from the first 100
+    docs (the 'eval set'), one streaming overlap pass over the corpus."""
+    import ray.data
+
+    from graphscope_ray.stages.textprep import decontaminate
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    bench = docs.limit(100)
+    return decontaminate(docs, bench, n=8)
+
+
+def _q_kmeans(sf_dir: str):
+    """Spherical k-means over the embeddings table: 5 Lloyd passes,
+    k=16 — per-pass cost is the streaming partial-sum scan."""
+    import ray.data
+
+    from graphscope_ray.stages.similarity import kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assigned, _, _ = kmeans(emb, k=16, iters=5, seed=42)
+    return assigned
+
+
 def run_queries() -> dict:
     """Representative per-operator timings over the sf dir."""
     from graphscope_ray.pipelines import sf_graph, textproc, tpch
@@ -168,6 +207,9 @@ def run_queries() -> dict:
         "doc_simhash": textproc.q_doc_simhash,
         "doc_repetition": textproc.q_doc_repetition,
         "ann_topk": textproc.q_ann_topk,
+        "doc_span_dedup": _q_span_dedup,
+        "doc_decontam": _q_decontam,
+        "emb_kmeans": _q_kmeans,
     }
     out = {}
     for name, fn in picks.items():

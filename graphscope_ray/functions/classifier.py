@@ -76,6 +76,9 @@ def train_logreg(
     One streaming pass per iteration; per-block partial = one
     (d+1)-float gradient row, reduced bkey-sorted (deterministic).
     ``l2`` regularizes the standardized weights (not the bias)."""
+    # iterative consumer: pin input blocks in the (spillable) object
+    # store once rather than re-running the read plan per GD pass
+    ds = ds.materialize()
     cols = list(feature_cols)
     mean, std, n = _moments(ds, cols, id_col)
     mref = ray.put((mean, std))

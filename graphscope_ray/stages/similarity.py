@@ -236,6 +236,10 @@ def kmeans(
     Returns ``(assigned, centroids, inertia)``: the input Dataset with
     a ``centroid`` int64 column, the (k, d) float64 centroid matrix,
     and Σ(1 - cos(v, c(v))) from the final assignment pass."""
+    # iterative consumer: pin the input blocks in the (spillable)
+    # object store once instead of re-executing the upstream read
+    # plan on every Lloyd pass
+    ds = ds.materialize()
     if init is not None:
         C = _normalize(np.asarray(init, dtype=np.float64))
     else:
