@@ -237,3 +237,45 @@ def hash_order_sample(
              .limit(k)
              .map_batches(drop_h, batch_format="pandas"))
     return out
+
+
+def per_key_cap(
+    ds: ray.data.Dataset,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    hash_fn: str = "md5",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """At most ``k`` rows per group — the corpus-balancing quota op
+    (cap any one domain/site/license at k documents), chosen as each
+    group's k smallest ``hash(key, salt)`` values (tie-broken by key):
+    a deterministic uniform within-group sample, independent of row
+    order and partitioning.
+
+    Two-level reduction so no group ever concentrates on the driver:
+    each block keeps its own ≤ k rows per group (partial top-k — a
+    block contributes at most k rows per group to the shuffle), then
+    one :func:`bucketed_group_apply` on ``group_col`` finishes the
+    top-k per group. Shuffle volume ≤ k · blocks rows per group.
+    SQL twin: ``QUALIFY row_number() OVER (PARTITION BY group ORDER BY
+    md5_number_lower(...), key) <= k``."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        # keep uint64: a signed view would flip the order of hashes
+        # ≥ 2^63 and diverge from the SQL twin's unsigned compare
+        out["_h"] = _key_hash_u64(b[key_col], salt, hash_fn)
+        out = (out.sort_values(["_h", key_col], kind="stable")
+               .groupby(group_col, sort=False).head(k))
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["_h", key_col], kind="stable")
+                .groupby(group_col, sort=False).head(k)
+                .drop(columns=["_h"]))
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(pre, [group_col], final, num_buckets)

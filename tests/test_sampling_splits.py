@@ -123,3 +123,36 @@ def test_fast_kernel_determinism_and_proportions():
     xs = per_key[per_key.index % 2 == 0]
     assert set(xs.unique()) <= {1, 2}
     assert 0.4 < (xs == 2).mean() < 0.6
+
+
+def test_per_key_cap_matches_duckdb():
+    from graphscope_ray.stages.sampling import per_key_cap
+
+    con = _con()
+    want = con.sql("""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           md5_number_lower(CAST(doc_id AS VARCHAR) || ':cap'),
+           doc_id) AS rn
+  FROM documents) WHERE rn <= 7 ORDER BY doc_id""").df()
+    for p in (1, 6):
+        got = (per_key_cap(_docs(p), 7, group_col="source")
+               .select_columns(["doc_id", "source"]).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_per_key_cap_bounds_and_small_groups():
+    from graphscope_ray.stages.sampling import per_key_cap
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "source": ["big"] * 25 + ["tiny"] * 5,
+    })
+    got = per_key_cap(ray.data.from_pandas(df).repartition(4), 10,
+                      group_col="source").to_pandas()
+    counts = got["source"].value_counts()
+    assert counts["big"] == 10   # capped
+    assert counts["tiny"] == 5   # whole group survives
+    assert got["doc_id"].is_unique
