@@ -140,3 +140,52 @@ def approx_top_k(
     summed = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
                          [col], {"estimate": ("estimate", "sum")})
     return topk(summed, "estimate", k, descending=True, tiebreak=[col])
+
+
+def frequent_ngrams(
+    docs: ray.data.Dataset,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    capacity: int = 4096,
+) -> ray.data.Dataset:
+    """Corpus-wide most-frequent word n-grams — the boilerplate-
+    discovery companion to ``dedup.paragraph_dedup`` (find the
+    recurring spans BEFORE deciding what to strip). A thin composition:
+    one flat pass explodes each batch's n-grams as strings (lowercase
+    ``TOKEN_RE`` tokens joined by single spaces — the dedup family's
+    token space) with a per-batch ``value_counts`` pre-reduce, then the
+    Misra–Gries :func:`approx_top_k` finishes (≤ ``capacity`` summary
+    rows per block ever shuffle; the raw n-gram stream never does).
+    Same estimate guarantees as :func:`approx_top_k`. Returns
+    (``ngram``, ``estimate``) sorted by estimate desc, ngram asc."""
+    from graphscope_ray.functions.text import TOKEN_RE
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.lower().str.findall(TOKEN_RE)
+        lens = toks.str.len().fillna(0).to_numpy(np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"ngram": pd.Series([], dtype=object)})
+        flat = np.concatenate([t for t in toks if t]).astype(object)
+        grams = flat
+        for j in range(1, n):
+            shifted = np.roll(flat, -j)
+            grams = np.char.add(np.char.add(grams.astype(str), " "),
+                                shifted.astype(str)).astype(object)
+        # doc-local windows: drop each doc's last min(len, n-1)
+        # positions so no n-gram crosses a document boundary
+        # (vectorized — no per-doc loop)
+        valid = np.ones(len(flat), dtype=bool)
+        ends = np.cumsum(lens[lens > 0])
+        cut = np.minimum(lens[lens > 0], n - 1)
+        tot = int(cut.sum())
+        if tot:
+            base = np.repeat(ends - cut, cut)
+            step = (np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(cut) - cut, cut))
+            valid[base + step] = False
+        return pd.DataFrame({"ngram": grams[valid]})
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+    out = approx_top_k(exploded, "ngram", k=k, capacity=capacity)
+    return out

@@ -86,3 +86,44 @@ def test_approx_top_k_heavy_hitters():
     for v, c in true.items():
         if c > 2 * bound:
             assert v in est, (v, c)
+
+
+def test_frequent_ngrams_exact_when_capacity_large():
+    from graphscope_ray.stages.sketch import frequent_ngrams
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "all rights reserved all rights reserved",
+            "some prose then all rights reserved",
+            "all rights reserved",
+            "completely different words here",
+        ],
+    })
+    got = frequent_ngrams(
+        ray.data.from_pandas(docs).repartition(3), n=3, k=5,
+        capacity=10_000).to_pandas()
+    # replica: count doc-local word trigrams
+    from collections import Counter
+    c = Counter()
+    for t in docs["text"]:
+        w = t.lower().split()
+        for i in range(len(w) - 2):
+            c[" ".join(w[i:i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["ngram"], got["estimate"])) == want
+    assert got.iloc[0]["ngram"] == "all rights reserved"
+    assert got.iloc[0]["estimate"] == 4
+
+
+def test_frequent_ngrams_never_crosses_docs():
+    from graphscope_ray.stages.sketch import frequent_ngrams
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["alpha beta", "gamma delta"],
+    })
+    got = frequent_ngrams(ray.data.from_pandas(docs), n=2, k=10,
+                          capacity=100).to_pandas()
+    assert "beta gamma" not in set(got["ngram"])
+    assert set(got["ngram"]) == {"alpha beta", "gamma delta"}
