@@ -100,8 +100,11 @@ def test_frequent_ngrams_exact_when_capacity_large():
             "completely different words here",
         ],
     })
+    # k >= distinct trigram count: the k-boundary tie-break is by
+    # hash (deterministic, documented), so exactness is asserted on
+    # the complete set where ordering is (estimate desc, ngram asc)
     got = frequent_ngrams(
-        ray.data.from_pandas(docs).repartition(3), n=3, k=5,
+        ray.data.from_pandas(docs).repartition(3), n=3, k=100,
         capacity=10_000).to_pandas()
     # replica: count doc-local word trigrams
     from collections import Counter
@@ -110,7 +113,7 @@ def test_frequent_ngrams_exact_when_capacity_large():
         w = t.lower().split()
         for i in range(len(w) - 2):
             c[" ".join(w[i:i + 3])] += 1
-    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(zip(got["ngram"], got["estimate"])) == want
     assert got.iloc[0]["ngram"] == "all rights reserved"
     assert got.iloc[0]["estimate"] == 4
