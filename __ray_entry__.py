@@ -138,6 +138,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": textproc.q_doc_split,
         "doc_mix": textproc.q_doc_mix,
         "doc_sample": textproc.q_doc_sample,
+        # corpus-prep / balancing / decontamination / classifier ops —
+        # exact DuckDB twins except emb_kmeans (iterative float
+        # fixpoint, rows-only; replica-exact in pytest).
+        "doc_quota_cap": textproc.q_doc_quota_cap,
+        "doc_span_dedup": textproc.q_doc_span_dedup,
+        "doc_chunks": textproc.q_doc_chunks,
+        "doc_pii": textproc.q_doc_pii,
+        "doc_normalize": textproc.q_doc_normalize,
+        "doc_decontam": textproc.q_doc_decontam,
+        "doc_ngrams": textproc.q_doc_ngrams,
+        "doc_classifier": textproc.q_doc_classifier,
+        "emb_kmeans": textproc.q_emb_kmeans,
     }
 
 
@@ -155,6 +167,68 @@ verts AS MATERIALIZED (SELECT DISTINCT l_partkey AS vid FROM lineitem),
 arcs AS MATERIALIZED (SELECT src, dst, weight FROM edges
          UNION ALL SELECT dst, src, weight FROM edges)
 """
+
+
+def _classifier_sql(iters: int = 15, lr: float = 1.0) -> str:
+    """Logistic-regression twin: the SAME 15 full-batch GD steps as
+    functions/classifier.train_logreg, unrolled as CTEs — features
+    (n_chars, n_tokens, stopword_ratio) standardized by population
+    moments, label = n_tokens > 56, score = sigmoid over standardized
+    features (algebraically identical to the Ray side's folded raw
+    weights; only float summation order differs, ≈1e-12 ≪ 6dp)."""
+    feats = rf"""
+feats AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS x1,
+    CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS x2,
+    CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+         THEN len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                              x -> x IN {STOPWORDS_SQL}))
+              / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+         ELSE 0 END AS x3,
+    CASE WHEN len(regexp_extract_all(text, '\w+')) > 56
+         THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+mo AS MATERIALIZED (
+  SELECT avg(x1) AS m1, avg(x2) AS m2, avg(x3) AS m3,
+    CASE WHEN greatest(avg(x1*x1) - avg(x1)*avg(x1), 0) > 0
+         THEN sqrt(greatest(avg(x1*x1) - avg(x1)*avg(x1), 0)) ELSE 1 END AS s1,
+    CASE WHEN greatest(avg(x2*x2) - avg(x2)*avg(x2), 0) > 0
+         THEN sqrt(greatest(avg(x2*x2) - avg(x2)*avg(x2), 0)) ELSE 1 END AS s2,
+    CASE WHEN greatest(avg(x3*x3) - avg(x3)*avg(x3), 0) > 0
+         THEN sqrt(greatest(avg(x3*x3) - avg(x3)*avg(x3), 0)) ELSE 1 END AS s3
+  FROM feats),
+sf AS MATERIALIZED (
+  SELECT doc_id,
+         (x1 - (SELECT m1 FROM mo)) / (SELECT s1 FROM mo) AS z1,
+         (x2 - (SELECT m2 FROM mo)) / (SELECT s2 FROM mo) AS z2,
+         (x3 - (SELECT m3 FROM mo)) / (SELECT s3 FROM mo) AS z3,
+         y
+  FROM feats),
+it0 AS (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+               CAST(0 AS DOUBLE) AS w3, CAST(0 AS DOUBLE) AS b)"""
+    parts = [feats]
+    for i in range(iters):
+        parts.append(f"""
+, it{i + 1} AS MATERIALIZED (
+  SELECT (SELECT w1 FROM it{i}) - {lr} * avg(r * z1) AS w1,
+         (SELECT w2 FROM it{i}) - {lr} * avg(r * z2) AS w2,
+         (SELECT w3 FROM it{i}) - {lr} * avg(r * z3) AS w3,
+         (SELECT b FROM it{i}) - {lr} * avg(r) AS b
+  FROM (SELECT z1, z2, z3,
+          1 / (1 + exp(-((SELECT w1 FROM it{i}) * z1
+                       + (SELECT w2 FROM it{i}) * z2
+                       + (SELECT w3 FROM it{i}) * z3
+                       + (SELECT b FROM it{i})))) - y AS r
+        FROM sf))""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT doc_id,
+       printf('%.6f', 1 / (1 + exp(-(w1 * z1 + w2 * z2 + w3 * z3 + b))))
+         AS quality_prob
+FROM sf CROSS JOIN it{iters}"""
+    )
 
 
 def _pagerank_sql() -> str:
@@ -1084,6 +1158,133 @@ SELECT doc_id, CAST(unnest(range(copies)) AS BIGINT) AS rep FROM (
 SELECT doc_id FROM documents
 ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':sample'), doc_id
 LIMIT 50""",
+        # ---- corpus prep / balancing / decontamination twins
+        "doc_quota_cap": """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+  ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+  <= 10""",
+        "doc_span_dedup": """
+WITH spans AS (
+  SELECT doc_id, unnest(string_split(text, ' table ')) AS s,
+         generate_subscripts(string_split(text, ' table '), 1) - 1 AS pos
+  FROM documents),
+marked AS (
+  SELECT doc_id, s, pos,
+         s <> '' AND row_number() OVER (
+             PARTITION BY s ORDER BY doc_id, pos) > 1 AS cut
+  FROM spans)
+SELECT doc_id,
+       coalesce(string_agg(s, ' table ' ORDER BY pos)
+                FILTER (WHERE NOT cut), '') AS text,
+       count(*) FILTER (WHERE cut) AS removed_spans
+FROM marked GROUP BY doc_id""",
+        "doc_chunks": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS p
+  FROM documents),
+w AS (
+  SELECT doc_id, p // 32 AS chunk_id, tok, p FROM toks
+  UNION ALL
+  SELECT doc_id, p // 32 - 1 AS chunk_id, tok, p FROM toks
+  WHERE p % 32 < 8 AND p // 32 > 0)
+SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY p) AS text,
+       count(*) AS n_tokens
+FROM w GROUP BY doc_id, chunk_id""",
+        "doc_pii": r"""
+WITH s0 AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' site http://h' || doc_id || '.io/x' ELSE '' END
+    || ' ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' tel +1 (555) 010-' || (1000 + doc_id % 9000)
+            ELSE '' END AS t
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://[^\s]+')) AS pii_url,
+         regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM s0),
+s2 AS (
+  SELECT doc_id, pii_url,
+         len(regexp_extract_all(
+             t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+           AS pii_email,
+         regexp_replace(
+             t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM s1),
+s3 AS (
+  SELECT doc_id, pii_url, pii_email,
+         len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS pii_ipv4,
+         regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s2),
+s4 AS (
+  SELECT doc_id, pii_url, pii_email, pii_ipv4,
+         len(regexp_extract_all(t, '\+?\d[\d().\-\s]{7,}\d')) AS pii_phone,
+         regexp_replace(t, '\+?\d[\d().\-\s]{7,}\d', '<PHONE>', 'g') AS t
+  FROM s3)
+SELECT doc_id, t AS text, pii_url, pii_email, pii_ipv4, pii_phone FROM s4""",
+        "doc_normalize": r"""
+WITH s0 AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || '  v' || chr(9) || text
+           || ' fin' || chr(1) || 'ale ' AS t
+  FROM documents),
+s1 AS (SELECT doc_id, nfc_normalize(t) AS t FROM s0),
+s2 AS (SELECT doc_id,
+         regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(t, '\s+', ' ', 'g') AS t FROM s2)
+SELECT doc_id, trim(t) AS text FROM s3""",
+        "doc_decontam": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS i
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+short AS (
+  -- docs with 1-2 tokens emit ONE padded pseudo-shingle (dedup kernel
+  -- contract); its string form (< 3 tokens) can never equal a real
+  -- 3-gram's
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS gram
+  FROM toks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
+allg AS (SELECT * FROM grams UNION ALL SELECT * FROM short),
+ev AS (SELECT DISTINCT gram FROM allg WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS total,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM ev)) AS cont
+  FROM allg GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.cont, 0) AS contaminated_ngrams,
+       COALESCE(h.total, 0) AS total_ngrams,
+       printf('%.6f', CASE WHEN COALESCE(h.total, 0) > 0
+              THEN h.cont / CAST(h.total AS DOUBLE) ELSE 0 END)
+         AS contamination_frac
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id""",
+        "doc_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1) AS i
+  FROM documents),
+grams AS (
+  SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL)
+SELECT gram AS ngram, count(*) AS estimate
+FROM grams GROUP BY gram HAVING count(*) >= 5""",
+        "doc_classifier": _classifier_sql(),
     }
     return sql
 

@@ -251,3 +251,178 @@ def q_doc_sample(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     return hash_order_sample(docs, 50)
+
+
+def q_doc_quota_cap(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, source) after capping every source domain at 10 docs —
+    stages/sampling.per_key_cap with the md5 interchange kernel, exact
+    vs the DuckDB row_number() OVER (PARTITION BY source) twin."""
+    from graphscope_ray.stages.sampling import per_key_cap
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return per_key_cap(docs, 10, group_col="source", key_col="doc_id",
+                       hash_fn="md5")
+
+
+def q_doc_span_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, text, removed_spans) after span-level exact dedup
+    (stages/dedup.paragraph_dedup, first occurrence corpus-wide wins).
+    The gate corpus has no newlines, so spans are the segments between
+    ``" table "`` occurrences — short word runs that genuinely repeat
+    across documents (non-vacuous: ~90 cut spans at sf0.01). Exact vs
+    the string_split + row_number + string_agg DuckDB twin."""
+    from graphscope_ray.stages.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir), sep=" table ")
+
+
+def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, chunk_id, text, n_tokens) token-window chunking
+    (stages/textprep.chunk_documents, max_tokens=40 overlap=8): every
+    whitespace token joins window pos//32 plus — inside the 8-token
+    overlap prefix — the previous window. Exact vs the
+    generate_subscripts + UNION ALL + string_agg DuckDB twin."""
+    from graphscope_ray.stages.textprep import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), max_tokens=40, overlap=8)
+
+
+def q_doc_pii(sf_dir: str) -> ray.data.Dataset:
+    """PII scrub over text with deterministically synthesized PII spans
+    (the gate corpus has none): doc_id-keyed email/url/ip/phone suffixes
+    appended, then stages/textprep.scrub_pii (sequential RE2 rules) —
+    output (doc_id, text, pii_url, pii_email, pii_ipv4, pii_phone),
+    exact vs the nested regexp_replace(..., 'g') DuckDB twin (both
+    engines are RE2)."""
+    from graphscope_ray.stages.textprep import scrub_pii
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"]
+        s = d.astype(str)
+        email = (" mail u" + s + "@ex" + (d % 7).astype(str) + ".com"
+                 ).where(d % 2 == 0, "")
+        url = (" site http://h" + s + ".io/x").where(d % 3 == 0, "")
+        ip = " ip 10." + (d % 200).astype(str) + ".0." + (d % 250).astype(str)
+        phone = (" tel +1 (555) 010-" + (1000 + d % 9000).astype(str)
+                 ).where(d % 5 == 0, "")
+        return pd.DataFrame({"doc_id": d,
+                             "text": b["text"] + email + url + ip + phone})
+
+    return scrub_pii(_docs(sf_dir).map_batches(synth, batch_format="pandas"))
+
+
+def q_doc_normalize(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, text) after Unicode NFC + control-strip + whitespace
+    collapse (stages/textprep.normalize_text). The gate corpus is clean
+    ASCII, so each row gets a deterministic mess prefix/suffix (combining
+    acute accent U+0301, double spaces, a tab, a \\x01 control char) —
+    exact vs the nfc_normalize + regexp_replace DuckDB twin."""
+    from graphscope_ray.stages.textprep import normalize_text
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "text": "Cafe\u0301  v\t" + b["text"] + " fin\x01ale ",
+        })
+
+    return normalize_text(
+        _docs(sf_dir).map_batches(synth, batch_format="pandas"))
+
+
+def q_doc_decontam(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination counters: the eval set is the
+    doc_id % 97 == 0 documents, the blocklist is their 3-gram hashes
+    (stages/textprep.build_ngram_blocklist — n=3 because the synthetic
+    vocabulary never repeats 8-grams across docs), and every document
+    gets (contaminated_ngrams, total_ngrams, contamination_frac) from
+    one streaming searchsorted pass (contamination_features). Exact vs
+    the lead-window 3-gram membership DuckDB twin (hash equality ≡
+    string equality modulo 2^-64 FNV collisions)."""
+    from graphscope_ray.stages.textprep import (
+        build_ngram_blocklist,
+        contamination_features,
+    )
+
+    docs = _docs(sf_dir)
+    ev = docs.map_batches(
+        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
+        batch_format="pandas")
+    ref = build_ngram_blocklist(ev, n=3)
+    feat = contamination_features(docs, ref, n=3)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "contaminated_ngrams": b["contaminated_ngrams"],
+            "total_ngrams": b["total_ngrams"],
+            "contamination_frac": _fx(
+                b["contamination_frac"].to_numpy(np.float64), 6),
+        })
+
+    return feat.map_batches(fmt, batch_format="pandas")
+
+
+def q_doc_ngrams(sf_dir: str) -> ray.data.Dataset:
+    """Frequent-trigram discovery (stages/sketch.frequent_ngrams,
+    Misra–Gries over shingle hashes + streaming text resolve) run in
+    EXACT mode: capacity 65536 ≥ the sf0.01 trigram vocabulary (16 245),
+    so every estimate is the true corpus count; the gate keeps grams
+    with count ≥ 5 (154 at sf0.01 — all inside the top-512 selection,
+    so the k-boundary hash tie-break can never touch them). Exact vs
+    the lead-window GROUP BY / HAVING DuckDB twin."""
+    from graphscope_ray.stages.sketch import frequent_ngrams
+
+    out = frequent_ngrams(_docs(sf_dir), n=3, k=512, capacity=65536)
+    return out.map_batches(
+        lambda b: b[b["estimate"].to_numpy() >= 5],
+        batch_format="pandas")
+
+
+def q_doc_classifier(sf_dir: str) -> ray.data.Dataset:
+    """Trained quality classifier end-to-end: logistic regression
+    (functions/classifier.train_logreg, 15 full-batch GD iterations)
+    over (n_chars, n_tokens, stopword_ratio) with the deterministic
+    label n_tokens > 56 (the sf0.01 median), scored back over the
+    corpus — (doc_id, quality_prob 6dp). The DuckDB twin unrolls the
+    same 15 GD steps as CTEs over identical SQL-computed features; the
+    only divergence is float summation order (≈1e-12 ≪ the 6dp grid)."""
+    from graphscope_ray.functions.classifier import score_logreg, train_logreg
+
+    def mk_feats(b: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_chars": q["n_chars"].astype(np.float64),
+            "n_tokens": q["n_tokens"].astype(np.float64),
+            "stopword_ratio": q["stopword_ratio"],
+            "label": (q["n_tokens"] > 56).astype(np.int64),
+        })
+
+    feats = _docs(sf_dir).map_batches(mk_feats, batch_format="pandas")
+    model = train_logreg(feats, ["n_chars", "n_tokens", "stopword_ratio"],
+                         "label", iters=15, lr=1.0)
+    scored = score_logreg(feats, model)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "quality_prob": _fx(b["quality_prob"].to_numpy(np.float64), 6),
+        })
+
+    return scored.map_batches(fmt, batch_format="pandas")
+
+
+def q_emb_kmeans(sf_dir: str) -> ray.data.Dataset:
+    """Spherical k-means domain discovery over the embeddings table
+    (stages/similarity.kmeans, k=8, 5 Lloyd iterations): (vec_id,
+    cluster) assignments. Iterative float fixpoint — no SQL twin
+    (rows-only gate); replica-exactness, bit-identical determinism and
+    planted-cluster recovery are pinned in pytest
+    (tests/test_decontam_kmeans.py)."""
+    from graphscope_ray.stages.similarity import kmeans
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assigned, _, _ = kmeans(emb, k=8, iters=5, seed=42)
+    return assigned.select_columns(["vec_id", "centroid"])

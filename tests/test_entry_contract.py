@@ -126,3 +126,34 @@ def test_gate_order_puts_oracled_queries_first():
     # runs on gate input in test_dfs_gate_is_valid_preorder
     assert "part_dfs" in names
     assert "multimodal_meta" in names[:50]
+
+
+def test_corpus_prep_gate_twins_small():
+    """Pin the round-3 corpus-prep gate twins (span dedup, benchmark
+    decontamination, trained classifier — the three with the most
+    intricate SQL) at sf0.001 so a twin regression is caught before
+    the sf0.01 gate. The remaining new twins (quota cap, chunking,
+    PII scrub, normalize, frequent n-grams) share the same interchange
+    kernels and are swept by tools/check_oracle.py."""
+    from graphscope_ray.pipelines.textproc import (
+        q_doc_classifier,
+        q_doc_decontam,
+        q_doc_span_dedup,
+    )
+
+    con = _duck(SF)
+    sqls = entrymod.oracle_sql()
+    for name, q in (("doc_span_dedup", q_doc_span_dedup),
+                    ("doc_decontam", q_doc_decontam),
+                    ("doc_classifier", q_doc_classifier)):
+        got = q(SF).to_pandas()
+        want = con.sql(sqls[name]).df()
+        got = got[sorted(got.columns)]
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)]
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        for c in got.columns:
+            a = got[c].to_numpy()
+            b = want[c].to_numpy()
+            assert (a == b).all(), (name, c)
