@@ -343,6 +343,63 @@ def sssp(graph: ShardedGraph, source: int, max_iter: int = 10**6):
                       col="distance")
 
 
+def sssp_delta_stepping(graph: ShardedGraph, source: int,
+                        delta: float | None = None,
+                        max_iter: int = 10**6):
+    """Delta-stepping SSSP (flash/traversal/sssp-dlt-step.h, Meyer &
+    Sanders '03): relaxations are processed in distance buckets of
+    width Δ (the reference's default: 2·mean arc weight), so each inner
+    wave only carries messages whose source distance lies in the open
+    bucket. Same fixpoint as :func:`sssp` — with positive weights a
+    vertex below the bucket floor is settled, so clamping the frontier
+    never loses a relaxation — but long arcs are re-relaxed at most
+    once per bucket instead of once per Bellman-Ford wave, which at
+    cluster scale means fewer (and smaller) all-to-all message
+    exchanges on hub-heavy weighted graphs.
+
+    Returns ``(state_dataset(vid, distance), metrics)`` like sssp();
+    metrics rounds carry (bucket_lo, waves, active) per bucket."""
+    import numpy as np
+
+    stats = graph.call_all("weight_stats")
+    m = sum(s[1] for s in stats)
+    if delta is None:
+        wsum = sum(s[0] for s in stats)
+        delta = (2.0 * wsum / m) if m else 1.0
+    if delta <= 0:
+        delta = 1.0
+    graph.call_all("dist_init", np.asarray([source], dtype=np.int64))
+    rounds = []
+    a, b = 0.0, float(delta)
+    spent = 0
+    while spent < max_iter:
+        t0 = time.perf_counter()
+        active = sum(graph.call_all("dlt_bucket_start", a, b))
+        waves = 0
+        if active:
+            refs = graph.step_refs("dlt_step", a, b)
+            while spent + waves < max_iter:
+                refs = graph.step_refs("dlt_step", a, b, inbox=refs)
+                waves += 1
+                if sum(graph.step_scalars(refs)) == 0:
+                    break
+        maxd = max(graph.call_all("state_max_finite"))
+        rounds.append({"round": len(rounds), "bucket_lo": a,
+                       "changed": active, "waves": waves,
+                       "seconds": time.perf_counter() - t0})
+        spent += max(waves, 1)
+        a += delta
+        b += delta
+        # The reference exits on ``a < maxd`` (sssp-dlt-step.h:63) which
+        # drops a vertex whose tentative distance sits exactly on a
+        # bucket boundary (only reachable with a caller-chosen Δ; the
+        # built-in 2·mean-weight Δ masks it). ``a ≤ maxd + ε`` processes
+        # that last boundary bucket too.
+        if a > maxd + 1e-10:
+            break
+    return graph.state_dataset("distance"), _metrics(rounds, graph.n_edges)
+
+
 def closeness_centrality(
     graph: ShardedGraph,
     sources=None,
@@ -1196,6 +1253,48 @@ def graph_coloring(graph: ShardedGraph, max_rounds: int = 10**6):
             break
     return ray.data.from_arrow_refs(
         [s.color_table.remote() for s in graph.shards])
+
+
+def lpa_by_color(graph: ShardedGraph, max_rounds: int = 100):
+    """Label propagation scheduled by graph coloring (FLASH
+    apps/flash/clustering/lpa-by-color.h:44-146): greedy-color the
+    graph (mex over higher-(deg, vid) neighbors — :func:`graph_coloring`),
+    then sweep the color classes in order, each class relabeling
+    synchronously from CURRENT neighbor labels (argmax count,
+    deterministic min-label tie-break where the reference takes the
+    CSR-order first). A color class is an independent set, so the
+    in-class synchronous apply equals the reference's sequential sweep
+    — Gauss-Seidel scheduling that cannot two-cycle the way plain sync
+    LPA can. Converges when one full sweep changes nothing.
+
+    Scale shape: the one-time mirror exchange gives every arc its
+    destination's color, so each color wave ships ONLY the arcs
+    entering the active class — a full sweep costs the same O(E)
+    message volume as one plain LPA round, split across
+    (#colors) latency waves. Returns (state_dataset(vid, label),
+    metrics); rounds carry per-sweep changed counts. Simple graphs
+    (deduped arcs) assumed — both mirror exchanges pair each arc with
+    exactly one reverse arc (the :func:`graph_coloring` contract)."""
+    if graph.directed:
+        raise ValueError("lpa_by_color requires an undirected graph")
+    graph_coloring(graph)  # leaves _cl_c on every shard
+    refs = graph.step_refs("lpabc_setup_scatter")
+    n_colors = max(graph.apply_all("lpabc_setup", refs)) + 1
+    rounds = []
+    refs = graph.step_refs("lpabc_step", 0)  # scatter class 0
+    for it in range(max_rounds):
+        t0 = time.perf_counter()
+        changed = 0
+        for ci in range(n_colors):
+            refs = graph.step_refs("lpabc_step", (ci + 1) % n_colors,
+                                   inbox=refs)
+            changed += sum(graph.step_scalars(refs))
+        rounds.append({"round": it, "changed": changed,
+                       "colors": n_colors,
+                       "seconds": time.perf_counter() - t0})
+        if changed == 0:
+            break
+    return graph.state_dataset("label"), _metrics(rounds, graph.n_edges)
 
 
 def fluid_communities(graph: ShardedGraph, k: int = 10,

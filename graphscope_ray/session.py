@@ -387,6 +387,18 @@ def sssp(graph: Graph, src=0, weight: str | None = None) -> Context:
     return Context(ds, graph)
 
 
+def sssp_delta_stepping(graph: Graph, src=0,
+                        delta: float | None = None) -> Context:
+    """(vid, distance) via bucketed delta-stepping relaxation
+    (flash/traversal/sssp-dlt-step.h) — same fixpoint as :func:`sssp`,
+    Δ defaults to the reference's 2·mean arc weight."""
+    from graphscope_ray.pipelines.algorithms import (
+        sssp_delta_stepping as _dlt,
+    )
+    ds, _ = _dlt(graph._pool(), source=_src_vid(graph, src), delta=delta)
+    return Context(ds, graph)
+
+
 def triangles(graph: Graph) -> Context:
     from graphscope_ray.pipelines.triangles import triangle_counts
     return Context(triangle_counts(graph.edges_dataset()), graph)
@@ -735,6 +747,15 @@ def fluid_communities(graph: Graph, k: int = 10) -> Context:
     (flash/clustering/fluid-community.h, deterministic seeds)."""
     from graphscope_ray.pipelines.algorithms import fluid_communities as fc
     return Context(fc(graph._pool(), k=k), graph)
+
+
+def lpa_by_color(graph: Graph) -> Context:
+    """(vid, label) color-scheduled label propagation
+    (flash/clustering/lpa-by-color.h: Gauss-Seidel sweeps over the
+    greedy-coloring's independent sets; deterministic min-tie)."""
+    from graphscope_ray.pipelines.algorithms import lpa_by_color as lbc
+    ds, _ = lbc(graph._pool())
+    return Context(ds, graph)
 
 
 def random_multi_bfs(graph: Graph, k: int = 64, seed: int = 42,

@@ -571,6 +571,41 @@ class GraphShard:
         self._frontier[pos] = True
         return int(better.sum())
 
+    # ------------------------------------------------ delta-stepping SSSP
+    # flash/traversal/sssp-dlt-step.h: relaxations processed in distance
+    # buckets of width Δ; same fixpoint as the plain dist loop, but each
+    # inner wave's frontier is clamped to the open bucket.
+    def weight_stats(self):
+        """(Σ arc weight, #arcs) over this shard's CSR — the reference
+        picks Δ = 2·mean(arc weight) (sssp-dlt-step.h:52-59)."""
+        n = int(len(self.e_src_pos))
+        w = self._weights()
+        tot = float(np.sum(w)) if np.ndim(w) else float(w) * n
+        return tot, n
+
+    def dlt_bucket_start(self, a: float, b: float) -> int:
+        """Open bucket [a, b): frontier = vertices with a−ε ≤ dis < b
+        (sssp-dlt-step.h filter2; ε matches the reference's 1e-10)."""
+        self._frontier = (self.state >= a - 1e-10) & (self.state < b)
+        return int(self._frontier.sum())
+
+    def dlt_step(self, a: float, b: float, *inbox):
+        """Fused inner round: min-apply the inbox, clamp the improved
+        frontier to the current bucket, scatter weighted relaxations.
+        Scalar = frontier size after clamping (the reference's
+        VSize(A) loop condition)."""
+        if inbox:
+            self.dist_apply(*inbox)
+            self._frontier &= (self.state >= a - 1e-10) & (self.state < b)
+        active = int(self._frontier.sum())
+        return self._msgs_tuple(self.dist_scatter(True)) + (active,)
+
+    def state_max_finite(self) -> float:
+        """Max settled distance (−1 when nothing is reached) — the
+        reference's maxd termination scalar."""
+        finite = self.state[np.isfinite(self.state)]
+        return float(finite.max()) if len(finite) else -1.0
+
     # --------------------- SSSP with parent pointers (path reconstruction)
     # The dist loop plus a parent column (apps/sssp/sssp_path.h:174).
     # During relaxation the parent follows the accepted (strictly
@@ -1236,6 +1271,79 @@ class GraphShard:
             "vid": pa.array(self.local, pa.int64()),
             "color": pa.array(self._cl_c, pa.int64()),
         })
+
+    # --------------------------------------- LPA by coloring
+    # apps/flash/clustering/lpa-by-color.h: label propagation scheduled
+    # color class by color class (Gauss-Seidel) — a class is an
+    # independent set, so applying it synchronously while every other
+    # class stays fixed equals the reference's sequential sweep and
+    # kills sync-LPA's two-cycle oscillation. Requires the greedy
+    # coloring's `_cl_c` (run color_init/setup/round first).
+    def lpabc_setup_scatter(self):
+        """Ship (dst, source color, source vid) along all arcs — the
+        mirror-attribute exchange that tells each arc's OWNER the color
+        of the arc's destination (the mirror arc's source)."""
+        sp = self.e_src_pos
+        msgs = self._emit_per_part_raw(
+            np.ones(self.n_edges, dtype=bool),
+            self._cl_c[sp],
+            self.local[sp].astype(np.int64))
+        return self._msgs_tuple(msgs) + (0,)
+
+    def lpabc_setup(self, *inbox) -> int:
+        """Pair each out-arc (u→v) with its mirror's message (v's color)
+        — same merge shape as color_setup — so per-class scatters can
+        mask arcs by destination color at the SOURCE (each arc ships
+        once per full round, not once per color wave). Labels init to
+        vid. Returns the max local color (wave count - 1)."""
+        import pandas as pd
+
+        dst, col_nb, nb = _concat_msgs(inbox, (np.int64, np.int64, np.int64))
+        arcs = pd.DataFrame({
+            "i": np.arange(self.n_edges, dtype=np.int64),
+            "p": self.e_src_pos.astype(np.int64),
+            "c": self.e_dst,
+        })
+        recv = pd.DataFrame({
+            "p": np.searchsorted(self.local, dst) if len(dst) else
+            np.empty(0, np.int64),
+            "c": nb, "colnb": col_nb})
+        m = arcs.merge(recv, on=["p", "c"], how="left").sort_values("i")
+        self._lpabc_dst_color = m["colnb"].to_numpy(np.int64)
+        self.state = self.local.copy()
+        return int(self._cl_c.max()) if self.n_local else -1
+
+    def lpabc_scatter(self, c: int):
+        """cdlp-style pre-counted (dst, label, count) partials, only
+        along arcs whose destination is in color class ``c``."""
+        mask = self._lpabc_dst_color == c
+        labels = self.state[self.e_src_pos]
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            seg = mask[lo:hi]
+            dsts, labs = self.e_dst[lo:hi][seg], labels[lo:hi][seg]
+            if len(dsts) == 0:
+                out.append(None)
+                continue
+            order = np.lexsort((labs, dsts))
+            dsts, labs = dsts[order], labs[order]
+            newseg = np.concatenate(
+                ([True], (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1]))
+            )
+            starts = np.flatnonzero(newseg)
+            counts = np.diff(np.append(starts, len(dsts))).astype(np.int64)
+            out.append((dsts[starts], labs[starts], counts))
+        return out if self.P > 1 else out[0]
+
+    def lpabc_step(self, scatter_color: int, *inbox):
+        """Fused wave: apply the previous class's labels (messages only
+        ever target that class — masked at the source), scatter the
+        next class's. Deterministic min-label tie-break like cdlp (the
+        reference's first-seen tie-break is CSR-order-dependent)."""
+        changed = self.cdlp_apply(*inbox) if inbox else 0
+        return self._msgs_tuple(self.lpabc_scatter(scatter_color)) \
+            + (changed,)
 
     # --------------------------------------- fluid communities
     # apps/flash/clustering/fluid-community.h:43-105: k seed vertices

@@ -46,3 +46,51 @@ def test_graph_coloring(P, name, edges, verts):
     for a, b in edges:
         if a != b:
             assert got[a] != got[b], f"improper edge ({a},{b})"
+
+
+def _lpa_by_color_replica(edges, vertices):
+    """Sequential replica of the engine's lpa_by_color: greedy-color
+    (the already-pinned oracle), then sweep color classes in order —
+    each class relabels synchronously from CURRENT labels, argmax
+    count with min-label tie-break — until a full sweep is quiet."""
+    from collections import Counter, defaultdict
+
+    colors = oracle_graph_coloring(edges, vertices)
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    classes = defaultdict(list)
+    for v, c in colors.items():
+        classes[c].append(v)
+    label = {v: v for v in vertices}
+    for _ in range(100):
+        changed = 0
+        for c in sorted(classes):
+            snapshot = dict(label)
+            for v in classes[c]:
+                if not nbrs[v]:
+                    continue
+                cnt = Counter(snapshot[u] for u in nbrs[v])
+                best = max(cnt.values())
+                new = min(l for l, k in cnt.items() if k == best)
+                if new != label[v]:
+                    label[v] = new
+                    changed += 1
+        if changed == 0:
+            break
+    return label
+
+
+@pytest.mark.parametrize("P", [1, 3])
+@pytest.mark.parametrize("name,edges,verts", CASES, ids=[c[0] for c in CASES])
+def test_lpa_by_color(P, name, edges, verts):
+    from graphscope_ray.pipelines.algorithms import lpa_by_color
+
+    g = _build(edges, verts, P)
+    res, metrics = lpa_by_color(g)
+    df = res.to_pandas()
+    got = dict(zip(df["vid"], df["label"]))
+    want = _lpa_by_color_replica(edges, verts)
+    assert got == want
+    assert metrics["rounds"] >= 1

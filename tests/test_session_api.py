@@ -70,6 +70,14 @@ def test_session_sssp_bfs(g, karate_like):
     assert got == want
 
 
+def test_session_sssp_delta_stepping(g, karate_like):
+    src = min(karate_like.nodes())
+    got = gs.sssp_delta_stepping(g, src=src).to_dict()
+    want = nx.single_source_shortest_path_length(karate_like, src)
+    got = {k: v for k, v in got.items() if np.isfinite(v)}
+    assert {k: int(v) for k, v in got.items()} == want
+
+
 def test_session_triangles_clustering(g, karate_like):
     tri = gs.triangles(g).to_dict()
     want = nx.triangles(karate_like)
