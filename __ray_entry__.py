@@ -150,6 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngrams": textproc.q_doc_ngrams,
         "doc_classifier": textproc.q_doc_classifier,
         "emb_kmeans": textproc.q_emb_kmeans,
+        # the composed corpus-preparation pipeline (normalize → scrub →
+        # filter → span dedup → exact dedup → decontaminate → split) —
+        # one exact twin pins the whole chain's stage order and text
+        # threading, not just each stage in isolation.
+        "doc_pipeline": textproc.q_doc_pipeline,
     }
 
 
@@ -1285,6 +1290,108 @@ grams AS (
 SELECT gram AS ngram, count(*) AS estimate
 FROM grams GROUP BY gram HAVING count(*) >= 5""",
         "doc_classifier": _classifier_sql(),
+        # The composed corpus-prep chain: each stage's proven twin
+        # nested in pipeline order (synth → NFC/strip/collapse → the 4
+        # sequential PII rules → ≥20-token filter → first-occurrence
+        # span dedup → whole-doc dedup → 3-gram decontamination vs the
+        # doc_id % 97 eval set (their grams from the PRE-filter scrub
+        # stage, as prepare_corpus preps the benchmark independently)
+        # → md5 split — over the surviving rows' FINAL text.
+        "doc_pipeline": r"""
+WITH p0 AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || '  v' || chr(9) || text
+           || ' fin' || chr(1) || 'ale'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' mail u' || doc_id || '@ex' || (doc_id % 7) || '.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' site http://h' || doc_id || '.io/x' ELSE '' END
+    || ' ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' tel +1 (555) 010-' || (1000 + doc_id % 9000)
+            ELSE '' END AS t
+  FROM documents),
+p1 AS (SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+              '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+              '\s+', ' ', 'g')) AS t
+       FROM p0),
+p2 AS (SELECT doc_id,
+         regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t FROM p1),
+p3 AS (SELECT doc_id,
+         regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t FROM p2),
+p4 AS (SELECT doc_id,
+         regexp_replace(t, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+       FROM p3),
+p5 AS (SELECT doc_id,
+         regexp_replace(t, '\+?\d[\d().\-\s]{7,}\d', '<PHONE>', 'g') AS t
+       FROM p4),
+p6 AS (SELECT doc_id, t FROM p5
+       WHERE len(regexp_extract_all(t, '\w+')) >= 20),
+spans AS (
+  SELECT doc_id, unnest(string_split(t, ' table ')) AS s,
+         generate_subscripts(string_split(t, ' table '), 1) - 1 AS pos
+  FROM p6),
+marked AS (
+  SELECT doc_id, s, pos,
+         s <> '' AND row_number() OVER (
+             PARTITION BY s ORDER BY doc_id, pos) > 1 AS cut
+  FROM spans),
+p7 AS (
+  SELECT doc_id,
+         coalesce(string_agg(s, ' table ' ORDER BY pos)
+                  FILTER (WHERE NOT cut), '') AS t,
+         count(*) FILTER (WHERE cut) AS removed_spans
+  FROM marked GROUP BY doc_id),
+p8 AS (SELECT * FROM p7
+       QUALIFY row_number() OVER (PARTITION BY t ORDER BY doc_id) = 1),
+evtoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(t), '\w+'), 1) AS i
+  FROM p5 WHERE doc_id % 97 = 0),
+evg AS (
+  SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM evtoks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+evshort AS (
+  SELECT string_agg(tok, ' ' ORDER BY i) AS gram
+  FROM evtoks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
+ev AS (SELECT DISTINCT gram FROM
+       (SELECT gram FROM evg UNION ALL SELECT gram FROM evshort)),
+dtoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(t), '\w+')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(t), '\w+'), 1) AS i
+  FROM p8),
+dg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS gram
+  FROM dtoks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+dshort AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS gram
+  FROM dtoks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
+dall AS (SELECT * FROM dg UNION ALL SELECT * FROM dshort),
+cont AS (
+  SELECT doc_id, count(*) AS total,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM ev)) AS c
+  FROM dall GROUP BY doc_id),
+p9 AS (
+  -- frac <= 0.2 computed as the SAME double division as the Ray side
+  SELECT p8.* FROM p8 LEFT JOIN cont ON cont.doc_id = p8.doc_id
+  WHERE CASE WHEN COALESCE(cont.total, 0) > 0
+             THEN COALESCE(cont.c, 0) / CAST(cont.total AS DOUBLE)
+             ELSE 0 END <= 0.2)
+SELECT doc_id, t AS text, removed_spans,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+       len(regexp_extract_all(t, '\w+')) AS n_tokens
+FROM (SELECT *, md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+                  % 1000000 AS b
+      FROM p9)""",
     }
     return sql
 

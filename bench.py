@@ -210,6 +210,7 @@ def run_queries() -> dict:
         "doc_span_dedup": _q_span_dedup,
         "doc_decontam": _q_decontam,
         "emb_kmeans": _q_kmeans,
+        "doc_pipeline": textproc.q_doc_pipeline,
     }
     out = {}
     for name, fn in picks.items():

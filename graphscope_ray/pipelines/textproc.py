@@ -413,6 +413,54 @@ def q_doc_classifier(sf_dir: str) -> ray.data.Dataset:
     return scored.map_batches(fmt, batch_format="pandas")
 
 
+def _synth_pipeline_input(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic mess + PII decoration for the composed-pipeline
+    gate (the corpus is clean ASCII with no PII): the q_doc_normalize
+    prefix/suffix plus the q_doc_pii suffixes, keyed on doc_id so the
+    DuckDB twin reproduces it with string concatenation."""
+    d = b["doc_id"]
+    s = d.astype(str)
+    email = (" mail u" + s + "@ex" + (d % 7).astype(str) + ".com"
+             ).where(d % 2 == 0, "")
+    url = (" site http://h" + s + ".io/x").where(d % 3 == 0, "")
+    ip = " ip 10." + (d % 200).astype(str) + ".0." + (d % 250).astype(str)
+    phone = (" tel +1 (555) 010-" + (1000 + d % 9000).astype(str)
+             ).where(d % 5 == 0, "")
+    return pd.DataFrame({
+        "doc_id": d,
+        "text": "Cafe\u0301  v\t" + b["text"] + " fin\x01ale"
+                + email + url + ip + phone,
+    })
+
+
+def q_doc_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """The composed corpus-preparation pipeline end to end
+    (pipelines/corpus_prep.prepare_corpus): normalize → PII scrub →
+    ≥20-token filter → span dedup (" table " separators) → exact dedup
+    → decontamination vs the doc_id % 97 == 0 eval set → 80/10/10
+    split. Output (doc_id, text, removed_spans, split, n_tokens) of the
+    surviving corpus — exact vs the DuckDB twin that nests the stage
+    twins in the same order, so one hash check pins the whole chain
+    (stage order, text threading, filter interplay), not just each
+    stage in isolation.
+
+    max_contamination=0.2: the synthesized PII tails scrub to
+    placeholder tokens shared by EVERY doc, so the strict any-hit
+    policy would drop all but a handful of rows (a vacuous gate); 0.2
+    rides above that floor and still drops the eval docs themselves
+    (frac ≈ 1) plus genuine heavy quoters."""
+    from graphscope_ray.pipelines.corpus_prep import prepare_corpus
+
+    synth = _docs(sf_dir).map_batches(_synth_pipeline_input,
+                                      batch_format="pandas")
+    ev = synth.map_batches(
+        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
+        batch_format="pandas")
+    return prepare_corpus(synth, benchmark=ev, min_tokens=20,
+                          span_sep=" table ", decontam_n=3,
+                          max_contamination=0.2)
+
+
 def q_emb_kmeans(sf_dir: str) -> ray.data.Dataset:
     """Spherical k-means domain discovery over the embeddings table
     (stages/similarity.kmeans, k=8, 5 Lloyd iterations): (vec_id,

@@ -65,6 +65,7 @@ def normalize_text(
     ds: ray.data.Dataset,
     text_col: str = "text",
     form: str = "NFC",
+    keep_newlines: bool = False,
 ) -> ray.data.Dataset:
     """Unicode-normalize (NFC by default), strip control characters,
     collapse whitespace runs to single spaces, and trim — the standard
@@ -73,7 +74,13 @@ def normalize_text(
     ONLY to non-ASCII strings (``pc.string_is_ascii`` gate — for code /
     English corpora the slow path touches a few percent of rows)
     because this pyarrow build's ``utf8_normalize`` decomposes but
-    never re-composes (NFC(a+U+0301) stays two codepoints)."""
+    never re-composes (NFC(a+U+0301) stays two codepoints).
+
+    ``keep_newlines=True`` preserves line structure: a whitespace run
+    CONTAINING a newline collapses to one ``\\n``, a purely horizontal
+    run to one space — required when a downstream stage keys on line
+    boundaries (``paragraph_dedup`` with the default ``sep="\\n"``
+    would otherwise see every normalized document as a single span)."""
     import unicodedata
 
     def f(t: pa.Table) -> pa.Table:
@@ -91,7 +98,11 @@ def normalize_text(
                     vals.iloc[i] = unicodedata.normalize(form, s)
             col = pa.array(vals, type=col.type)
         col = pc.replace_substring_regex(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
-        col = pc.replace_substring_regex(col, r"\s+", " ")
+        if keep_newlines:
+            col = pc.replace_substring_regex(col, r"\s*\n\s*", "\n")
+            col = pc.replace_substring_regex(col, r"[^\S\n]+", " ")
+        else:
+            col = pc.replace_substring_regex(col, r"\s+", " ")
         col = pc.utf8_trim_whitespace(col)
         return t.set_column(t.column_names.index(text_col), text_col, col)
 

@@ -138,6 +138,7 @@ def test_corpus_prep_gate_twins_small():
     from graphscope_ray.pipelines.textproc import (
         q_doc_classifier,
         q_doc_decontam,
+        q_doc_pipeline,
         q_doc_span_dedup,
     )
 
@@ -145,7 +146,8 @@ def test_corpus_prep_gate_twins_small():
     sqls = entrymod.oracle_sql()
     for name, q in (("doc_span_dedup", q_doc_span_dedup),
                     ("doc_decontam", q_doc_decontam),
-                    ("doc_classifier", q_doc_classifier)):
+                    ("doc_classifier", q_doc_classifier),
+                    ("doc_pipeline", q_doc_pipeline)):
         got = q(SF).to_pandas()
         want = con.sql(sqls[name]).df()
         got = got[sorted(got.columns)]
