@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngrams": textproc.q_doc_ngrams,
         "doc_classifier": textproc.q_doc_classifier,
         "emb_kmeans": textproc.q_emb_kmeans,
+        "emb_pca": textproc.q_emb_pca,
         # the composed corpus-preparation pipeline (normalize → scrub →
         # filter → span dedup → exact dedup → decontaminate → split) —
         # one exact twin pins the whole chain's stage order and text

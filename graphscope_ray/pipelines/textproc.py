@@ -461,6 +461,33 @@ def q_doc_pipeline(sf_dir: str) -> ray.data.Dataset:
                           max_contamination=0.2)
 
 
+def q_emb_pca(sf_dir: str) -> ray.data.Dataset:
+    """Distributed PCA over the embeddings table
+    (stages/similarity.pca_fit/pca_transform — one streaming
+    covariance-partial pass, d×d eigh on the driver, broadcast
+    projection): (vec_id, p0, p1, p2) 5dp fixed strings. Driver-side
+    eigendecomposition has no SQL twin (rows-only gate); numpy parity,
+    determinism and reconstruction contracts are pinned in pytest
+    (tests/test_decontam_kmeans.py)."""
+    from graphscope_ray.stages.similarity import pca_fit, pca_transform
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    model = pca_fit(emb, n_components=3)
+    out = pca_transform(emb, model)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        P = np.stack(b["pca"].to_numpy())
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "p0": _fx(P[:, 0], 5),
+            "p1": _fx(P[:, 1], 5),
+            "p2": _fx(P[:, 2], 5),
+        })
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_emb_kmeans(sf_dir: str) -> ray.data.Dataset:
     """Spherical k-means domain discovery over the embeddings table
     (stages/similarity.kmeans, k=8, 5 Lloyd iterations): (vec_id,

@@ -301,3 +301,72 @@ def kmeans(
         lambda b: pd.DataFrame({"s": [np.sum(1.0 - b["_cos"].to_numpy())]}),
         batch_format="pandas").to_pandas()["s"].sum())
     return assigned.drop_columns(["_cos"]), C, inertia
+
+
+def pca_fit(
+    ds: ray.data.Dataset,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Fit PCA over an embedding column in ONE streaming pass: each
+    block emits a (n, Σx, XᵀX) partial — d+1 rows of d floats, never
+    the vectors — reduced on the driver in sorted order of each
+    block's min id (block arrival order cannot change the float sums,
+    so two runs give bit-identical components). The d×d covariance
+    eigendecomposition happens once on the driver (d is the embedding
+    width — tiny by contract; the corpus side stays distributed).
+
+    Sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive — eigh's sign freedom
+    removed, components canonical. Returns ``{"mean", "components"
+    (n_components × d, eigenvalue-descending), "explained_variance"}``
+    suitable for ``ray.put`` into :func:`pca_transform`."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "bkey": [np.int64(b[id_col].to_numpy(np.int64).min())],
+            "n": [np.int64(len(X))],
+            "s": [X.sum(axis=0)],
+            "ss": [X.T @ X],
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas().sort_values("bkey", kind="mergesort"))
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return {"mean": mean, "components": comps,
+            "explained_variance": np.maximum(evals[order], 0.0)}
+
+
+def pca_transform(
+    ds: ray.data.Dataset,
+    model: "dict | ray.ObjectRef",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> ray.data.Dataset:
+    """Project the embedding column onto the fitted components —
+    ``out_col`` = (x − mean) · componentsᵀ per row, one stateless
+    vectorized batch matmul; the model ships once via the object
+    store."""
+    ref = model if isinstance(model, ray.ObjectRef) else ray.put(model)
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = _resolve(ref)
+        X = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        P = (X - m["mean"]) @ m["components"].T
+        b = b.copy()
+        b[out_col] = list(P)
+        return b
+
+    return ds.map_batches(f, batch_format="pandas")

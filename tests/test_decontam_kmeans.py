@@ -194,3 +194,76 @@ def test_kmeans_empty_cluster_keeps_centroid():
         {"vec_id": np.arange(3), "embedding": list(V)}))
     _, C, _ = kmeans(ds, iters=3, init=C0)
     assert np.allclose(C[1], [-1.0, 0.0])
+
+
+# ------------------------------------------------------------------
+# PCA (streaming covariance partials -> driver eigh)
+# ------------------------------------------------------------------
+
+def _pca_data(seed=11, n=400, d=12):
+    """Anisotropic gaussian: variance concentrated in a few planted
+    directions so component ordering is unambiguous."""
+    rng = np.random.default_rng(seed)
+    scales = np.array([8, 5, 3] + [0.5] * (d - 3))
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    X = (rng.normal(size=(n, d)) * scales) @ basis.T + rng.normal(size=d)
+    return pd.DataFrame({"vec_id": np.arange(n),
+                         "embedding": list(X.astype(np.float64))})
+
+
+def test_pca_matches_numpy():
+    from graphscope_ray.stages.similarity import pca_fit, pca_transform
+
+    df = _pca_data()
+    X = np.stack(df["embedding"].to_numpy())
+    ds = ray.data.from_pandas(df).repartition(5)
+    m = pca_fit(ds, n_components=4)
+
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    want = evecs[:, order].T
+    want *= np.sign(want[np.arange(4), np.abs(want).argmax(axis=1)])[:, None]
+    assert np.allclose(m["components"], want, atol=1e-9)
+    assert np.allclose(m["explained_variance"], evals[order], atol=1e-9)
+    # variance ordering is descending
+    assert (np.diff(m["explained_variance"]) <= 1e-12).all()
+
+    out = pca_transform(ds, m).to_pandas().sort_values("vec_id")
+    P = np.stack(out["pca"].to_numpy())
+    wantP = (X - X.mean(axis=0)) @ want.T
+    assert np.allclose(P, wantP, atol=1e-9)
+    # projection decorrelates: off-diagonal covariance ~ 0
+    pc = np.cov(P, rowvar=False, bias=True)
+    assert np.allclose(pc - np.diag(np.diag(pc)), 0, atol=1e-6)
+
+
+def test_pca_deterministic_and_partition_stable():
+    from graphscope_ray.stages.similarity import pca_fit
+
+    df = _pca_data(seed=5)
+    ds3 = ray.data.from_pandas(df).repartition(3)
+    m1 = pca_fit(ds3, n_components=3)
+    m2 = pca_fit(ds3, n_components=3)
+    # same blocks -> bit-identical (bkey-sorted reduce)
+    assert (m1["components"] == m2["components"]).all()
+    assert (m1["mean"] == m2["mean"]).all()
+    # different partitioning -> same subspace to float tolerance
+    m7 = pca_fit(ray.data.from_pandas(df).repartition(7), n_components=3)
+    assert np.allclose(m1["components"], m7["components"], atol=1e-9)
+
+
+def test_pca_reconstruction_improves_with_k():
+    from graphscope_ray.stages.similarity import pca_fit, pca_transform
+
+    df = _pca_data(seed=8)
+    X = np.stack(df["embedding"].to_numpy())
+    ds = ray.data.from_pandas(df).repartition(4)
+    errs = []
+    for k in (1, 3, 6):
+        m = pca_fit(ds, n_components=k)
+        out = pca_transform(ds, m).to_pandas().sort_values("vec_id")
+        P = np.stack(out["pca"].to_numpy())
+        recon = P @ m["components"] + m["mean"]
+        errs.append(float(((X - recon) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
