@@ -461,6 +461,24 @@ def q_doc_pipeline(sf_dir: str) -> ray.data.Dataset:
                           max_contamination=0.2)
 
 
+def q_doc_bpe_merges(sf_dir: str) -> ray.data.Dataset:
+    """Distributed BPE tokenizer training over the documents table
+    (functions/tokenizer.train_bpe — word-frequency shuffle once, then
+    one streaming pair-count pass per merge): (rank, a, b) for 40
+    learned merges. The merge loop's argmax has no tractable SQL twin
+    (rows-only gate); exact parity with the sequential Sennrich
+    reference algorithm is pinned in pytest (tests/test_tokenizer.py),
+    including the deterministic (count desc, pair asc) tie-break."""
+    from graphscope_ray.functions.tokenizer import train_bpe
+
+    model = train_bpe(_docs(sf_dir), num_merges=40)
+    return ray.data.from_pandas(pd.DataFrame({
+        "rank": np.arange(len(model["merges"]), dtype=np.int64),
+        "a": [a for a, _ in model["merges"]],
+        "b": [b for _, b in model["merges"]],
+    }))
+
+
 def q_emb_pca(sf_dir: str) -> ray.data.Dataset:
     """Distributed PCA over the embeddings table
     (stages/similarity.pca_fit/pca_transform — one streaming
