@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": textproc.q_emb_kmeans,
         "emb_pca": textproc.q_emb_pca,
         "doc_bpe_merges": textproc.q_doc_bpe_merges,
+        "doc_dsir": textproc.q_doc_dsir,
         # the composed corpus-preparation pipeline (normalize → scrub →
         # filter → span dedup → exact dedup → decontaminate → split) —
         # one exact twin pins the whole chain's stage order and text

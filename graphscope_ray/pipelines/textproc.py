@@ -461,6 +461,33 @@ def q_doc_pipeline(sf_dir: str) -> ray.data.Dataset:
                           max_contamination=0.2)
 
 
+def q_doc_dsir(sf_dir: str) -> ray.data.Dataset:
+    """DSIR importance log-weights of every document against the
+    doc_id % 97 == 0 target set (stages/dsir: hashed-n-gram bucket
+    distributions fitted in one streaming pass each, broadcast
+    log-ratio scoring): (doc_id, dsir_logw 5dp). Hash-bucket features
+    have no SQL twin (rows-only gate); replica exactness, partition
+    invariance and planted-topic selection are pinned in pytest
+    (tests/test_dsir.py)."""
+    from graphscope_ray.stages.dsir import dsir_log_weights, fit_hashed_ngram_dist
+
+    docs = _docs(sf_dir)
+    target = docs.map_batches(
+        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
+        batch_format="pandas")
+    pt = fit_hashed_ngram_dist(target)
+    pr = fit_hashed_ngram_dist(docs)
+    out = dsir_log_weights(docs, pt, pr)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "dsir_logw": _fx(b["dsir_logw"].to_numpy(np.float64), 5),
+        })
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_doc_bpe_merges(sf_dir: str) -> ray.data.Dataset:
     """Distributed BPE tokenizer training over the documents table
     (functions/tokenizer.train_bpe — word-frequency shuffle once, then
