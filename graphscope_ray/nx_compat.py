@@ -621,3 +621,31 @@ def asyn_fluidc(G: Graph, k: int) -> list:
         if c >= 0:
             comps.setdefault(c, set()).add(v)
     return [comps[i] for i in sorted(comps)]
+
+
+def random_walks(G: Graph, walk_length: int, num_walks: int = 1,
+                 p: float = 1.0, q: float = 1.0, seed: int = 42) -> list:
+    """node2vec/DeepWalk walks as node-label lists, sorted."""
+    g = G._graph()
+    ds = _sess_mod.random_walks(g, walk_length, num_walks=num_walks,
+                                p=p, q=q, seed=seed)
+    m = _vidmap(g)
+    return sorted(_nodes_of(m, (int(x) for x in r["path"].split(",")))
+                  for r in ds.take_all())
+
+
+def all_simple_edge_paths(G: Graph, source, target_nodes,
+                          cutoff: int | None = None) -> list:
+    """Edge-tuple form of all_simple_paths
+    (reference nx/algorithms/builtin.py:933; single node or iterable
+    targets, networkx default cutoff = n-1)."""
+    if cutoff is None:
+        cutoff = G.number_of_nodes() - 1
+    if isinstance(target_nodes, (list, tuple, set, frozenset)):
+        targets = list(target_nodes)
+    else:
+        targets = [target_nodes]
+    paths = []
+    for t in targets:
+        paths.extend(all_simple_paths(G, source, t, cutoff))
+    return sorted(list(zip(pth[:-1], pth[1:])) for pth in paths)

@@ -1,0 +1,414 @@
+"""DeepWalk / node2vec random-walk corpus generation.
+
+The reference's learning engine feeds GNN/embedding training from
+sampled walks over the property graph (GLE sampling surface; the
+analytical engine's seeded-walk precedent is
+``apps/sampling_path/sampling_path.h:142``). This module generates the
+classic skip-gram walk corpus distributedly:
+
+- **DeepWalk** (p = q = 1): uniform next-hop, one bucketed co-group
+  shuffle per level (walks co-located with their current vertex's
+  out-arcs), pick by seeded hash — deterministic, partition-invariant,
+  no RNG state to ship.
+- **node2vec** (Grover & Leskovec 2016): the 2nd-order bias needs, for
+  every candidate x of a walk at (prev -> cur), whether (prev, x) is an
+  edge. That membership test is itself distributed — a second bucketed
+  co-group keyed (prev, x) against the arc table — so no worker ever
+  holds a global adjacency set. Weighted sampling without replacement
+  is the deterministic exponential race: r = -log(u)/w with u a seeded
+  hash uniform; the min-r candidate wins (ties by candidate id).
+
+Every pick is a pure function of (walk id, level, candidate, seed), so
+re-runs, retries and any partitioning produce identical walks — pinned
+replica-exact against a sequential pure-python oracle in
+``tests/test_walks.py``.
+
+Scale notes: per level the shuffle volume is O(frontier x avg-degree)
+candidate rows (int64s + the growing path string); node2vec adds one
+more co-group of the same volume against the arcs. Walks that hit a
+dead end (directed sinks) finish early and are carried to the output
+with their shorter path, matching node2vec's reference implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from graphscope_ray.functions.hashing import hash64_any
+from graphscope_ray.pipelines.paths import _arc_table
+from graphscope_ray.stages.relational import bucketed_group_apply
+
+_FNV = np.uint64(1099511628211)
+
+
+def _walk_uniform(walk: np.ndarray, level: int, cand: np.ndarray,
+                  seed: int) -> np.ndarray:
+    """Deterministic u in (0, 1) per (walk, level, candidate, seed)."""
+    with np.errstate(over="ignore"):
+        h = (hash64_any(walk.astype(np.int64) * np.int64(1000003)
+                        + np.int64(level))
+             * _FNV) ^ hash64_any(cand.astype(np.int64) + np.int64(seed))
+    return (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+
+
+def _race_keys(walk: np.ndarray, level: int, cand: np.ndarray,
+               weight: np.ndarray, seed: int) -> np.ndarray:
+    """Exponential race: min of -log(u)/w samples proportionally to w."""
+    u = _walk_uniform(walk, level, cand, seed)
+    return -np.log(u) / weight
+
+
+def _empty_frontier() -> pd.DataFrame:
+    return pd.DataFrame({
+        "walk": pd.Series([], dtype=np.int64),
+        "path": pd.Series([], dtype=str),
+        "prev": pd.Series([], dtype=np.int64),
+        "last": pd.Series([], dtype=np.int64),
+        "done": pd.Series([], dtype=np.int8),
+    })
+
+
+def _schema_clean(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    walk_length: int,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    directed: bool = False,
+    starts: ray.data.Dataset | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """``num_walks`` walks of up to ``walk_length`` edges from every
+    start vertex (default: every endpoint in the edge table), with
+    node2vec return/in-out parameters ``p``/``q`` (1, 1 = DeepWalk).
+
+    Returns ``(walk, start, path)`` — walk id ``start-vid * num_walks
+    + replica-index``, path a ","-joined vid string. Walks stopping at
+    a dead end keep their shorter path.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    arcs = _arc_table(edges, directed).map_batches(
+        _schema_clean, batch_format="pyarrow")
+    if starts is None:
+        def endpoints(t: pa.Table) -> pa.Table:
+            v = np.unique(np.concatenate([
+                t.column("src").to_numpy(zero_copy_only=False),
+                t.column("dst").to_numpy(zero_copy_only=False)]))
+            return pa.table({"vid": v.astype(np.int64)})
+        starts = (edges.select_columns(["src", "dst"])
+                  .map_batches(endpoints, batch_format="pyarrow")
+                  .groupby("vid").map_groups(
+                      lambda g: g.head(1), batch_format="pandas"))
+
+    def seed_walks(t: pa.Table) -> pa.Table:
+        v = t.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.repeat(v, num_walks)
+        rep = np.tile(np.arange(num_walks, dtype=np.int64),
+                      t.num_rows)
+        return pa.table({
+            "walk": v * np.int64(num_walks) + rep,
+            "path": pa.array([str(int(x)) for x in v], pa.string()),
+            "prev": pa.array(np.full(len(v), -1, np.int64)),
+            "last": pa.array(v),
+            "done": pa.array(np.zeros(len(v), np.int8)),
+        })
+
+    frontier = starts.map_batches(seed_walks, batch_format="pyarrow")
+    finished: list[ray.data.Dataset] = []
+    biased = not (p == 1.0 and q == 1.0)
+
+    for level in range(walk_length):
+        # ---- phase A: candidates = frontier co-grouped with out-arcs
+        def tag_front(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t.column("last"),
+                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "walk": t.column("walk"),
+                "path": t.column("path"),
+                "prev": t.column("prev"),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            })
+
+        def tag_arcs(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t.column("src").cast(pa.int64()),
+                "dst": t.column("dst").cast(pa.int64()),
+                "walk": pa.array(np.zeros(t.num_rows, np.int64)),
+                "path": pa.nulls(t.num_rows, pa.string()),
+                "prev": pa.array(np.zeros(t.num_rows, np.int64)),
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        tagged = (frontier.map_batches(tag_front, batch_format="pyarrow")
+                  .union(arcs.map_batches(tag_arcs,
+                                          batch_format="pyarrow")))
+
+        if not biased:
+            # uniform pick fused into the expansion co-group: ONE
+            # shuffle per level, like sampling_path
+            def pick_uniform(g: pd.DataFrame, lvl=level) -> pd.DataFrame:
+                f = g[g["side"] == 1][["key", "walk", "path", "prev"]]
+                a = g[g["side"] == 0][["key", "dst"]]
+                if not len(f):
+                    return _empty_frontier()
+                b = f.merge(a, on="key")
+                out = []
+                if len(b):
+                    w = np.ones(len(b), np.float64)
+                    r = _race_keys(b["walk"].to_numpy(np.int64), lvl,
+                                   b["dst"].to_numpy(np.int64), w, seed)
+                    b = b.assign(_r=r).sort_values(
+                        ["walk", "_r", "dst"], kind="mergesort")
+                    b = b.drop_duplicates("walk", keep="first")
+                    out.append(pd.DataFrame({
+                        "walk": b["walk"].to_numpy(np.int64),
+                        "path": (b["path"] + ","
+                                 + b["dst"].astype(np.int64).astype(str)),
+                        "prev": b["key"].to_numpy(np.int64),
+                        "last": b["dst"].to_numpy(np.int64),
+                        "done": np.zeros(len(b), np.int8),
+                    }))
+                dead = f[~f["walk"].isin(
+                    b["walk"] if len(b) else [])]
+                if len(dead):
+                    out.append(pd.DataFrame({
+                        "walk": dead["walk"].to_numpy(np.int64),
+                        "path": dead["path"].astype(str),
+                        "prev": dead["prev"].to_numpy(np.int64),
+                        "last": dead["key"].to_numpy(np.int64),
+                        "done": np.ones(len(dead), np.int8),
+                    }))
+                return (pd.concat(out, ignore_index=True)
+                        if out else _empty_frontier())
+
+            stepped = bucketed_group_apply(tagged, ["key"], pick_uniform,
+                                           num_buckets=num_buckets)
+        else:
+            # expansion first (no pick yet): all candidates survive
+            def expand(g: pd.DataFrame) -> pd.DataFrame:
+                f = g[g["side"] == 1][["key", "walk", "path", "prev"]]
+                a = g[g["side"] == 0][["key", "dst"]]
+                if not len(f):
+                    return pd.DataFrame({
+                        "walk": pd.Series([], dtype=np.int64),
+                        "path": pd.Series([], dtype=str),
+                        "prev": pd.Series([], dtype=np.int64),
+                        "cur": pd.Series([], dtype=np.int64),
+                        "cand": pd.Series([], dtype=np.int64),
+                        "dead": pd.Series([], dtype=np.int8)})
+                # inner merge keeps int64 exact (a left-merge's NaN
+                # would float64-round vids above 2^53); dead walks are
+                # the anti-set
+                b = f.merge(a, on="key")
+                dead = f[~f["walk"].isin(b["walk"])]
+                return pd.concat([
+                    pd.DataFrame({
+                        "walk": b["walk"].to_numpy(np.int64),
+                        "path": b["path"].astype(str),
+                        "prev": b["prev"].to_numpy(np.int64),
+                        "cur": b["key"].to_numpy(np.int64),
+                        "cand": b["dst"].to_numpy(np.int64),
+                        "dead": np.zeros(len(b), np.int8),
+                    }),
+                    pd.DataFrame({
+                        "walk": dead["walk"].to_numpy(np.int64),
+                        "path": dead["path"].astype(str),
+                        "prev": dead["prev"].to_numpy(np.int64),
+                        "cur": dead["key"].to_numpy(np.int64),
+                        "cand": np.full(len(dead), -1, np.int64),
+                        "dead": np.ones(len(dead), np.int8),
+                    }),
+                ], ignore_index=True)
+
+            cands = bucketed_group_apply(tagged, ["key"], expand,
+                                         num_buckets=num_buckets)
+
+            # ---- phase B: mark (prev, cand) edge membership by a
+            # second co-group against the arc table (no global set)
+            def tag_cand(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "k1": t.column("prev"),
+                    "k2": t.column("cand"),
+                    "walk": t.column("walk"),
+                    "path": t.column("path"),
+                    "cur": t.column("cur"),
+                    "dead": t.column("dead"),
+                    "side": pa.array(np.ones(t.num_rows, np.int8)),
+                })
+
+            def tag_arcs2(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "k1": t.column("src").cast(pa.int64()),
+                    "k2": t.column("dst").cast(pa.int64()),
+                    "walk": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "path": pa.nulls(t.num_rows, pa.string()),
+                    "cur": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "dead": pa.array(np.zeros(t.num_rows, np.int8)),
+                    "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                })
+
+            tagged2 = (cands.map_batches(tag_cand, batch_format="pyarrow")
+                       .union(arcs.map_batches(tag_arcs2,
+                                               batch_format="pyarrow")))
+
+            def mark(g: pd.DataFrame) -> pd.DataFrame:
+                c = g[g["side"] == 1]
+                if not len(c):
+                    return pd.DataFrame({
+                        "walk": pd.Series([], dtype=np.int64),
+                        "path": pd.Series([], dtype=str),
+                        "prev": pd.Series([], dtype=np.int64),
+                        "cur": pd.Series([], dtype=np.int64),
+                        "cand": pd.Series([], dtype=np.int64),
+                        "dead": pd.Series([], dtype=np.int8),
+                        "is_edge": pd.Series([], dtype=np.int8)})
+                a = g[g["side"] == 0][["k1", "k2"]].drop_duplicates()
+                a = a.assign(is_edge=np.int8(1))
+                b = c.merge(a, on=["k1", "k2"], how="left")
+                return pd.DataFrame({
+                    "walk": b["walk"].to_numpy(np.int64),
+                    "path": b["path"].astype(str),
+                    "prev": b["k1"].to_numpy(np.int64),
+                    "cur": b["cur"].to_numpy(np.int64),
+                    "cand": b["k2"].to_numpy(np.int64),
+                    "dead": b["dead"].to_numpy(np.int8),
+                    "is_edge": b["is_edge"].fillna(0).to_numpy(np.int8),
+                })
+
+            marked = bucketed_group_apply(tagged2, ["k1", "k2"], mark,
+                                          num_buckets=num_buckets)
+
+            # ---- phase C: per-walk weighted pick (third co-group)
+            def pick_biased(g: pd.DataFrame, lvl=level) -> pd.DataFrame:
+                g = g[g["walk"].notna()]
+                if not len(g):
+                    return _empty_frontier()
+                dead = g[g["dead"] == 1]
+                live = g[g["dead"] == 0]
+                out = []
+                if len(live):
+                    cand = live["cand"].to_numpy(np.int64)
+                    prev = live["prev"].to_numpy(np.int64)
+                    first = prev < 0  # level 0: uniform by contract
+                    w = np.where(
+                        first, 1.0,
+                        np.where(cand == prev, 1.0 / p,
+                                 np.where(live["is_edge"].to_numpy(
+                                     np.int8) == 1, 1.0, 1.0 / q)))
+                    r = _race_keys(live["walk"].to_numpy(np.int64), lvl,
+                                   cand, w, seed)
+                    b = live.assign(_r=r).sort_values(
+                        ["walk", "_r", "cand"], kind="mergesort")
+                    b = b.drop_duplicates("walk", keep="first")
+                    out.append(pd.DataFrame({
+                        "walk": b["walk"].to_numpy(np.int64),
+                        "path": (b["path"] + ","
+                                 + b["cand"].astype(np.int64).astype(str)),
+                        "prev": b["cur"].to_numpy(np.int64),
+                        "last": b["cand"].to_numpy(np.int64),
+                        "done": np.zeros(len(b), np.int8),
+                    }))
+                if len(dead):
+                    out.append(pd.DataFrame({
+                        "walk": dead["walk"].to_numpy(np.int64),
+                        "path": dead["path"].astype(str),
+                        "prev": dead["prev"].to_numpy(np.int64),
+                        "last": dead["cur"].to_numpy(np.int64),
+                        "done": np.ones(len(dead), np.int8),
+                    }))
+                return (pd.concat(out, ignore_index=True)
+                        if out else _empty_frontier())
+
+            stepped = bucketed_group_apply(marked, ["walk"], pick_biased,
+                                           num_buckets=num_buckets)
+
+        stepped = stepped.materialize()
+
+        def split(flag):
+            def f(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.equal(t.column("done"), flag))
+            return f
+
+        done = stepped.map_batches(split(1), batch_format="pyarrow")
+        if done.count():
+            finished.append(done.materialize())
+        frontier = stepped.map_batches(split(0),
+                                       batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+
+    parts = finished + [frontier]
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+
+    def finish(t: pa.Table) -> pa.Table:
+        walk = t.column("walk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "walk": pa.array(walk.astype(np.int64)),
+            "start": pa.array((walk // np.int64(num_walks))
+                              .astype(np.int64)),
+            "path": t.column("path"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def reference_random_walks(edge_pairs, walk_length, num_walks=1,
+                           p=1.0, q=1.0, seed=42, directed=False,
+                           starts=None) -> dict[int, list[int]]:
+    """Sequential oracle implementing the identical deterministic pick
+    (same hash, same race) — the distributed result must match EXACTLY
+    at any partitioning."""
+    adj: dict[int, list[int]] = {}
+    eset = set()
+    for u, v in edge_pairs:
+        adj.setdefault(int(u), []).append(int(v))
+        eset.add((int(u), int(v)))
+        if not directed:
+            adj.setdefault(int(v), []).append(int(u))
+            eset.add((int(v), int(u)))
+    if starts is None:
+        starts = sorted({x for uv in edge_pairs for x in uv})
+    out = {}
+    for s in starts:
+        for i in range(num_walks):
+            wid = int(s) * num_walks + i
+            path = [int(s)]
+            prev = -1
+            for lvl in range(walk_length):
+                cur = path[-1]
+                cands = sorted(set(adj.get(cur, [])))
+                if not cands:
+                    break
+                best, best_r = None, None
+                for c in cands:
+                    if prev < 0:
+                        w = 1.0
+                    elif c == prev:
+                        w = 1.0 / p
+                    elif (prev, c) in eset:
+                        w = 1.0
+                    else:
+                        w = 1.0 / q
+                    r = float(_race_keys(
+                        np.array([wid], np.int64), lvl,
+                        np.array([c], np.int64),
+                        np.array([w], np.float64), seed)[0])
+                    if best is None or (r, c) < (best_r, best):
+                        best, best_r = c, r
+                prev = cur
+                path.append(best)
+            out[wid] = path
+    return out

@@ -770,3 +770,15 @@ def k_core_search(graph: Graph, k: int) -> int:
     """|k-core| (flash/core/k-core-search.h GlobalRes)."""
     from graphscope_ray.pipelines.algorithms import k_core_search as kcs
     return kcs(graph._pool(), k)
+
+
+def random_walks(graph: Graph, walk_length: int, num_walks: int = 1,
+                 p: float = 1.0, q: float = 1.0,
+                 seed: int = 42) -> ray.data.Dataset:
+    """DeepWalk/node2vec walk corpus: (walk, start, path) Dataset with
+    deterministic seeded picks (GLE-style embedding data prep;
+    pipelines/walks.py). p/q are the node2vec return/in-out
+    parameters; 1,1 = uniform DeepWalk."""
+    from graphscope_ray.pipelines.walks import random_walks as rw
+    return rw(graph.edges_dataset(), walk_length, num_walks=num_walks,
+              p=p, q=q, seed=seed, directed=graph.directed)

@@ -1,0 +1,137 @@
+"""random_walks (DeepWalk / node2vec corpus generation): replica-exact
+vs the sequential oracle sharing the deterministic pick, partition
+invariance, walk validity, node2vec bias direction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.pipelines.walks import (
+    random_walks,
+    reference_random_walks,
+)
+
+TRIANGLE_TAIL = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+STAR = [(0, i) for i in range(1, 6)]
+DIR_CHAIN = [(0, 1), (1, 2), (2, 3)]
+GRID = [(0, 1), (1, 2), (3, 4), (4, 5), (0, 3), (1, 4), (2, 5)]
+
+
+def _edges_ds(pairs, nparts=1):
+    df = pd.DataFrame(pairs, columns=["src", "dst"]).astype(np.int64)
+    ds = ray.data.from_pandas(df)
+    if nparts > 1:
+        ds = ds.repartition(nparts)
+    return ds
+
+
+def _as_dict(ds):
+    out = {}
+    for r in ds.take_all():
+        out[int(r["walk"])] = [int(x) for x in r["path"].split(",")]
+    return out
+
+
+@pytest.mark.parametrize("pairs,directed", [
+    (TRIANGLE_TAIL, False),
+    (STAR, False),
+    (DIR_CHAIN, True),
+    (GRID, False),
+])
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_deepwalk_replica_exact(pairs, directed, nparts):
+    got = _as_dict(random_walks(
+        _edges_ds(pairs, nparts), walk_length=4, num_walks=2,
+        seed=7, directed=directed))
+    want = reference_random_walks(
+        pairs, walk_length=4, num_walks=2, seed=7, directed=directed)
+    assert got == want
+
+
+@pytest.mark.parametrize("p,q", [(0.25, 2.0), (4.0, 0.5)])
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_node2vec_replica_exact(p, q, nparts):
+    got = _as_dict(random_walks(
+        _edges_ds(GRID, nparts), walk_length=5, num_walks=2,
+        p=p, q=q, seed=11, directed=False))
+    want = reference_random_walks(
+        GRID, walk_length=5, num_walks=2, p=p, q=q, seed=11,
+        directed=False)
+    assert got == want
+
+
+def test_walks_are_valid_and_complete():
+    pairs = TRIANGLE_TAIL
+    res = _as_dict(random_walks(_edges_ds(pairs), walk_length=6,
+                                num_walks=3, seed=3, directed=False))
+    arcs = set()
+    for u, v in pairs:
+        arcs.add((u, v))
+        arcs.add((v, u))
+    vids = sorted({x for e in pairs for x in e})
+    assert len(res) == len(vids) * 3           # every (start, replica)
+    for wid, path in res.items():
+        assert path[0] == wid // 3             # start encoded in id
+        assert len(path) == 7                  # no dead ends here
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in arcs
+
+
+def test_directed_dead_end_keeps_short_path():
+    res = _as_dict(random_walks(_edges_ds(DIR_CHAIN), walk_length=9,
+                                num_walks=1, seed=5, directed=True))
+    # vertex 3 is a sink: its walk is just [3]; all walks end at 3
+    assert res[3] == [3]
+    for path in res.values():
+        assert path[-1] == 3
+
+
+def test_node2vec_bias_direction():
+    # on an undirected path graph, tiny p (return weight 1/p huge)
+    # forces far more immediate backtracks than huge p
+    pairs = [(i, i + 1) for i in range(12)]
+    def backtracks(p):
+        res = _as_dict(random_walks(
+            _edges_ds(pairs), walk_length=6, num_walks=4, p=p, q=1.0,
+            seed=13, directed=False))
+        n = 0
+        for path in res.values():
+            n += sum(1 for i in range(2, len(path))
+                     if path[i] == path[i - 2])
+        return n
+    assert backtracks(0.01) > backtracks(100.0)
+
+
+def test_explicit_starts_and_zero_length():
+    starts = ray.data.from_pandas(
+        pd.DataFrame({"vid": np.array([2, 4], np.int64)}))
+    res = _as_dict(random_walks(_edges_ds(TRIANGLE_TAIL), walk_length=0,
+                                num_walks=1, starts=starts, seed=1))
+    assert res == {2: [2], 4: [4]}
+
+
+def test_surfaces_walks_and_edge_paths():
+    from graphscope_ray import nx_compat as gnx
+    G = gnx.Graph([(1, 2), (2, 3), (3, 1), (3, 4)])
+    walks = gnx.random_walks(G, walk_length=3, num_walks=1, seed=9)
+    assert len(walks) == 4
+    arcs = {(1, 2), (2, 3), (3, 1), (3, 4)}
+    arcs |= {(b, a) for a, b in arcs}
+    for w in walks:
+        for a, b in zip(w, w[1:]):
+            assert (a, b) in arcs
+    # string nodes relabel round-trip
+    Gs = gnx.Graph([("a", "b"), ("b", "c")])
+    ws = gnx.random_walks(Gs, walk_length=2, num_walks=1, seed=9)
+    assert {w[0] for w in ws} == {"a", "b", "c"}
+
+    import networkx as nx
+    ref = nx.Graph([(1, 2), (2, 3), (3, 1), (3, 4)])
+    want = sorted(nx.all_simple_edge_paths(ref, 1, 4))
+    got = gnx.all_simple_edge_paths(G, 1, 4)
+    assert got == want
+    # iterable targets + explicit cutoff
+    want2 = sorted(list(p) for t in [2, 4]
+                   for p in nx.all_simple_edge_paths(ref, 1, t, cutoff=2))
+    assert gnx.all_simple_edge_paths(G, 1, [2, 4], cutoff=2) == want2
