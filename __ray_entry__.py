@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": textproc.q_emb_pca,
         "doc_bpe_merges": textproc.q_doc_bpe_merges,
         "doc_dsir": textproc.q_doc_dsir,
+        # SemDeDup (k-means + within-cluster cosine dedup) over the
+        # id-shifted duplicated embeddings — rows-only (iterative
+        # k-means), keep rule replica-exact in pytest.
+        "emb_semdedup": textproc.q_emb_semdedup,
         # the composed corpus-preparation pipeline (normalize → scrub →
         # filter → span dedup → exact dedup → decontaminate → split) —
         # one exact twin pins the whole chain's stage order and text

@@ -546,3 +546,28 @@ def q_emb_kmeans(sf_dir: str) -> ray.data.Dataset:
                                 columns=["vec_id", "embedding"])
     assigned, _, _ = kmeans(emb, k=8, iters=5, seed=42)
     return assigned.select_columns(["vec_id", "centroid"])
+
+
+def q_emb_semdedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup over the embeddings table augmented with an id-shifted
+    duplicate copy (vec_id + 1_000_000) so the within-cluster dedup
+    provably fires: every (i, i+1M) pair is an exact duplicate and
+    exactly one of each pair must survive. Rows-only (iterative
+    k-means + float cosine has no tractable SQL twin); the keep rule is
+    replica-exact in pytest (tests/test_semdedup.py). Returns
+    (vec_id, centroid, keep) sorted-stable."""
+    from graphscope_ray.stages.similarity import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "vec_id": pc.add(t.column("vec_id"), 1_000_000),
+            "embedding": t.column("embedding")})
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    out = semdedup(both, k=8, eps=0.001, iters=5)
+    return out.select_columns(["vec_id", "centroid", "keep"])

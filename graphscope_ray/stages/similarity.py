@@ -370,3 +370,100 @@ def pca_transform(
         return b
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    eps: float = 0.07,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    init: np.ndarray | None = None,
+    max_cluster_rows: int = 100_000,
+    num_buckets: int = 32,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = spherical k-means clustering + within-cluster
+    cosine-duplicate removal. Pairwise similarity is only ever computed
+    INSIDE a cluster, so the quadratic term is O(Σ m_c²), not O(n²),
+    and each cluster is handled by one vectorized worker call via the
+    bucketed co-group (clusters never land on the driver).
+
+    Keep rule (the paper's, made deterministic): within a cluster,
+    order rows by (cos-to-centroid ascending, id ascending) — farthest
+    from the centroid first; a row is removed iff it has cosine
+    ≥ 1 − eps with ANY earlier row in that order. So of each duplicate
+    group the representative kept is the one least typical of the
+    cluster, matching the paper's "keep low similarity to centroid".
+
+    Clusters larger than ``max_cluster_rows`` have only their first
+    ``max_cluster_rows`` rows (in keep order) pair-checked; the rest
+    are kept and the truncation is logged — deterministic, no silent
+    cap. Size k so clusters stay far below this at corpus scale.
+
+    Returns the input Dataset + ``centroid`` (int64) and ``keep``
+    (bool) columns. Deterministic end-to-end: kmeans is bit-identical
+    across runs/partitionings and the keep rule is a pure function of
+    (similarities, ids).
+    """
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    assigned, C, _ = kmeans(ds, k=k, iters=iters, vec_col=vec_col,
+                            id_col=id_col, seed=seed, init=init)
+    tau = 1.0 - eps
+    cref = ray.put(C)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        import logging
+        Cm = _resolve(cref)
+        out = []
+        for cid, grp in g.groupby("centroid", sort=True):
+            V = _normalize(np.stack(grp[vec_col].to_numpy())
+                           .astype(np.float64))
+            cos_c = V @ Cm[int(cid)]
+            order = np.lexsort((grp[id_col].to_numpy(np.int64), cos_c))
+            grp = grp.iloc[order]
+            V = V[order]
+            m = len(grp)
+            keep = np.ones(m, bool)
+            ncheck = min(m, max_cluster_rows)
+            if m > max_cluster_rows:
+                logging.getLogger(__name__).warning(
+                    "semdedup: cluster %d has %d rows; only the first "
+                    "%d (farthest-from-centroid) pair-checked",
+                    int(cid), m, max_cluster_rows)
+            if ncheck > 1:
+                S = V[:ncheck] @ V[:ncheck].T
+                dup = np.triu(S >= tau, k=1).any(axis=0)
+                keep[:ncheck] = ~dup
+            grp = grp.copy()
+            grp["keep"] = keep
+            out.append(grp)
+        return (pd.concat(out, ignore_index=True) if out
+                else g.assign(keep=pd.Series([], dtype=bool)))
+
+    return bucketed_group_apply(assigned, ["centroid"], dedup_cluster,
+                                num_buckets=num_buckets)
+
+
+def semdedup_reference(ids, vectors, centroids, assignments,
+                       eps: float = 0.07) -> dict[int, bool]:
+    """Sequential oracle for the keep rule given a fixed clustering —
+    the distributed result must match exactly at any partitioning."""
+    ids = np.asarray(ids, np.int64)
+    V = _normalize(np.asarray(vectors, np.float64))
+    C = _normalize(np.asarray(centroids, np.float64))
+    a = np.asarray(assignments, np.int64)
+    tau = 1.0 - eps
+    keep = {}
+    for cid in np.unique(a):
+        idx = np.where(a == cid)[0]
+        cos_c = V[idx] @ C[int(cid)]
+        order = idx[np.lexsort((ids[idx], cos_c))]
+        # paper rule: compare vs ALL earlier rows in order, kept or not
+        for pos, i in enumerate(order):
+            dup = any(float(V[i] @ V[j]) >= tau for j in order[:pos])
+            keep[int(ids[i])] = not dup
+    return keep
