@@ -76,6 +76,30 @@ def _schema_clean(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def _warc_table(edges: ray.data.Dataset, directed: bool,
+                weight_col: str | None) -> ray.data.Dataset:
+    """(src, dst, w) arc view; undirected edges contribute both arcs.
+    w = 1.0 when unweighted. Weights must be > 0 (exponential race)."""
+    if weight_col is None:
+        def ones(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "w", pa.array(np.ones(t.num_rows, np.float64)))
+        return (_arc_table(edges, directed)
+                .map_batches(ones, batch_format="pyarrow"))
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column("src").cast(pa.int64()).combine_chunks()
+        d = t.column("dst").cast(pa.int64()).combine_chunks()
+        w = t.column(weight_col).cast(pa.float64()).combine_chunks()
+        if not directed:
+            s, d, w = (pa.concat_arrays([s, d]), pa.concat_arrays([d, s]),
+                       pa.concat_arrays([w, w]))
+        return pa.table({"src": s, "dst": d, "w": w})
+
+    return (edges.select_columns(["src", "dst", weight_col])
+            .map_batches(norm, batch_format="pyarrow"))
+
+
 def random_walks(
     edges: ray.data.Dataset,
     walk_length: int,
@@ -86,10 +110,16 @@ def random_walks(
     directed: bool = False,
     starts: ray.data.Dataset | None = None,
     num_buckets: int = 16,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """``num_walks`` walks of up to ``walk_length`` edges from every
     start vertex (default: every endpoint in the edge table), with
     node2vec return/in-out parameters ``p``/``q`` (1, 1 = DeepWalk).
+    With ``weight_col``, the pick probability is edge-weight × the
+    node2vec factor (node2vec's weighted-graph semantics); weights must
+    be positive, and parallel arcs to one candidate race with their
+    maximum weight (each arc row draws the same uniform, so the largest
+    weight yields the winning race key).
 
     Returns ``(walk, start, path)`` — walk id ``start-vid * num_walks
     + replica-index``, path a ","-joined vid string. Walks stopping at
@@ -97,7 +127,7 @@ def random_walks(
     """
     if walk_length < 0:
         raise ValueError("walk_length must be >= 0")
-    arcs = _arc_table(edges, directed).map_batches(
+    arcs = _warc_table(edges, directed, weight_col).map_batches(
         _schema_clean, batch_format="pyarrow")
     if starts is None:
         def endpoints(t: pa.Table) -> pa.Table:
@@ -133,6 +163,7 @@ def random_walks(
             return pa.table({
                 "key": t.column("last"),
                 "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                "w": pa.array(np.ones(t.num_rows, np.float64)),
                 "walk": t.column("walk"),
                 "path": t.column("path"),
                 "prev": t.column("prev"),
@@ -143,6 +174,7 @@ def random_walks(
             return pa.table({
                 "key": t.column("src").cast(pa.int64()),
                 "dst": t.column("dst").cast(pa.int64()),
+                "w": t.column("w"),
                 "walk": pa.array(np.zeros(t.num_rows, np.int64)),
                 "path": pa.nulls(t.num_rows, pa.string()),
                 "prev": pa.array(np.zeros(t.num_rows, np.int64)),
@@ -158,13 +190,13 @@ def random_walks(
             # shuffle per level, like sampling_path
             def pick_uniform(g: pd.DataFrame, lvl=level) -> pd.DataFrame:
                 f = g[g["side"] == 1][["key", "walk", "path", "prev"]]
-                a = g[g["side"] == 0][["key", "dst"]]
+                a = g[g["side"] == 0][["key", "dst", "w"]]
                 if not len(f):
                     return _empty_frontier()
                 b = f.merge(a, on="key")
                 out = []
                 if len(b):
-                    w = np.ones(len(b), np.float64)
+                    w = b["w"].to_numpy(np.float64)
                     r = _race_keys(b["walk"].to_numpy(np.int64), lvl,
                                    b["dst"].to_numpy(np.int64), w, seed)
                     b = b.assign(_r=r).sort_values(
@@ -197,7 +229,7 @@ def random_walks(
             # expansion first (no pick yet): all candidates survive
             def expand(g: pd.DataFrame) -> pd.DataFrame:
                 f = g[g["side"] == 1][["key", "walk", "path", "prev"]]
-                a = g[g["side"] == 0][["key", "dst"]]
+                a = g[g["side"] == 0][["key", "dst", "w"]]
                 if not len(f):
                     return pd.DataFrame({
                         "walk": pd.Series([], dtype=np.int64),
@@ -205,6 +237,7 @@ def random_walks(
                         "prev": pd.Series([], dtype=np.int64),
                         "cur": pd.Series([], dtype=np.int64),
                         "cand": pd.Series([], dtype=np.int64),
+                        "w": pd.Series([], dtype=np.float64),
                         "dead": pd.Series([], dtype=np.int8)})
                 # inner merge keeps int64 exact (a left-merge's NaN
                 # would float64-round vids above 2^53); dead walks are
@@ -218,6 +251,7 @@ def random_walks(
                         "prev": b["prev"].to_numpy(np.int64),
                         "cur": b["key"].to_numpy(np.int64),
                         "cand": b["dst"].to_numpy(np.int64),
+                        "w": b["w"].to_numpy(np.float64),
                         "dead": np.zeros(len(b), np.int8),
                     }),
                     pd.DataFrame({
@@ -226,6 +260,7 @@ def random_walks(
                         "prev": dead["prev"].to_numpy(np.int64),
                         "cur": dead["key"].to_numpy(np.int64),
                         "cand": np.full(len(dead), -1, np.int64),
+                        "w": np.ones(len(dead), np.float64),
                         "dead": np.ones(len(dead), np.int8),
                     }),
                 ], ignore_index=True)
@@ -242,6 +277,7 @@ def random_walks(
                     "walk": t.column("walk"),
                     "path": t.column("path"),
                     "cur": t.column("cur"),
+                    "w": t.column("w"),
                     "dead": t.column("dead"),
                     "side": pa.array(np.ones(t.num_rows, np.int8)),
                 })
@@ -253,6 +289,7 @@ def random_walks(
                     "walk": pa.array(np.zeros(t.num_rows, np.int64)),
                     "path": pa.nulls(t.num_rows, pa.string()),
                     "cur": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "w": pa.array(np.ones(t.num_rows, np.float64)),
                     "dead": pa.array(np.zeros(t.num_rows, np.int8)),
                     "side": pa.array(np.zeros(t.num_rows, np.int8)),
                 })
@@ -270,6 +307,7 @@ def random_walks(
                         "prev": pd.Series([], dtype=np.int64),
                         "cur": pd.Series([], dtype=np.int64),
                         "cand": pd.Series([], dtype=np.int64),
+                        "w": pd.Series([], dtype=np.float64),
                         "dead": pd.Series([], dtype=np.int8),
                         "is_edge": pd.Series([], dtype=np.int8)})
                 a = g[g["side"] == 0][["k1", "k2"]].drop_duplicates()
@@ -281,6 +319,7 @@ def random_walks(
                     "prev": b["k1"].to_numpy(np.int64),
                     "cur": b["cur"].to_numpy(np.int64),
                     "cand": b["k2"].to_numpy(np.int64),
+                    "w": b["w"].to_numpy(np.float64),
                     "dead": b["dead"].to_numpy(np.int8),
                     "is_edge": b["is_edge"].fillna(0).to_numpy(np.int8),
                 })
@@ -300,11 +339,12 @@ def random_walks(
                     cand = live["cand"].to_numpy(np.int64)
                     prev = live["prev"].to_numpy(np.int64)
                     first = prev < 0  # level 0: uniform by contract
-                    w = np.where(
+                    bias = np.where(
                         first, 1.0,
                         np.where(cand == prev, 1.0 / p,
                                  np.where(live["is_edge"].to_numpy(
                                      np.int8) == 1, 1.0, 1.0 / q)))
+                    w = bias * live["w"].to_numpy(np.float64)
                     r = _race_keys(live["walk"].to_numpy(np.int64), lvl,
                                    cand, w, seed)
                     b = live.assign(_r=r).sort_values(
@@ -370,17 +410,23 @@ def reference_random_walks(edge_pairs, walk_length, num_walks=1,
                            starts=None) -> dict[int, list[int]]:
     """Sequential oracle implementing the identical deterministic pick
     (same hash, same race) — the distributed result must match EXACTLY
-    at any partitioning."""
-    adj: dict[int, list[int]] = {}
-    eset = set()
-    for u, v in edge_pairs:
-        adj.setdefault(int(u), []).append(int(v))
-        eset.add((int(u), int(v)))
+    at any partitioning. ``edge_pairs`` rows are (u, v) or (u, v, w);
+    parallel arcs to one candidate race with their max weight, like the
+    engine."""
+    adj: dict[int, dict[int, float]] = {}
+
+    def arc(u, v, w):
+        d = adj.setdefault(int(u), {})
+        d[int(v)] = max(w, d.get(int(v), 0.0))
+
+    for row in edge_pairs:
+        u, v = row[0], row[1]
+        w = float(row[2]) if len(row) > 2 else 1.0
+        arc(u, v, w)
         if not directed:
-            adj.setdefault(int(v), []).append(int(u))
-            eset.add((int(v), int(u)))
+            arc(v, u, w)
     if starts is None:
-        starts = sorted({x for uv in edge_pairs for x in uv})
+        starts = sorted({x for row in edge_pairs for x in row[:2]})
     out = {}
     for s in starts:
         for i in range(num_walks):
@@ -389,23 +435,23 @@ def reference_random_walks(edge_pairs, walk_length, num_walks=1,
             prev = -1
             for lvl in range(walk_length):
                 cur = path[-1]
-                cands = sorted(set(adj.get(cur, [])))
-                if not cands:
+                nbrs = adj.get(cur, {})
+                if not nbrs:
                     break
                 best, best_r = None, None
-                for c in cands:
+                for c in sorted(nbrs):
                     if prev < 0:
-                        w = 1.0
+                        bias = 1.0
                     elif c == prev:
-                        w = 1.0 / p
-                    elif (prev, c) in eset:
-                        w = 1.0
+                        bias = 1.0 / p
+                    elif c in adj.get(prev, {}):
+                        bias = 1.0
                     else:
-                        w = 1.0 / q
+                        bias = 1.0 / q
                     r = float(_race_keys(
                         np.array([wid], np.int64), lvl,
                         np.array([c], np.int64),
-                        np.array([w], np.float64), seed)[0])
+                        np.array([bias * nbrs[c]], np.float64), seed)[0])
                     if best is None or (r, c) < (best_r, best):
                         best, best_r = c, r
                 prev = cur

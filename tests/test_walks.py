@@ -135,3 +135,42 @@ def test_surfaces_walks_and_edge_paths():
     want2 = sorted(list(p) for t in [2, 4]
                    for p in nx.all_simple_edge_paths(ref, 1, t, cutoff=2))
     assert gnx.all_simple_edge_paths(G, 1, [2, 4], cutoff=2) == want2
+
+
+WEIGHTED = [(0, 1, 1.0), (0, 2, 50.0), (1, 2, 1.0), (2, 3, 2.0),
+            (3, 4, 0.5), (1, 4, 3.0)]
+
+
+def _wedges_ds(rows, nparts=1):
+    df = pd.DataFrame(rows, columns=["src", "dst", "weight"])
+    df[["src", "dst"]] = df[["src", "dst"]].astype(np.int64)
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+@pytest.mark.parametrize("p,q", [(1.0, 1.0), (0.5, 2.0)])
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_weighted_walks_replica_exact(p, q, nparts):
+    got = _as_dict(random_walks(
+        _wedges_ds(WEIGHTED, nparts), walk_length=5, num_walks=2,
+        p=p, q=q, seed=21, directed=False, weight_col="weight"))
+    want = reference_random_walks(
+        WEIGHTED, walk_length=5, num_walks=2, p=p, q=q, seed=21,
+        directed=False)
+    assert got == want
+
+
+def test_weight_bias_direction():
+    # star where one spoke has overwhelming weight: most first hops
+    # from the hub should take it; with uniform weights they spread
+    hub_rows = [(0, i, 1.0) for i in range(1, 9)] + [(0, 9, 1000.0)]
+    def first_hops(weighted):
+        ds = _wedges_ds(hub_rows)
+        res = _as_dict(random_walks(
+            ds, walk_length=1, num_walks=16, seed=2,
+            weight_col="weight" if weighted else None,
+            starts=ray.data.from_pandas(
+                pd.DataFrame({"vid": np.array([0], np.int64)}))))
+        return sum(1 for pth in res.values() if pth[1] == 9)
+    assert first_hops(True) > first_hops(False)
+    assert first_hops(True) >= 12          # 1000:1 odds per draw
