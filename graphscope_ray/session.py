@@ -782,3 +782,21 @@ def random_walks(graph: Graph, walk_length: int, num_walks: int = 1,
     from graphscope_ray.pipelines.walks import random_walks as rw
     return rw(graph.edges_dataset(), walk_length, num_walks=num_walks,
               p=p, q=q, seed=seed, directed=graph.directed)
+
+
+def node2vec_embeddings(graph: Graph, dim: int = 32,
+                        walk_length: int = 10, num_walks: int = 4,
+                        window: int = 2, epochs: int = 10,
+                        p: float = 1.0, q: float = 1.0,
+                        lr: float = 0.5, negatives: int = 5,
+                        seed: int = 42):
+    """Graph → node2vec walks → SGNS training, composed: returns a
+    (vid, embedding) pandas DataFrame plus the per-epoch loss trace
+    (the GLE-style vertex-embedding data product; pipelines/walks.py +
+    functions/skipgram.py)."""
+    from graphscope_ray.functions.skipgram import train_skipgram
+    from graphscope_ray.pipelines.walks import random_walks as rw
+    walks = rw(graph.edges_dataset(), walk_length, num_walks=num_walks,
+               p=p, q=q, seed=seed, directed=graph.directed)
+    return train_skipgram(walks, dim=dim, window=window, epochs=epochs,
+                          lr=lr, negatives=negatives, seed=seed)
