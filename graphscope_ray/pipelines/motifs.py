@@ -444,3 +444,163 @@ def directed_triangle_plus_census(edges: ray.data.Dataset) -> dict:
     agg = part.to_pandas().sum()
     return {"in_plus": int(agg["inp"]), "out_plus": int(agg["outp"]),
             "cycle_plus": int(agg["cycp"])}
+
+
+def directed_clustering(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Directed local clustering coefficient (grape::LCCDirected,
+    registered as ``lcc_directed`` in .gs_conf.yaml:95-99; networkx
+    DiGraph semantics, Fagiolo 2007):
+
+        c(v) = T(v) / (d_tot(v)·(d_tot(v)−1) − 2·d_recip(v))
+
+    with T(v) = Σ over unordered support triangles at v of
+    b(e1)·b(e2)·b(e3), where b(x,y) ∈ {1, 2} is the number of arc
+    directions present between x and y — equal to ½·(A+Aᵀ)³_vv, the
+    directed-triangle count networkx uses. d_tot = in+out degree,
+    d_recip = #reciprocated neighbors; c = 0 when the denominator is.
+
+    Pipeline: distinct arcs → b-weighted support edges → the same
+    degree-oriented wedge-close shuffle as triangle_counts, but each
+    closed wedge contributes b_cx·b_cy·b_xy to all three corners.
+    Returns (vid, clustering) over every arc endpoint.
+    """
+    from graphscope_ray.stages.relational import (
+        bucketed_group_apply,
+        cogroup_join,
+        dedup_first,
+        grouped_agg,
+    )
+
+    def drop_loops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t.column("src"), t.column("dst")))
+
+    arcs = dedup_first(
+        edges.select_columns(["src", "dst"]).map_batches(
+            drop_loops, batch_format="pyarrow"),
+        ["src", "dst"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.minimum(s, d)),
+                         "v": pa.array(np.maximum(s, d)),
+                         "cnt": pa.array(np.ones(len(s), np.int64))})
+
+    # b = directions present per support edge (1 or 2)
+    bedges = grouped_agg(arcs.map_batches(canon, batch_format="pyarrow"),
+                         ["u", "v"], {"b": ("cnt", "sum")}).materialize()
+
+    # per-vertex: support degree (orientation), d_tot = Σ b,
+    # d_recip = #(b == 2)
+    def vrows(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vid": pa.array(np.concatenate([u, v]), pa.int64()),
+            "one": pa.array(np.ones(2 * len(u), np.int64)),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "recip": pa.array(
+                np.concatenate([b, b]) == 2).cast(pa.int64()),
+        })
+
+    vstats = grouped_agg(
+        bedges.map_batches(vrows, batch_format="pyarrow"), ["vid"],
+        {"degree": ("one", "sum"), "dtot": ("b", "sum"),
+         "drecip": ("recip", "sum")}).materialize()
+
+    deg_only = vstats.select_columns(["vid", "degree"])
+    # rename the edge weight before degree attach/orient so it can't
+    # clash with the oriented endpoint column named b
+    bw_edges = bedges.map_batches(
+        lambda t: pa.table({"u": t.column("u"), "v": t.column("v"),
+                            "bw": t.column("b").cast(pa.int64())}),
+        batch_format="pyarrow")
+    withd = _with_degrees(bw_edges, deg_only, None).materialize()
+
+    def orient_bw(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        du = t.column("du").to_numpy(zero_copy_only=False)
+        dv = t.column("dv").to_numpy(zero_copy_only=False)
+        uf = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "a": pa.array(np.where(uf, u, v), pa.int64()),
+            "b": pa.array(np.where(uf, v, u), pa.int64()),
+            "db": pa.array(np.where(uf, dv, du), pa.int64()),
+            "bw": t.column("bw"),
+        })
+
+    oriented = withd.map_batches(orient_bw, batch_format="pyarrow")
+
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["a", "b", "db", "bw"]].merge(g[["a", "b", "db", "bw"]],
+                                            on="a")
+        bx = m["b_x"].to_numpy(np.int64)
+        by = m["b_y"].to_numpy(np.int64)
+        dx = m["db_x"].to_numpy(np.int64)
+        dy = m["db_y"].to_numpy(np.int64)
+        keep = (dx < dy) | ((dx == dy) & (bx < by))
+        return pd.DataFrame({
+            "x": bx[keep], "y": by[keep],
+            "center": m["a"].to_numpy(np.int64)[keep],
+            "w": (m["bw_x"].to_numpy(np.int64)
+                  * m["bw_y"].to_numpy(np.int64))[keep]})
+
+    wedges = bucketed_group_apply(
+        oriented.select_columns(["a", "b", "db", "bw"]), ["a"],
+        wedges_of, num_buckets=64)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        # keys must be in the same (deg, vid) order as the wedge pairs
+        return pa.table({
+            "x": t.column("a"), "y": t.column("b"),
+            "center": pa.array(np.full(t.num_rows, _EDGE), pa.int64()),
+            "w": t.column("bw").cast(pa.int64())})
+
+    closing = oriented.map_batches(edge_rows, batch_format="pyarrow")
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["center"].to_numpy(np.int64) == _EDGE
+        ew = (g.loc[is_edge, ["x", "y", "w"]]
+              .drop_duplicates(["x", "y"])
+              .rename(columns={"w": "wxy"}))
+        tri = g.loc[~is_edge].merge(ew, on=["x", "y"])
+        if not len(tri):
+            return pd.DataFrame({"vid": pd.Series([], dtype=np.int64),
+                                 "t": pd.Series([], dtype=np.int64)})
+        w = (tri["w"].to_numpy(np.int64)
+             * tri["wxy"].to_numpy(np.int64))
+        vid = np.concatenate([tri["center"].to_numpy(np.int64),
+                              tri["x"].to_numpy(np.int64),
+                              tri["y"].to_numpy(np.int64)])
+        return pd.DataFrame({"vid": vid, "t": np.tile(w, 3)})
+
+    hits = bucketed_group_apply(wedges.union(closing), ["x", "y"],
+                                close, num_buckets=64)
+    # T over EVERY endpoint (triangle-less vertices get 0), so the
+    # inner cogroup join below keeps all vertices
+    zeros = vstats.map_batches(
+        lambda t: pa.table({"vid": t.column("vid"),
+                            "t": pa.array(np.zeros(t.num_rows,
+                                                   np.int64))}),
+        batch_format="pyarrow")
+    tsum = grouped_agg(hits.union(zeros), ["vid"], {"t": ("t", "sum")})
+    joined = cogroup_join(vstats, tsum, on="vid", right_on="vid")
+
+    def cc(t: pa.Table) -> pa.Table:
+        dtot = t.column("dtot").to_numpy(zero_copy_only=False
+                                         ).astype(np.float64)
+        drec = t.column("drecip").to_numpy(zero_copy_only=False
+                                           ).astype(np.float64)
+        tv = t.column("t").to_numpy(zero_copy_only=False
+                                    ).astype(np.float64)
+        denom = dtot * (dtot - 1.0) - 2.0 * drec
+        c = np.where((denom > 0) & (tv > 0),
+                     tv / np.maximum(denom, 1.0), 0.0)
+        return pa.table({"vid": t.column("vid"),
+                         "clustering": pa.array(c, pa.float64())})
+
+    return joined.map_batches(cc, batch_format="pyarrow")

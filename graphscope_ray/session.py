@@ -423,6 +423,12 @@ def triangle_census(graph: Graph) -> dict:
 
 
 def clustering(graph: Graph, degree_threshold: int = 10**9) -> Context:
+    """Local clustering coefficient; directed graphs use the
+    lcc_directed / Fagiolo semantics (gs::Clustering handles both,
+    clustering.h:59/275; registry lcc_directed .gs_conf.yaml:95)."""
+    if graph.directed:
+        from graphscope_ray.pipelines.motifs import directed_clustering
+        return Context(directed_clustering(graph.edges_dataset()), graph)
     from graphscope_ray.pipelines.structure import clustering_coefficient
     return Context(clustering_coefficient(graph.edges_dataset()), graph)
 

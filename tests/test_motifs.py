@@ -3,10 +3,12 @@
 pipelines replicate FLASH subgraph-family semantics
 (apps/flash/subgraph/*.h), the oracles enumerate subgraphs directly."""
 
+import random
 from itertools import combinations
 
 import networkx as nx
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -194,3 +196,48 @@ def test_directed_triangle_plus_no_mutual():
         "dst": pa.array([b for _, b in arcs], pa.int64())}))
     assert directed_triangle_plus_census(ds) == \
         {"in_plus": 0, "out_plus": 0, "cycle_plus": 0}
+
+
+class TestDirectedClustering:
+    """lcc_directed (grape::LCCDirected; networkx DiGraph clustering)."""
+
+    CASES = [
+        [(0, 1), (1, 2), (2, 0)],                       # 3-cycle
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)],  # bidir K3
+        [(0, 1), (1, 2), (0, 2), (2, 3)],               # transitive+tail
+    ]
+
+    @pytest.mark.parametrize("nparts", [1, 3])
+    def test_networkx_exact(self, nparts):
+        import networkx as nx
+
+        from graphscope_ray.pipelines.motifs import directed_clustering
+        rng = random.Random(7)
+        cases = self.CASES + [
+            [(rng.randrange(14), rng.randrange(14)) for _ in range(60)]]
+        for pairs in cases:
+            pairs = [(u, v) for u, v in pairs if u != v]
+            G = nx.DiGraph(pairs)
+            want = nx.clustering(G)
+            ds = ray.data.from_pandas(
+                pd.DataFrame(pairs, columns=["src", "dst"])
+                .astype(np.int64))
+            if nparts > 1:
+                ds = ds.repartition(nparts)
+            got = {int(r["vid"]): r["clustering"]
+                   for r in directed_clustering(ds).take_all()}
+            assert set(got) == set(want)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+    def test_session_digraph_dispatch(self):
+        import networkx as nx
+
+        from graphscope_ray import nx_compat as gnx
+        pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2)]
+        G = gnx.DiGraph(pairs)
+        got = gnx.clustering(G)
+        want = nx.clustering(nx.DiGraph(pairs))
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
