@@ -190,6 +190,20 @@ def _q_kmeans(sf_dir: str):
     return assigned
 
 
+def _q_node2vec(sf_dir: str):
+    """Graph-embedding leg: DeepWalk corpus on the resident shard pool
+    + 2-epoch SGNS (pipelines/walks.random_walks_pool +
+    functions/skipgram)."""
+    from graphscope_ray.functions.skipgram import train_skipgram
+    from graphscope_ray.pipelines import sf_graph
+    from graphscope_ray.pipelines.walks import random_walks_pool
+
+    g = sf_graph.build_part_graph(sf_dir)
+    walks = random_walks_pool(g, walk_length=5, num_walks=1, seed=42)
+    emb, _ = train_skipgram(walks, dim=16, window=2, epochs=2, seed=42)
+    return emb
+
+
 def run_queries() -> dict:
     """Representative per-operator timings over the sf dir."""
     from graphscope_ray.pipelines import sf_graph, textproc, tpch
@@ -210,6 +224,7 @@ def run_queries() -> dict:
         "doc_span_dedup": _q_span_dedup,
         "doc_decontam": _q_decontam,
         "emb_kmeans": _q_kmeans,
+        "node2vec": _q_node2vec,
         "doc_pipeline": textproc.q_doc_pipeline,
     }
     out = {}

@@ -94,3 +94,24 @@ def stable_u64_of_str(s: str) -> int:
     hashing / salts. Uses sha256, not siphash, so it is stable even
     across pandas versions."""
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+def walk_uniform(walk: np.ndarray, level: int, cand: np.ndarray,
+                 seed: int) -> np.ndarray:
+    """Deterministic u in (0, 1) per (walk, level, candidate, seed) —
+    the random-walk pick kernel shared by the Dataset and shard-pool
+    walk engines and the sequential test oracle."""
+    with np.errstate(over="ignore"):
+        h = (hash64_any(walk.astype(np.int64) * np.int64(1000003)
+                        + np.int64(level))
+             * np.uint64(1099511628211)
+             ) ^ hash64_any(cand.astype(np.int64) + np.int64(seed))
+    return (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+
+
+def walk_race_keys(walk: np.ndarray, level: int, cand: np.ndarray,
+                   weight: np.ndarray, seed: int) -> np.ndarray:
+    """Exponential race: min of -log(u)/w samples proportionally to
+    w (deterministic weighted next-hop sampling)."""
+    u = walk_uniform(walk, level, cand, seed)
+    return -np.log(u) / weight

@@ -38,28 +38,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from graphscope_ray.functions.hashing import hash64_any
+from graphscope_ray.functions.hashing import (
+    walk_race_keys as _race_keys,
+)
 from graphscope_ray.pipelines.paths import _arc_table
 from graphscope_ray.stages.relational import bucketed_group_apply
-
-_FNV = np.uint64(1099511628211)
-
-
-def _walk_uniform(walk: np.ndarray, level: int, cand: np.ndarray,
-                  seed: int) -> np.ndarray:
-    """Deterministic u in (0, 1) per (walk, level, candidate, seed)."""
-    with np.errstate(over="ignore"):
-        h = (hash64_any(walk.astype(np.int64) * np.int64(1000003)
-                        + np.int64(level))
-             * _FNV) ^ hash64_any(cand.astype(np.int64) + np.int64(seed))
-    return (h.astype(np.float64) + 0.5) / 18446744073709551616.0
-
-
-def _race_keys(walk: np.ndarray, level: int, cand: np.ndarray,
-               weight: np.ndarray, seed: int) -> np.ndarray:
-    """Exponential race: min of -log(u)/w samples proportionally to w."""
-    u = _walk_uniform(walk, level, cand, seed)
-    return -np.log(u) / weight
 
 
 def _empty_frontier() -> pd.DataFrame:
@@ -458,3 +441,80 @@ def reference_random_walks(edge_pairs, walk_length, num_walks=1,
                 path.append(best)
             out[wid] = path
     return out
+
+
+def random_walks_pool(
+    graph,
+    walk_length: int,
+    num_walks: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    starts: np.ndarray | None = None,
+    use_weights: bool = False,
+) -> ray.data.Dataset:
+    """Random walks on a sealed ``ShardedGraph`` pool — the scale path.
+
+    Same picks (and therefore IDENTICAL walks) as :func:`random_walks`
+    via the shared ``walk_race_keys`` kernel, but the arc table stays
+    RESIDENT in the shard actors: per level only the frontier
+    (O(#walks) rows) moves shard→shard through the object store —
+    one actor wave per level for DeepWalk, three for node2vec
+    (expand → membership-mark at owner(prev) → per-walk pick), versus
+    the Dataset engine's per-level re-shuffle of the whole arc table.
+    Starts default to every pool vertex (including isolated vertices,
+    whose walks are the single-vertex path). Directedness and weights
+    are the pool's own (``build_graph(directed=..., weight...)``).
+
+    Returns the same ``(walk, start, path)`` Dataset schema.
+    """
+    shards, P = graph.shards, graph.P
+    if starts is None:
+        ray.get([s.walk_seed.remote(num_walks, None, use_weights)
+                 for s in shards])
+    else:
+        from graphscope_ray.functions.hashing import partition_of
+
+        sv = np.unique(np.asarray(starts, np.int64))
+        owner = partition_of(sv, P)
+        ray.get([s.walk_seed.remote(num_walks, sv[owner == f],
+                                     use_weights)
+                 for f, s in enumerate(shards)])
+    biased = not (p == 1.0 and q == 1.0)
+
+    for level in range(walk_length):
+        if not biased:
+            refs = graph.scatter_refs("walk_step_uniform", level, seed)
+        else:
+            ex = graph.scatter_refs("walk_expand_biased")
+            mk = [shards[d].walk_mark.options(
+                      num_returns=P if P > 1 else 1).remote(
+                      *[ex[src][d] for src in range(P)])
+                  for d in range(P)]
+            mk = [m if P > 1 else [m] for m in mk]
+            refs = [shards[d].walk_pick_biased.options(
+                        num_returns=P if P > 1 else 1).remote(
+                        level, seed, p, q,
+                        *[mk[src][d] for src in range(P)])
+                    for d in range(P)]
+            refs = [r if P > 1 else [r] for r in refs]
+        live = ray.get([
+            s.walk_ingest.remote(*[refs[src][d] for src in range(P)])
+            for d, s in enumerate(shards)
+        ])
+        if sum(live) == 0:
+            break
+
+    out = ray.data.from_arrow_refs(
+        [s.walk_collect.remote() for s in shards])
+
+    def finish(t: pa.Table) -> pa.Table:
+        walk = t.column("walk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "walk": pa.array(walk.astype(np.int64)),
+            "start": pa.array((walk // np.int64(num_walks))
+                              .astype(np.int64)),
+            "path": t.column("path"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -782,12 +782,14 @@ def random_walks(graph: Graph, walk_length: int, num_walks: int = 1,
                  p: float = 1.0, q: float = 1.0,
                  seed: int = 42) -> ray.data.Dataset:
     """DeepWalk/node2vec walk corpus: (walk, start, path) Dataset with
-    deterministic seeded picks (GLE-style embedding data prep;
-    pipelines/walks.py). p/q are the node2vec return/in-out
-    parameters; 1,1 = uniform DeepWalk."""
-    from graphscope_ray.pipelines.walks import random_walks as rw
-    return rw(graph.edges_dataset(), walk_length, num_walks=num_walks,
-              p=p, q=q, seed=seed, directed=graph.directed)
+    deterministic seeded picks (GLE-style embedding data prep). Runs
+    on the session's resident shard pool (pipelines/walks.
+    random_walks_pool — arcs never re-shuffle; only the frontier moves
+    per level). p/q are the node2vec return/in-out parameters; 1,1 =
+    uniform DeepWalk."""
+    from graphscope_ray.pipelines.walks import random_walks_pool as rwp
+    return rwp(graph._pool(), walk_length, num_walks=num_walks,
+               p=p, q=q, seed=seed)
 
 
 def node2vec_embeddings(graph: Graph, dim: int = 32,

@@ -2403,3 +2403,282 @@ class GraphShard:
         if not hasattr(self, "_dangling_mask"):
             self._dangling_mask = self.out_deg == 0
         return self.n_local
+
+    # ------------------------------------------------------------- walks
+    # DeepWalk / node2vec on the RESIDENT CSR: the arc table never
+    # re-shuffles (the Dataset engine in pipelines/walks.py pays one
+    # arc-table shuffle per level; here arcs stay in the pool and only
+    # the frontier — O(#walks) rows — moves shard→shard per level).
+    # Picks use the same functions/hashing.walk_race_keys kernel, so
+    # results are IDENTICAL to the Dataset engine and the sequential
+    # oracle (pinned in tests/test_walks.py).
+
+    def _wk_csr(self) -> None:
+        """Cached src-sorted forward CSR + packed (src, dst-rank) keys
+        for vectorized O(log E) arc-membership queries."""
+        if getattr(self, "_wk_indptr", None) is not None:
+            return
+        if self.e_dir is None:
+            sp, dst, w = self.e_src_pos, self.e_dst, self.e_w
+        else:
+            m = self.e_dir == 0
+            sp, dst = self.e_src_pos[m], self.e_dst[m]
+            w = None if self.e_w is None else self.e_w[m]
+        order = np.lexsort((dst, sp))
+        self._wk_nbrs = dst[order]
+        self._wk_w = None if w is None else w[order]
+        spo = sp[order].astype(np.int64)
+        self._wk_indptr = np.concatenate(
+            ([0], np.cumsum(np.bincount(spo, minlength=self.n_local)))
+        ).astype(np.int64)
+        self._wk_dstu = np.unique(self._wk_nbrs)
+        stride = np.int64(len(self._wk_dstu) + 1)
+        if len(spo) and int(self.n_local) * int(stride) >= 2**62:
+            raise ValueError("walk membership key overflow: "
+                             "n_local x distinct-dst exceeds int64")
+        rank = np.searchsorted(self._wk_dstu, self._wk_nbrs)
+        self._wk_keys = np.sort(spo * stride + rank)
+        self._wk_stride = stride
+        self._wk_front = None
+        self._wk_done: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _wk_empty(self) -> dict:
+        return {"walk": np.empty(0, np.int64),
+                "path": np.empty(0, object),
+                "prev": np.empty(0, np.int64),
+                "last": np.empty(0, np.int64)}
+
+    @staticmethod
+    def _wk_table(f: dict) -> pa.Table:
+        return pa.table({
+            "walk": pa.array(f["walk"], pa.int64()),
+            "path": pa.array(f["path"].tolist(), pa.string()),
+            "prev": pa.array(f["prev"], pa.int64()),
+            "last": pa.array(f["last"], pa.int64()),
+        })
+
+    @staticmethod
+    def _wk_from_tables(tables) -> dict:
+        fs = [t for t in tables if t is not None and t.num_rows]
+        if not fs:
+            return {"walk": np.empty(0, np.int64),
+                    "path": np.empty(0, object),
+                    "prev": np.empty(0, np.int64),
+                    "last": np.empty(0, np.int64)}
+        return {
+            "walk": np.concatenate([
+                t.column("walk").to_numpy(zero_copy_only=False)
+                for t in fs]).astype(np.int64),
+            "path": np.concatenate([np.asarray(
+                t.column("path").to_pylist(), object) for t in fs]),
+            "prev": np.concatenate([
+                t.column("prev").to_numpy(zero_copy_only=False)
+                for t in fs]).astype(np.int64),
+            "last": np.concatenate([
+                t.column("last").to_numpy(zero_copy_only=False)
+                for t in fs]).astype(np.int64),
+        }
+
+    def _wk_split(self, f: dict, key: np.ndarray) -> list:
+        """Split frontier-shaped dict rows by an owner array into P
+        tables (counting split, no sort of the payload)."""
+        out = []
+        for d in range(self.P):
+            m = key == d
+            out.append(self._wk_table({
+                "walk": f["walk"][m], "path": f["path"][m],
+                "prev": f["prev"][m], "last": f["last"][m]}))
+        return out if self.P > 1 else out[0]
+
+    def walk_seed(self, num_walks: int,
+                  starts: np.ndarray | None = None,
+                  use_weights: bool = False) -> int:
+        self._wk_csr()
+        self._wk_use_w = bool(use_weights) and self._wk_w is not None
+        v = self.local if starts is None else np.asarray(starts, np.int64)
+        v = np.repeat(v.astype(np.int64), num_walks)
+        rep = np.tile(np.arange(num_walks, dtype=np.int64),
+                      len(v) // max(1, num_walks))
+        self._wk_front = {
+            "walk": v * np.int64(num_walks) + rep,
+            "path": np.asarray([str(int(x)) for x in v], object),
+            "prev": np.full(len(v), -1, np.int64),
+            "last": v.copy(),
+        }
+        self._wk_done = []
+        return len(v)
+
+    def _wk_expand(self) -> tuple[dict, np.ndarray, np.ndarray]:
+        """Expand the resident frontier against the local CSR: returns
+        (candidate rows in frontier shape with last=cur, cand, w)."""
+        f = self._wk_front or self._wk_empty()
+        pos = np.searchsorted(self.local, f["last"]) if len(f["walk"]) \
+            else np.empty(0, np.int64)
+        lo = self._wk_indptr[pos]
+        hi = self._wk_indptr[pos + 1] if len(pos) else lo
+        deg = (hi - lo).astype(np.int64)
+        dead = deg == 0
+        if dead.any():
+            self._wk_done.append((f["walk"][dead], f["path"][dead]))
+        live = ~dead
+        reps = deg[live]
+        idx = np.repeat(lo[live], reps) + (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)))[:-1], reps))
+        cand = self._wk_nbrs[idx]
+        w = (self._wk_w[idx] if getattr(self, "_wk_use_w", False)
+             else np.ones(len(idx), np.float64))
+        rows = {
+            "walk": np.repeat(f["walk"][live], reps),
+            "path": np.repeat(f["path"][live], reps),
+            "prev": np.repeat(f["prev"][live], reps),
+            "last": np.repeat(f["last"][live], reps),   # = cur
+        }
+        return rows, cand, w
+
+    @staticmethod
+    def _wk_pick(rows: dict, cand, w, level: int, seed: int):
+        """Deterministic race pick per walk over candidate rows —
+        the shared kernel, sorted (walk, r, cand), first wins."""
+        from graphscope_ray.functions.hashing import walk_race_keys
+
+        r = walk_race_keys(rows["walk"], level, cand, w, seed)
+        order = np.lexsort((cand, r, rows["walk"]))
+        wlk = rows["walk"][order]
+        first = np.concatenate(([True], wlk[1:] != wlk[:-1]))
+        sel = order[first]
+        import pandas as pd
+
+        new_path = (pd.Series(rows["path"][sel])
+                    + "," + pd.Series(cand[sel]).astype(str)
+                    ).to_numpy(object)
+        return {"walk": rows["walk"][sel], "path": new_path,
+                "prev": rows["last"][sel], "last": cand[sel]}
+
+    def walk_step_uniform(self, level: int, seed: int):
+        """One DeepWalk level fused: expand + pick + owner-split. ONE
+        actor wave per level."""
+        rows, cand, w = self._wk_expand()
+        if not len(cand):
+            return self._wk_split(self._wk_empty(),
+                                  np.empty(0, np.int64))
+        nf = self._wk_pick(rows, cand, w, level, seed)
+        return self._wk_split(nf, partition_of(nf["last"], self.P))
+
+    def walk_expand_biased(self):
+        """node2vec wave 1: expand, split candidates by owner(prev)
+        for the arc-membership check (prev = -1 rows map to owner 0 —
+        level-0 rows are uniform by contract and skip the test)."""
+        rows, cand, w = self._wk_expand()
+        f = {"walk": rows["walk"], "path": rows["path"],
+             "prev": rows["prev"], "last": rows["last"]}
+        tabs = []
+        owner = partition_of(np.maximum(rows["prev"], 0), self.P)
+        for d in range(self.P):
+            m = owner == d
+            tabs.append(pa.table({
+                "walk": pa.array(f["walk"][m], pa.int64()),
+                "path": pa.array(f["path"][m].tolist(), pa.string()),
+                "prev": pa.array(f["prev"][m], pa.int64()),
+                "cur": pa.array(f["last"][m], pa.int64()),
+                "cand": pa.array(cand[m], pa.int64()),
+                "w": pa.array(w[m], pa.float64()),
+            }))
+        return tabs if self.P > 1 else tabs[0]
+
+    def walk_mark(self, *tables):
+        """node2vec wave 2: membership of (prev, cand) in the local
+        forward arcs (prev owned here), then split by hash(walk) for
+        the per-walk pick."""
+        fs = [t for t in tables if t is not None and t.num_rows]
+        if not fs:
+            z = pa.table({
+                "walk": pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+                "prev": pa.array([], pa.int64()),
+                "cur": pa.array([], pa.int64()),
+                "cand": pa.array([], pa.int64()),
+                "w": pa.array([], pa.float64()),
+                "is_edge": pa.array([], pa.int8())})
+            return [z] * self.P if self.P > 1 else z
+        t = pa.concat_tables(fs)
+        prev = t.column("prev").to_numpy(zero_copy_only=False)
+        cand = t.column("cand").to_numpy(zero_copy_only=False)
+        is_edge = np.zeros(len(prev), np.int8)
+        has_prev = prev >= 0
+        if has_prev.any():
+            pos = np.searchsorted(self.local, prev[has_prev])
+            ok = (pos < self.n_local)
+            pos = np.minimum(pos, self.n_local - 1)
+            ok &= self.local[pos] == prev[has_prev]
+            rank = np.searchsorted(self._wk_dstu, cand[has_prev])
+            rok = rank < len(self._wk_dstu)
+            rank = np.minimum(rank, max(0, len(self._wk_dstu) - 1))
+            rok &= (self._wk_dstu[rank] == cand[has_prev]) if len(
+                self._wk_dstu) else False
+            key = pos.astype(np.int64) * self._wk_stride + rank
+            ki = np.searchsorted(self._wk_keys, key)
+            kok = ki < len(self._wk_keys)
+            ki = np.minimum(ki, max(0, len(self._wk_keys) - 1))
+            kok &= (self._wk_keys[ki] == key) if len(self._wk_keys) \
+                else False
+            is_edge[has_prev] = (ok & rok & kok).astype(np.int8)
+        t = t.append_column("is_edge", pa.array(is_edge, pa.int8()))
+        walk = t.column("walk").to_numpy(zero_copy_only=False)
+        owner = (splitmix64(walk.astype(np.int64))
+                 % np.uint64(self.P)).astype(np.int64)
+        out = []
+        for d in range(self.P):
+            out.append(t.filter(pa.array(owner == d)))
+        return out if self.P > 1 else out[0]
+
+    def walk_pick_biased(self, level: int, seed: int, p: float,
+                         q: float, *tables):
+        """node2vec wave 3: per-walk weighted pick over all of a
+        walk's marked candidates (co-located here by hash(walk)),
+        owner-split new frontier."""
+        fs = [t for t in tables if t is not None and t.num_rows]
+        if not fs:
+            return self._wk_split(self._wk_empty(),
+                                  np.empty(0, np.int64))
+        t = pa.concat_tables(fs)
+        rows = {
+            "walk": t.column("walk").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64),
+            "path": np.asarray(t.column("path").to_pylist(), object),
+            "prev": t.column("prev").to_numpy(zero_copy_only=False
+                                              ).astype(np.int64),
+            "last": t.column("cur").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64),
+        }
+        cand = t.column("cand").to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+        we = t.column("w").to_numpy(zero_copy_only=False)
+        is_edge = t.column("is_edge").to_numpy(zero_copy_only=False)
+        first = rows["prev"] < 0
+        bias = np.where(
+            first, 1.0,
+            np.where(cand == rows["prev"], 1.0 / p,
+                     np.where(is_edge == 1, 1.0, 1.0 / q)))
+        nf = self._wk_pick(rows, cand, bias * we, level, seed)
+        return self._wk_split(nf, partition_of(nf["last"], self.P))
+
+    def walk_ingest(self, *tables) -> int:
+        """Install the next level's frontier (rows owned here)."""
+        self._wk_front = self._wk_from_tables(tables)
+        return len(self._wk_front["walk"])
+
+    def walk_collect(self) -> pa.Table:
+        """Finished + still-live walks on this shard as (walk, path);
+        frees the walk state."""
+        f = self._wk_front or self._wk_empty()
+        walks = [w for w, _ in self._wk_done] + [f["walk"]]
+        paths = [p for _, p in self._wk_done] + [f["path"]]
+        out = pa.table({
+            "walk": pa.array(np.concatenate(walks), pa.int64()),
+            "path": pa.array(np.concatenate(paths).tolist(),
+                             pa.string()),
+        })
+        self._wk_front = None
+        self._wk_done = []
+        return out

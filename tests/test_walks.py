@@ -174,3 +174,54 @@ def test_weight_bias_direction():
         return sum(1 for pth in res.values() if pth[1] == 9)
     assert first_hops(True) > first_hops(False)
     assert first_hops(True) >= 12          # 1000:1 odds per draw
+
+
+def _pool(pairs, P, directed=False, weighted=False):
+    from graphscope_ray.state.graph import build_graph
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    df = pd.DataFrame(pairs, columns=cols)
+    df[["src", "dst"]] = df[["src", "dst"]].astype(np.int64)
+    return build_graph(ray.data.from_pandas(df), num_partitions=P,
+                       directed=directed)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+@pytest.mark.parametrize("p,q,directed", [
+    (1.0, 1.0, False), (1.0, 1.0, True), (0.25, 2.0, False),
+])
+def test_pool_walks_replica_exact(P, p, q, directed):
+    from graphscope_ray.pipelines.walks import random_walks_pool
+    g = _pool(TRIANGLE_TAIL, P, directed=directed)
+    got = _as_dict(random_walks_pool(g, 5, num_walks=2, p=p, q=q,
+                                     seed=7))
+    want = reference_random_walks(TRIANGLE_TAIL, 5, num_walks=2,
+                                  p=p, q=q, seed=7, directed=directed)
+    assert got == want
+
+
+def test_pool_walks_weighted_and_engine_parity():
+    from graphscope_ray.pipelines.walks import (
+        random_walks,
+        random_walks_pool,
+    )
+    g = _pool(WEIGHTED, 3, weighted=True)
+    got = _as_dict(random_walks_pool(g, 5, num_walks=2, p=0.5, q=2.0,
+                                     seed=21, use_weights=True))
+    want = reference_random_walks(WEIGHTED, 5, num_walks=2, p=0.5,
+                                  q=2.0, seed=21, directed=False)
+    assert got == want
+    # the two engines produce IDENTICAL walks (shared pick kernel)
+    ds_eng = _as_dict(random_walks(
+        _wedges_ds(WEIGHTED), 5, num_walks=2, p=0.5, q=2.0, seed=21,
+        directed=False, weight_col="weight"))
+    assert got == ds_eng
+
+
+def test_pool_walks_explicit_starts():
+    from graphscope_ray.pipelines.walks import random_walks_pool
+    g = _pool(TRIANGLE_TAIL, 3)
+    got = _as_dict(random_walks_pool(
+        g, 4, num_walks=1, seed=3, starts=np.array([2, 4], np.int64)))
+    want = reference_random_walks(TRIANGLE_TAIL, 4, num_walks=1,
+                                  seed=3, starts=[2, 4])
+    assert got == want
