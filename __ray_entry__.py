@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # id-shifted duplicated embeddings — rows-only (iterative
         # k-means), keep rule replica-exact in pytest.
         "emb_semdedup": textproc.q_emb_semdedup,
+        # node2vec walks on the resident shard pool — rows-only
+        # (seeded hash picks), replica-exact kernel in pytest.
+        "part_walks": sf_graph.q_part_walks,
         # the composed corpus-preparation pipeline (normalize → scrub →
         # filter → span dedup → exact dedup → decontaminate → split) —
         # one exact twin pins the whole chain's stage order and text

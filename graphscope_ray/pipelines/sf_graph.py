@@ -773,3 +773,17 @@ def q_part_sssp_labeled(sf_dir: str, num_partitions: int = 8
         return t.filter(pc.is_finite(t.column("distance")))
 
     return state.map_batches(finite, batch_format="pyarrow")
+
+
+def q_part_walks(sf_dir: str) -> ray.data.Dataset:
+    """node2vec walk corpus over the part graph on the resident shard
+    pool (pipelines/walks.random_walks_pool — one actor wave per
+    level). Rows-only (seeded hash picks have no SQL twin); the pick
+    kernel is pinned replica-exact vs the sequential oracle and vs the
+    Dataset engine in tests/test_walks.py. One walk of 4 hops per part
+    vertex, sorted-stable output."""
+    from graphscope_ray.pipelines.walks import random_walks_pool
+
+    g = build_part_graph(sf_dir)
+    return random_walks_pool(g, walk_length=4, num_walks=1,
+                             p=0.5, q=2.0, seed=42)
