@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # node2vec walks on the resident shard pool — rows-only
         # (seeded hash picks), replica-exact kernel in pytest.
         "part_walks": sf_graph.q_part_walks,
+        # exact distributed NTILE (the CCNet perplexity-bucket rank
+        # machinery) on a SQL-computable key — DuckDB window twin.
+        "doc_ntile": textproc.q_doc_ntile,
         # the composed corpus-preparation pipeline (normalize → scrub →
         # filter → span dedup → exact dedup → decontaminate → split) —
         # one exact twin pins the whole chain's stage order and text
@@ -1300,6 +1303,10 @@ grams AS (
 SELECT gram AS ngram, count(*) AS estimate
 FROM grams GROUP BY gram HAVING count(*) >= 5""",
         "doc_classifier": _classifier_sql(),
+        "doc_ntile": """
+SELECT doc_id, length(text)::BIGINT AS nchars,
+       ntile(4) OVER (ORDER BY length(text), doc_id)::BIGINT AS bucket
+FROM documents""",
         # The composed corpus-prep chain: each stage's proven twin
         # nested in pipeline order (synth → NFC/strip/collapse → the 4
         # sequential PII rules → ≥20-token filter → first-occurrence

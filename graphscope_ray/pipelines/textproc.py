@@ -571,3 +571,26 @@ def q_emb_semdedup(sf_dir: str) -> ray.data.Dataset:
     both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
     out = semdedup(both, k=8, eps=0.001, iters=5)
     return out.select_columns(["vec_id", "centroid", "keep"])
+
+
+def q_doc_ntile(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed NTILE(4) over (char length, doc_id) — the
+    rank/window machinery behind CCNet perplexity bucketing
+    (textprep.perplexity_buckets), pinned on a SQL-computable key so
+    the DuckDB ntile() window twin checks it end to end."""
+    from graphscope_ray.stages.relational import global_ntile
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "nchars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+        })
+
+    keys = docs.map_batches(keyed, batch_format="pyarrow")
+    return global_ntile(keys, ["nchars", "doc_id"], 4,
+                        out_col="bucket")

@@ -785,3 +785,49 @@ def asof_join(
 
     return bucketed_group_apply(l_t.union(r_t), list(by), run,
                                 num_buckets=num_buckets)
+
+
+def global_ntile(
+    ds: ray.data.Dataset,
+    by: list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Exact distributed NTILE (SQL window semantics: the first
+    ``n mod B`` buckets get one extra row) over the total order of the
+    ``by`` columns — include a unique id as the last key to pin ties.
+
+    One range-partitioned sort shuffle; then each sorted block learns
+    its global row offset from the per-block counts (tiny remote
+    metadata calls — the driver holds O(#blocks) ints, never rows) and
+    assigns ranks/buckets vectorized. Deterministic at any
+    partitioning. Bucket ids are 1-based like SQL NTILE.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    sorted_ds = ds.sort(by).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    n = int(offsets[-1])
+    q, r = divmod(n, n_buckets)
+
+    @ray.remote
+    def _assign(t: pa.Table, off: int) -> pa.Table:
+        rank = off + np.arange(t.num_rows, dtype=np.int64)
+        big = np.int64(r * (q + 1))          # rows in the +1 buckets
+        bucket = np.where(
+            rank < big,
+            rank // max(q + 1, 1),
+            r + (rank - big) // max(q, 1) if q else r - 1,
+        ) + 1
+        return t.append_column(out_col,
+                               pa.array(bucket.astype(np.int64)))
+
+    out = [_assign.remote(t, int(offsets[i])) for i, t in enumerate(refs)]
+    return ray.data.from_arrow_refs(out)

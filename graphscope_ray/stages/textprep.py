@@ -442,3 +442,23 @@ def decontaminate(
     return feat.map_batches(
         lambda b: b[b["contamination_frac"].to_numpy() <= max_frac],
         batch_format="pandas")
+
+
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    model: "dict | ray.ObjectRef",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the trained bigram LM, then split the corpus
+    into ``n_buckets`` equal-population fluency tiers (bucket 1 = most
+    fluent "head", last = "tail") with exact SQL-NTILE semantics via
+    :func:`relational.global_ntile` — ties pinned by ``id_col`` so the
+    assignment is deterministic at any partitioning."""
+    from graphscope_ray.stages.relational import global_ntile
+
+    scored = score_bigram_lm(ds, model, text_col=text_col)
+    return global_ntile(scored, ["lm_bits_per_token", id_col],
+                        n_buckets, out_col="ppl_bucket")

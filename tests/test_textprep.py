@@ -153,3 +153,52 @@ def test_bigram_lm_train_score_vs_pure_python():
         assert got == pytest.approx(bits(t), rel=1e-12)
     # the in-distribution docs score lower than the outlier
     assert scored["lm_bits_per_token"].iloc[0] < scored["lm_bits_per_token"].iloc[2]
+
+
+class TestNtileAndPerplexityBuckets:
+    def test_ntile_matches_duckdb_window(self):
+        import duckdb
+
+        from graphscope_ray.stages.relational import global_ntile
+        n = 103                                  # uneven: n % B != 0
+        df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                           "score": np.arange(n)[::-1].astype(np.float64)})
+        for nparts in (1, 5):
+            ds = ray.data.from_pandas(df)
+            if nparts > 1:
+                ds = ds.repartition(nparts)
+            got = (global_ntile(ds, ["score", "id"], 4).to_pandas()
+                   .sort_values("id").reset_index(drop=True))
+            want = duckdb.sql(
+                "SELECT id, ntile(4) OVER (ORDER BY score, id)::BIGINT "
+                "AS bucket FROM df").df().sort_values("id"
+                                                      ).reset_index(drop=True)
+            assert list(got["bucket"]) == list(want["bucket"])
+
+    def test_ntile_fewer_rows_than_buckets(self):
+        from graphscope_ray.stages.relational import global_ntile
+        df = pd.DataFrame({"id": np.array([5, 3], np.int64)})
+        got = (global_ntile(ray.data.from_pandas(df), ["id"], 4)
+               .to_pandas().sort_values("id"))
+        assert list(got["bucket"]) == [1, 2]     # ntile: one row each
+
+    def test_perplexity_buckets_head_is_fluent(self):
+        from graphscope_ray.stages.textprep import (
+            perplexity_buckets,
+            train_bigram_lm,
+        )
+        fluent = ["the cat sat on the mat"] * 8
+        weird = ["zq xv qq kj zz pw"] * 4
+        df = pd.DataFrame({
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": fluent + weird})
+        ds = ray.data.from_pandas(df).repartition(3)
+        model = train_bigram_lm(ds)
+        out = perplexity_buckets(ds, model, n_buckets=3).to_pandas()
+        by_id = out.set_index("doc_id")
+        # the repeated in-distribution sentence fills the head buckets;
+        # the gibberish docs land strictly in the worst bucket
+        assert set(by_id.loc[8:, "ppl_bucket"]) == {3}
+        assert (by_id.loc[:7, "ppl_bucket"] < 3).all()
+        # equal-population contract
+        assert out["ppl_bucket"].value_counts().max() == 4
