@@ -217,3 +217,41 @@ def frequent_ngrams(
         ["estimate", "ngram"], ascending=[False, True],
         kind="mergesort").reset_index(drop=True)
     return ray.data.from_pandas(out)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    quantiles: "list[float]",
+    key_col: str = "doc_id",
+    sample_k: int = 4096,
+    salt: str = "quantiles",
+) -> "dict[float, float]":
+    """One-pass approximate quantiles: exact quantiles of a
+    deterministic uniform ``sample_k``-sample (the k globally smallest
+    key hashes, via :func:`sampling.hash_order_sample`'s partial-top-k
+    shuffle — ≤ k rows per block ever move). The scale-path companion
+    to :func:`relational.global_ntile`, which is exact but pays a full
+    range sort. DKW bound: P(|F̂ − F|∞ > ε) ≤ 2e^(−2kε²), so k = 4096
+    gives ±2.1 % rank error at 95 % confidence — independent of corpus
+    size. Deterministic: same (input keys, salt) → same sample → same
+    estimates at any partitioning. Returns {q: value} using the
+    lower-interpolation convention on the sorted sample.
+    """
+    import numpy as np
+
+    from graphscope_ray.stages.sampling import hash_order_sample
+
+    sample = hash_order_sample(
+        ds.select_columns([key_col, value_col]), sample_k,
+        key_col=key_col, salt=salt).to_pandas()
+    if not len(sample):
+        return {float(q): float("nan") for q in quantiles}
+    v = np.sort(sample[value_col].to_numpy(np.float64))
+    out = {}
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        idx = min(len(v) - 1, int(np.floor(q * len(v))))
+        out[float(q)] = float(v[idx])
+    return out

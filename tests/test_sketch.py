@@ -130,3 +130,31 @@ def test_frequent_ngrams_never_crosses_docs():
                           capacity=100).to_pandas()
     assert "beta gamma" not in set(got["ngram"])
     assert set(got["ngram"]) == {"alpha beta", "gamma delta"}
+
+
+class TestApproxQuantiles:
+    def test_accuracy_and_determinism(self):
+        from graphscope_ray.stages.sketch import approx_quantiles
+        n = 50_000
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                           "x": rng.normal(100.0, 15.0, n)})
+        qs = [0.1, 0.5, 0.9]
+        a = approx_quantiles(ray.data.from_pandas(df), "x", qs)
+        b = approx_quantiles(ray.data.from_pandas(df).repartition(7),
+                             "x", qs)
+        assert a == b                       # partition-invariant
+        exact = np.quantile(df["x"], qs)
+        ranks = np.searchsorted(np.sort(df["x"].to_numpy()),
+                                [a[q] for q in qs]) / n
+        # DKW at k=4096: ±2.1% rank error at 95%; allow 4%
+        assert np.all(np.abs(ranks - np.asarray(qs)) < 0.04), (ranks, exact)
+
+    def test_small_input_is_exact_sample(self):
+        from graphscope_ray.stages.sketch import approx_quantiles
+        df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                           "x": np.arange(10, dtype=np.float64)})
+        got = approx_quantiles(ray.data.from_pandas(df), "x",
+                               [0.0, 0.5, 1.0])
+        assert got[0.0] == 0.0 and got[1.0] == 9.0
+        assert got[0.5] == 5.0              # lower interpolation
