@@ -32,7 +32,7 @@ import time
 
 
 ALGOS = ("pagerank", "wcc", "cdlp", "bfs", "sssp", "triangles",
-         "degree_centrality")
+         "degree_centrality", "node2vec_walks")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -63,6 +63,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp root")
+    # node2vec_walks knobs
+    p.add_argument("--walk-length", type=int, default=10)
+    p.add_argument("--num-walks", type=int, default=4)
+    p.add_argument("--p", type=float, default=1.0, dest="n2v_p")
+    p.add_argument("--q", type=float, default=1.0, dest="n2v_q")
+    p.add_argument("--seed", type=int, default=42)
     return p
 
 
@@ -150,10 +156,17 @@ def main(argv=None) -> dict:
             result, _ = algorithms.bfs(g, source=args.source)
         elif args.algo == "sssp":
             result, _ = algorithms.sssp(g, source=args.source)
+        elif args.algo == "node2vec_walks":
+            from graphscope_ray.pipelines.walks import random_walks_pool
+            result = random_walks_pool(
+                g, args.walk_length, num_walks=args.num_walks,
+                p=args.n2v_p, q=args.n2v_q, seed=args.seed,
+                use_weights=args.weight is not None)
         metrics["algo_sec"] = round(time.perf_counter() - t1, 3)
 
     sink = write_partitioned_parquet(
-        result, args.output, key="vid",
+        result, args.output,
+        key="start" if args.algo == "node2vec_walks" else "vid",
         num_partitions=args.output_partitions,
         resume=not args.no_resume)
     metrics.update(sink)

@@ -63,3 +63,26 @@ def test_run_triangles(tmp_path):
     gm = dict(zip(got["vid"], got["triangles"]))
     for v, w in want.items():
         assert gm.get(v, 0) == w, v
+
+
+def test_cli_node2vec_walks(tmp_path):
+    import pandas as pd
+
+    from graphscope_ray import run as cli
+    from graphscope_ray.pipelines.walks import reference_random_walks
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    edf = pd.DataFrame(pairs, columns=["src", "dst"]).astype("int64")
+    inp = str(tmp_path / "edges.parquet")
+    edf.to_parquet(inp)
+    out = str(tmp_path / "walks")
+    m = cli.main(["--algo", "node2vec_walks", "--input", inp,
+                  "--output", out, "--partitions", "3",
+                  "--walk-length", "4", "--num-walks", "2",
+                  "--p", "0.5", "--q", "2.0", "--seed", "7"])
+    assert m["rows"] if "rows" in m else True
+    import ray.data
+    got = {int(r["walk"]): [int(x) for x in r["path"].split(",")]
+           for r in ray.data.read_parquet(out).take_all()}
+    want = reference_random_walks(pairs, 4, num_walks=2, p=0.5, q=2.0,
+                                  seed=7, directed=False)
+    assert got == want
