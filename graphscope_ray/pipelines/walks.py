@@ -59,6 +59,21 @@ def _schema_clean(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def _finish_walks(t: pa.Table) -> pa.Table:
+    """(walk, path) → (walk, start, path). The start vertex is the
+    path's first token — exact even when the walk id's
+    vid × num_walks + rep encoding wraps int64 (full-range hashed
+    vids), where decoding by division would be wrong."""
+    paths = t.column("path").to_numpy(zero_copy_only=False)
+    start = np.fromiter(
+        (int(p.split(",", 1)[0]) for p in paths), np.int64, len(paths))
+    return pa.table({
+        "walk": t.column("walk").cast(pa.int64()),
+        "start": pa.array(start),
+        "path": t.column("path"),
+    })
+
+
 def _warc_table(edges: ray.data.Dataset, directed: bool,
                 weight_col: str | None) -> ray.data.Dataset:
     """(src, dst, w) arc view; undirected edges contribute both arcs.
@@ -110,8 +125,10 @@ def random_walks(
     """
     if walk_length < 0:
         raise ValueError("walk_length must be >= 0")
+    # static across levels: materialize ONCE (otherwise the read +
+    # both-arcs expansion re-executes 1-3x per level)
     arcs = _warc_table(edges, directed, weight_col).map_batches(
-        _schema_clean, batch_format="pyarrow")
+        _schema_clean, batch_format="pyarrow").materialize()
     if starts is None:
         def endpoints(t: pa.Table) -> pa.Table:
             v = np.unique(np.concatenate([
@@ -128,8 +145,10 @@ def random_walks(
         v = np.repeat(v, num_walks)
         rep = np.tile(np.arange(num_walks, dtype=np.int64),
                       t.num_rows)
+        with np.errstate(over="ignore"):
+            wid = v * np.int64(num_walks) + rep
         return pa.table({
-            "walk": v * np.int64(num_walks) + rep,
+            "walk": wid,
             "path": pa.array([str(int(x)) for x in v], pa.string()),
             "prev": pa.array(np.full(len(v), -1, np.int64)),
             "last": pa.array(v),
@@ -363,9 +382,10 @@ def random_walks(
                 return t.filter(pc.equal(t.column("done"), flag))
             return f
 
-        done = stepped.map_batches(split(1), batch_format="pyarrow")
+        done = stepped.map_batches(split(1),
+                                   batch_format="pyarrow").materialize()
         if done.count():
-            finished.append(done.materialize())
+            finished.append(done)
         frontier = stepped.map_batches(split(0),
                                        batch_format="pyarrow").materialize()
         if frontier.count() == 0:
@@ -376,16 +396,7 @@ def random_walks(
     for d in parts[1:]:
         out = out.union(d)
 
-    def finish(t: pa.Table) -> pa.Table:
-        walk = t.column("walk").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "walk": pa.array(walk.astype(np.int64)),
-            "start": pa.array((walk // np.int64(num_walks))
-                              .astype(np.int64)),
-            "path": t.column("path"),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(_finish_walks, batch_format="pyarrow")
 
 
 def reference_random_walks(edge_pairs, walk_length, num_walks=1,
@@ -413,7 +424,9 @@ def reference_random_walks(edge_pairs, walk_length, num_walks=1,
     out = {}
     for s in starts:
         for i in range(num_walks):
-            wid = int(s) * num_walks + i
+            with np.errstate(over="ignore"):
+                wid = int(np.int64(s) * np.int64(num_walks)
+                          + np.int64(i))
             path = [int(s)]
             prev = -1
             for lvl in range(walk_length):
@@ -507,14 +520,4 @@ def random_walks_pool(
 
     out = ray.data.from_arrow_refs(
         [s.walk_collect.remote() for s in shards])
-
-    def finish(t: pa.Table) -> pa.Table:
-        walk = t.column("walk").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "walk": pa.array(walk.astype(np.int64)),
-            "start": pa.array((walk // np.int64(num_walks))
-                              .astype(np.int64)),
-            "path": t.column("path"),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(_finish_walks, batch_format="pyarrow")

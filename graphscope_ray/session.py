@@ -803,8 +803,7 @@ def node2vec_embeddings(graph: Graph, dim: int = 32,
     (the GLE-style vertex-embedding data product; pipelines/walks.py +
     functions/skipgram.py)."""
     from graphscope_ray.functions.skipgram import train_skipgram
-    from graphscope_ray.pipelines.walks import random_walks as rw
-    walks = rw(graph.edges_dataset(), walk_length, num_walks=num_walks,
-               p=p, q=q, seed=seed, directed=graph.directed)
+    walks = random_walks(graph, walk_length, num_walks=num_walks,
+                         p=p, q=q, seed=seed)   # pool engine
     return train_skipgram(walks, dim=dim, window=window, epochs=epochs,
                           lr=lr, negatives=negatives, seed=seed)

@@ -2499,8 +2499,10 @@ class GraphShard:
         v = np.repeat(v.astype(np.int64), num_walks)
         rep = np.tile(np.arange(num_walks, dtype=np.int64),
                       len(v) // max(1, num_walks))
+        with np.errstate(over="ignore"):
+            wid = v * np.int64(num_walks) + rep
         self._wk_front = {
-            "walk": v * np.int64(num_walks) + rep,
+            "walk": wid,
             "path": np.asarray([str(int(x)) for x in v], object),
             "prev": np.full(len(v), -1, np.int64),
             "last": v.copy(),
@@ -2514,9 +2516,17 @@ class GraphShard:
         f = self._wk_front or self._wk_empty()
         pos = np.searchsorted(self.local, f["last"]) if len(f["walk"]) \
             else np.empty(0, np.int64)
+        # a start vid absent from the graph must become the
+        # single-vertex path (like the Dataset engine / oracle), not an
+        # out-of-bounds read or a neighbor's CSR row
+        if len(pos):
+            pos = np.minimum(pos, self.n_local - 1)
+            valid = self.local[pos] == f["last"]
+        else:
+            valid = np.empty(0, bool)
         lo = self._wk_indptr[pos]
         hi = self._wk_indptr[pos + 1] if len(pos) else lo
-        deg = (hi - lo).astype(np.int64)
+        deg = np.where(valid, hi - lo, 0).astype(np.int64)
         dead = deg == 0
         if dead.any():
             self._wk_done.append((f["walk"][dead], f["path"][dead]))

@@ -225,3 +225,37 @@ def test_pool_walks_explicit_starts():
     want = reference_random_walks(TRIANGLE_TAIL, 4, num_walks=1,
                                   seed=3, starts=[2, 4])
     assert got == want
+
+
+def test_full_range_vids_start_exact():
+    # hashed string vids span the full int64 range; the walk-id
+    # product wraps — start must still be exact (decoded from the
+    # path, not by division) and engines must agree with the oracle
+    big = 2**62 + 12345
+    pairs = [(big, 1), (1, 2)]
+    ds = _edges_ds(pairs)
+    res = random_walks(ds, 3, num_walks=2, seed=7, directed=False)
+    rows = res.take_all()
+    starts = {r["start"] for r in rows}
+    assert starts == {big, 1, 2}
+    for r in rows:
+        assert int(r["path"].split(",")[0]) == r["start"]
+    got = _as_dict(res)
+    want = reference_random_walks(pairs, 3, num_walks=2, seed=7,
+                                  directed=False)
+    assert got == want
+    # pool engine agrees
+    from graphscope_ray.pipelines.walks import random_walks_pool
+    g = _pool(pairs, 2)
+    assert _as_dict(random_walks_pool(g, 3, num_walks=2, seed=7)) == want
+
+
+def test_pool_unknown_start_is_single_vertex_path():
+    from graphscope_ray.pipelines.walks import random_walks_pool
+    g = _pool([(0, 1), (1, 2), (2, 0)], 2)
+    got = _as_dict(random_walks_pool(
+        g, 3, num_walks=1, seed=5, starts=np.array([999, 1], np.int64)))
+    want = reference_random_walks([(0, 1), (1, 2), (2, 0)], 3,
+                                  num_walks=1, seed=5, starts=[999, 1])
+    assert got == want
+    assert got[999] == [999]
