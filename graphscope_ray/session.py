@@ -807,3 +807,13 @@ def node2vec_embeddings(graph: Graph, dim: int = 32,
                          p=p, q=q, seed=seed)   # pool engine
     return train_skipgram(walks, dim=dim, window=window, epochs=epochs,
                           lr=lr, negatives=negatives, seed=seed)
+
+
+def negative_edges(graph: Graph, k: int = 5,
+                   seed: int = 42) -> ray.data.Dataset:
+    """Link-prediction negative samples: up to k deterministic
+    non-edge (src, neg_dst) rows per vertex, uniform over the global
+    vertex set, generated and filtered entirely inside the resident
+    shard pool (stages/sampling.negative_edges)."""
+    from graphscope_ray.stages.sampling import negative_edges as ne
+    return ne(graph._pool(), k=k, seed=seed)

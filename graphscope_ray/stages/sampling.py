@@ -279,3 +279,82 @@ def per_key_cap(
 
     pre = ds.map_batches(partial, batch_format="pandas")
     return bucketed_group_apply(pre, [group_col], final, num_buckets)
+
+
+def negative_edges(
+    graph,
+    k: int = 5,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Link-prediction negative sampling on a sealed ``ShardedGraph``:
+    up to ``k`` deterministic non-edge candidates per vertex, uniform
+    over the GLOBAL vertex set (candidate j of vertex u = the vertex at
+    global rank hash(u, j, seed) mod V — ranks map to shards by the
+    broadcast per-shard count cumsum, to vids by local sorted
+    position). Three actor waves (generate → resolve rank→vid at the
+    owning shard → membership-filter against u's resident CSR); no
+    vertex or edge table ever leaves the pool and the output is
+    O(V·k).
+
+    Candidates that happen to hit a real arc of u (or u itself) are
+    DROPPED, not re-drawn — the expected yield is k·(1 − density) per
+    vertex, and the drop count is exactly recoverable by comparing
+    against V·k (no silent cap: one round by design; run with a second
+    seed for more). Deterministic at any partitioning: the candidate
+    set is a pure function of (vids, P, k, seed). Returns (src,
+    neg_dst)."""
+    import numpy as np
+    import ray
+
+    import ray.data
+
+    shards, P = graph.shards, graph.P
+    counts = ray.get([s.local_count.remote() for s in shards])
+    bounds = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+
+    gen = [s.neg_gen.options(num_returns=P if P > 1 else 1).remote(
+        k, seed, bounds) for s in shards]
+    gen = [g if P > 1 else [g] for g in gen]
+    res = [shards[d].neg_resolve.options(
+        num_returns=P if P > 1 else 1).remote(
+        int(bounds[d]), *[gen[src][d] for src in range(P)])
+        for d in range(P)]
+    res = [r if P > 1 else [r] for r in res]
+    out = [shards[d].neg_filter.remote(*[res[src][d]
+                                         for src in range(P)])
+           for d in range(P)]
+    return ray.data.from_arrow_refs(out)
+
+
+def negative_edges_reference(edge_pairs, P: int, k: int = 5,
+                             seed: int = 42, directed: bool = False
+                             ) -> set:
+    """Sequential oracle replicating the pool's rank layout (shards in
+    fid order, vids sorted within each shard) and hash."""
+    import numpy as np
+
+    from graphscope_ray.functions.hashing import hash64_any, partition_of
+
+    vids = np.array(sorted({x for uv in edge_pairs for x in uv[:2]}),
+                    np.int64)
+    owner = partition_of(vids, P)
+    layout = np.concatenate([np.sort(vids[owner == f])
+                             for f in range(P)])
+    V = len(layout)
+    arcs = set()
+    for u, v in ((r[0], r[1]) for r in edge_pairs):
+        arcs.add((int(u), int(v)))
+        if not directed:
+            arcs.add((int(v), int(u)))
+    out = set()
+    for u in vids:
+        for j in range(k):
+            with np.errstate(over="ignore"):
+                h = hash64_any(np.array(
+                    [np.int64(u) * np.int64(1000003)
+                     + np.int64(j) * np.int64(99991)
+                     + np.int64(seed)]))[0]
+            cand = int(layout[int(h % np.uint64(V))])
+            if cand != int(u) and (int(u), cand) not in arcs:
+                out.add((int(u), cand))
+    return out

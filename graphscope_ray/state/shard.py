@@ -2692,3 +2692,87 @@ class GraphShard:
         self._wk_front = None
         self._wk_done = []
         return out
+
+    # ------------------------------------- negative edge sampling
+    # Link-prediction training data: k deterministic non-edge
+    # candidates per vertex, drawn uniformly from the GLOBAL vertex set
+    # by hashing into the rank space [0, V) (rank → owning shard by the
+    # broadcast n_local cumsum, → vid by local sorted position), then
+    # filtered against the resident membership index. Three actor
+    # waves, no vertex table ever leaves the pool.
+
+    def local_count(self) -> int:
+        """Number of vertices owned by this shard."""
+        return int(self.n_local)
+
+    def neg_gen(self, k: int, seed: int, bounds: np.ndarray):
+        """Wave 1: k candidate ranks per local vertex, split by the
+        rank-owning shard."""
+        self._wk_csr()
+        V = int(bounds[-1])
+        u = np.repeat(self.local, k)
+        j = np.tile(np.arange(k, dtype=np.int64), self.n_local)
+        from graphscope_ray.functions.hashing import hash64_any
+
+        with np.errstate(over="ignore"):
+            h = hash64_any(u * np.int64(1000003)
+                           + j * np.int64(99991) + np.int64(seed))
+        rank = (h % np.uint64(max(V, 1))).astype(np.int64)
+        owner = (np.searchsorted(bounds, rank, side="right") - 1
+                 ).astype(np.int64)
+        out = []
+        for d in range(self.P):
+            m = owner == d
+            out.append(pa.table({
+                "u": pa.array(u[m], pa.int64()),
+                "rank": pa.array(rank[m], pa.int64()),
+            }))
+        return out if self.P > 1 else out[0]
+
+    def neg_resolve(self, base: int, *tables):
+        """Wave 2: rank → vid via the local sorted vid array, split
+        back by owner(u)."""
+        fs = [t for t in tables if t is not None and t.num_rows]
+        if not fs:
+            z = pa.table({"u": pa.array([], pa.int64()),
+                          "cand": pa.array([], pa.int64())})
+            return [z] * self.P if self.P > 1 else z
+        t = pa.concat_tables(fs)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        cand = self.local[rank - np.int64(base)]
+        owner = partition_of(u, self.P)
+        out = []
+        for d in range(self.P):
+            m = owner == d
+            out.append(pa.table({
+                "u": pa.array(u[m], pa.int64()),
+                "cand": pa.array(cand[m], pa.int64()),
+            }))
+        return out if self.P > 1 else out[0]
+
+    def neg_filter(self, *tables) -> pa.Table:
+        """Wave 3: drop candidates that ARE forward arcs of u (or u
+        itself); emit surviving (src, neg_dst) rows."""
+        fs = [t for t in tables if t is not None and t.num_rows]
+        if not fs:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "neg_dst": pa.array([], pa.int64())})
+        t = pa.concat_tables(fs)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        cand = t.column("cand").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(self.local, u),
+                         self.n_local - 1)
+        rank = np.searchsorted(self._wk_dstu, cand)
+        rok = rank < len(self._wk_dstu)
+        rank = np.minimum(rank, max(0, len(self._wk_dstu) - 1))
+        if len(self._wk_dstu):
+            rok &= self._wk_dstu[rank] == cand
+        key = pos.astype(np.int64) * self._wk_stride + rank
+        ki = np.minimum(np.searchsorted(self._wk_keys, key),
+                        max(0, len(self._wk_keys) - 1))
+        is_edge = rok & (self._wk_keys[ki] == key) if len(self._wk_keys) \
+            else np.zeros(len(u), bool)
+        keep = ~is_edge & (u != cand)
+        return pa.table({"src": pa.array(u[keep], pa.int64()),
+                         "neg_dst": pa.array(cand[keep], pa.int64())})

@@ -3,6 +3,7 @@ validity, frontier chaining, determinism across re-partitionings."""
 
 import networkx as nx
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data
 
@@ -53,3 +54,51 @@ def test_neighbor_sample_directed_dead_end():
     got = neighbor_sample(ray.data.from_pandas(edf), [3],
                           fanouts=[2, 2], directed=True).to_pandas()
     assert len(got) == 0  # vertex 3 has no out-arcs; sampler stops
+
+
+class TestNegativeEdges:
+    PAIRS = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+
+    def _graph(self, P, directed=False):
+        import ray.data
+
+        from graphscope_ray.state.graph import build_graph
+        df = pd.DataFrame(self.PAIRS, columns=["src", "dst"]
+                          ).astype(np.int64)
+        return build_graph(ray.data.from_pandas(df), num_partitions=P,
+                           directed=directed)
+
+    @pytest.mark.parametrize("P", [1, 3])
+    @pytest.mark.parametrize("directed", [False, True])
+    def test_replica_exact_and_valid(self, P, directed):
+        from graphscope_ray.stages.sampling import (
+            negative_edges,
+            negative_edges_reference,
+        )
+        g = self._graph(P, directed)
+        got = {(int(r["src"]), int(r["neg_dst"]))
+               for r in negative_edges(g, k=4, seed=11).take_all()}
+        want = negative_edges_reference(self.PAIRS, P, k=4, seed=11,
+                                        directed=directed)
+        assert got == want
+        arcs = set()
+        for u, v in self.PAIRS:
+            arcs.add((u, v))
+            if not directed:
+                arcs.add((v, u))
+        for s, d in got:
+            assert (s, d) not in arcs and s != d
+        # every vertex yields some negatives at this density
+        assert {s for s, _ in got} == {0, 1, 2, 3, 4, 5}
+
+    def test_two_seeds_disjointish_and_deterministic(self):
+        from graphscope_ray.stages.sampling import negative_edges
+        g = self._graph(3)
+        a = {(int(r["src"]), int(r["neg_dst"]))
+             for r in negative_edges(g, k=4, seed=1).take_all()}
+        b = {(int(r["src"]), int(r["neg_dst"]))
+             for r in negative_edges(g, k=4, seed=1).take_all()}
+        c = {(int(r["src"]), int(r["neg_dst"]))
+             for r in negative_edges(g, k=4, seed=2).take_all()}
+        assert a == b          # same seed → identical
+        assert a != c          # different seed → different draw
