@@ -74,7 +74,7 @@ def link_prediction_subgraphs(
     sampling surface). Seeds of the neighbor expansion are the distinct
     endpoints of the labeled pairs, extracted distributedly."""
     from graphscope_ray.stages.relational import dedup_first
-    from graphscope_ray.stages.sampling import neighbor_sample
+    from graphscope_ray.stages.sampling import neighbor_sample_pool
 
     pairs = link_prediction_dataset(graph, edges, neg_k=neg_k,
                                     seed=seed).materialize()
@@ -93,6 +93,9 @@ def link_prediction_subgraphs(
         np.asarray(b["vid"], np.int64)
         for b in seeds_ds.iter_batches(batch_format="numpy")] or
         [np.empty(0, np.int64)]))
-    context = neighbor_sample(edges, seeds, fanouts, seed=seed,
-                              directed=directed)
+    # pool engine: adjacency resident, one actor wave per hop (same
+    # samples as the Dataset engine via the shared rank formula; the
+    # pool's own directedness applies — `directed` is kept for the
+    # signature but the pool decides)
+    context = neighbor_sample_pool(graph, seeds, fanouts, seed=seed)
     return pairs, context

@@ -358,3 +358,46 @@ def negative_edges_reference(edge_pairs, P: int, k: int = 5,
             if cand != int(u) and (int(u), cand) not in arcs:
                 out.add((int(u), cand))
     return out
+
+
+def neighbor_sample_pool(
+    graph,
+    seeds,
+    fanouts: "list[int]",
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """k-hop neighbor sampling on a sealed ``ShardedGraph`` — same
+    deterministic samples as :func:`neighbor_sample` (shared rank
+    formula) but the adjacency stays RESIDENT in the pool: per hop one
+    actor wave over the broadcast frontier instead of a full arc-table
+    co-group shuffle. Directedness follows the pool's build. The
+    per-hop frontier (one distinct int64 column) passes through the
+    driver, as in the Dataset engine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    import ray.data
+
+    shards = graph.shards
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    parts = []
+    for hop, fanout in enumerate(fanouts):
+        fref = ray.put(frontier)
+        refs = [s.nbr_sample.remote(fref, fanout, seed)
+                for s in shards]
+        hop_ds = ray.data.from_arrow_refs(refs).map_batches(
+            lambda t, hop=hop: t.append_column(
+                "hop", pa.array(np.full(t.num_rows, hop, np.int64))),
+            batch_format="pyarrow").materialize()
+        parts.append(hop_ds)
+        frontier = np.unique(np.concatenate([
+            b["dst"].to_numpy(np.int64)
+            for b in hop_ds.iter_batches(batch_format="pandas")
+        ] or [np.empty(0, np.int64)]))
+        if not len(frontier):
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.select_columns(["hop", "src", "dst"])

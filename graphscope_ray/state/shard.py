@@ -2776,3 +2776,51 @@ class GraphShard:
         keep = ~is_edge & (u != cand)
         return pa.table({"src": pa.array(u[keep], pa.int64()),
                          "neg_dst": pa.array(cand[keep], pa.int64())})
+
+    def nbr_sample(self, frontier, fanout: int, seed: int) -> pa.Table:
+        """One k-hop-sampling wave on the resident CSR: for each
+        frontier vertex owned here, keep ≤ fanout distinct neighbors by
+        the SAME deterministic rank as stages/sampling.neighbor_sample
+        (splitmix64(h(src) ^ h(dst+7) ^ seed)), so the two engines
+        produce identical samples. Returns the sampled (src, dst)
+        arcs."""
+        from graphscope_ray.functions.hashing import hash64_ints
+
+        self._wk_csr()
+        f = np.asarray(ray.get(frontier) if isinstance(
+            frontier, ray.ObjectRef) else frontier, np.int64)
+        pos = np.minimum(np.searchsorted(self.local, f),
+                         max(self.n_local - 1, 0))
+        ok = (self.local[pos] == f) if self.n_local else \
+            np.zeros(len(f), bool)
+        pos = pos[ok]
+        lo, hi = self._wk_indptr[pos], self._wk_indptr[pos + 1]
+        reps = (hi - lo).astype(np.int64)
+        live = reps > 0
+        lo, reps = lo[live], reps[live]
+        idx = np.repeat(lo, reps) + (
+            np.arange(int(reps.sum()))
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)))[:-1],
+                        reps))
+        src = np.repeat(self.local[pos[live]], reps)
+        dst = self._wk_nbrs[idx]
+        # CSR is dst-sorted within src: drop parallel-arc duplicates
+        keep = np.concatenate(([True], (src[1:] != src[:-1])
+                               | (dst[1:] != dst[:-1]))) \
+            if len(src) else np.empty(0, bool)
+        src, dst = src[keep], dst[keep]
+        with np.errstate(over="ignore"):
+            r = splitmix64(hash64_ints(src) ^ hash64_ints(dst + 7)
+                           ^ np.uint64(seed))
+        order = np.lexsort((r, src))
+        src, dst = src[order], dst[order]
+        first = np.concatenate(([True], src[1:] != src[:-1])) \
+            if len(src) else np.empty(0, bool)
+        gid = np.cumsum(first) - 1
+        grp_start = np.concatenate(([0], np.flatnonzero(first)[1:])) \
+            if len(src) else np.empty(0, np.int64)
+        within = np.arange(len(src)) - grp_start[gid] if len(src) \
+            else np.empty(0, np.int64)
+        m = within < fanout
+        return pa.table({"src": pa.array(src[m], pa.int64()),
+                         "dst": pa.array(dst[m], pa.int64())})

@@ -102,3 +102,23 @@ class TestNegativeEdges:
              for r in negative_edges(g, k=4, seed=2).take_all()}
         assert a == b          # same seed → identical
         assert a != c          # different seed → different draw
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_pool_neighbor_sample_identical_to_dataset_engine(directed):
+    import ray
+
+    from graphscope_ray.stages.sampling import neighbor_sample_pool
+    from graphscope_ray.state.graph import build_graph
+    G, df = _graph()
+    edges = ray.data.from_pandas(df.astype(np.int64))
+    g = build_graph(edges, num_partitions=3, directed=directed)
+    seeds = [0, 7, 13]
+    a = sorted((r["hop"], r["src"], r["dst"]) for r in neighbor_sample(
+        edges, seeds, [3, 2], seed=5, directed=directed).take_all())
+    b = sorted((r["hop"], r["src"], r["dst"])
+               for r in neighbor_sample_pool(g, seeds, [3, 2],
+                                             seed=5).take_all())
+    assert a == b and len(a) > 0
+    for s in g.shards:
+        ray.kill(s)
