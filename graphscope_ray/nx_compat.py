@@ -649,3 +649,17 @@ def all_simple_edge_paths(G: Graph, source, target_nodes,
     for t in targets:
         paths.extend(all_simple_paths(G, source, t, cutoff))
     return sorted(list(zip(pth[:-1], pth[1:])) for pth in paths)
+
+
+def node2vec(G: Graph, dim: int = 32, walk_length: int = 10,
+             num_walks: int = 4, window: int = 2, epochs: int = 10,
+             p: float = 1.0, q: float = 1.0, seed: int = 42) -> dict:
+    """node → embedding (numpy float64[dim]): walks on the resident
+    pool + distributed SGNS (session.node2vec_embeddings)."""
+    g = G._graph()
+    emb, _ = _sess_mod.node2vec_embeddings(
+        g, dim=dim, walk_length=walk_length, num_walks=num_walks,
+        window=window, epochs=epochs, p=p, q=q, seed=seed)
+    m = _vidmap(g)
+    nodes = _nodes_of(m, emb["vid"])
+    return dict(zip(nodes, emb["embedding"]))

@@ -79,3 +79,16 @@ def test_walks_to_embeddings_community_structure():
         for j in range(i + 1, 6):
             (intra if comm[i] == comm[j] else inter).append(S[i, j])
     assert np.mean(intra) > np.mean(inter)
+
+
+def test_nx_node2vec_surface():
+    from graphscope_ray import nx_compat as gnx
+    G = gnx.Graph([("a", "b"), ("b", "c"), ("c", "a")])
+    emb = gnx.node2vec(G, dim=8, walk_length=4, num_walks=2, epochs=3,
+                       seed=3)
+    assert set(emb) == {"a", "b", "c"}
+    assert all(len(v) == 8 for v in emb.values())
+    emb2 = gnx.node2vec(G, dim=8, walk_length=4, num_walks=2, epochs=3,
+                        seed=3)
+    for k in emb:
+        assert np.array_equal(emb[k], emb2[k])   # deterministic
