@@ -96,6 +96,20 @@ def stable_u64_of_str(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
 
 
+def walk_ids(vid: np.ndarray, rep: np.ndarray) -> np.ndarray:
+    """Collision-resistant int64 walk id per (start vid, replica):
+    ``splitmix64(splitmix64(vid) + rep)``. Unlike ``vid * num_walks +
+    rep`` this has no structural collisions after int64 wraparound for
+    full-range hashed vids — only the ~n²/2⁶⁴ birthday bound. Shared
+    by the Dataset engine, the shard-pool engine and the sequential
+    oracle so walks stay comparable across all three."""
+    v = np.asarray(vid, np.int64).astype(_U64)
+    r = np.asarray(rep, np.int64).astype(_U64)
+    with np.errstate(over="ignore"):
+        h = splitmix64(splitmix64(v) + r)
+    return h.view(np.int64)
+
+
 def walk_uniform(walk: np.ndarray, level: int, cand: np.ndarray,
                  seed: int) -> np.ndarray:
     """Deterministic u in (0, 1) per (walk, level, candidate, seed) —
@@ -112,6 +126,13 @@ def walk_uniform(walk: np.ndarray, level: int, cand: np.ndarray,
 def walk_race_keys(walk: np.ndarray, level: int, cand: np.ndarray,
                    weight: np.ndarray, seed: int) -> np.ndarray:
     """Exponential race: min of -log(u)/w samples proportionally to
-    w (deterministic weighted next-hop sampling)."""
+    w (deterministic weighted next-hop sampling). Weights must be
+    strictly positive — zero/negative weights would silently force or
+    forbid a hop via inf/negative race keys, so they fail loudly."""
+    w = np.asarray(weight, np.float64)
+    if len(w) and not (w > 0).all():
+        raise ValueError(
+            "walk edge weights must be > 0 (exponential race); got "
+            f"min={w.min()!r}")
     u = walk_uniform(walk, level, cand, seed)
-    return -np.log(u) / weight
+    return -np.log(u) / w

@@ -76,6 +76,12 @@ def link_prediction_subgraphs(
     from graphscope_ray.stages.relational import dedup_first
     from graphscope_ray.stages.sampling import neighbor_sample_pool
 
+    if bool(directed) != bool(graph.directed):
+        raise ValueError(
+            f"directed={directed} does not match the pool's build "
+            f"directedness ({graph.directed}); the resident CSR's own "
+            "directedness decides the context arcs — rebuild the graph "
+            "or pass the matching flag")
     pairs = link_prediction_dataset(graph, edges, neg_k=neg_k,
                                     seed=seed).materialize()
 

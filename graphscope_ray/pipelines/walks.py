@@ -39,6 +39,7 @@ import ray
 import ray.data
 
 from graphscope_ray.functions.hashing import (
+    walk_ids as _walk_ids,
     walk_race_keys as _race_keys,
 )
 from graphscope_ray.pipelines.paths import _arc_table
@@ -61,9 +62,9 @@ def _schema_clean(t: pa.Table) -> pa.Table:
 
 def _finish_walks(t: pa.Table) -> pa.Table:
     """(walk, path) → (walk, start, path). The start vertex is the
-    path's first token — exact even when the walk id's
-    vid × num_walks + rep encoding wraps int64 (full-range hashed
-    vids), where decoding by division would be wrong."""
+    path's first token — the walk id is an opaque collision-resistant
+    hash of (start vid, replica) (``hashing.walk_ids``), never
+    decodable by division."""
     paths = t.column("path").to_numpy(zero_copy_only=False)
     start = np.fromiter(
         (int(p.split(",", 1)[0]) for p in paths), np.int64, len(paths))
@@ -119,9 +120,10 @@ def random_walks(
     maximum weight (each arc row draws the same uniform, so the largest
     weight yields the winning race key).
 
-    Returns ``(walk, start, path)`` — walk id ``start-vid * num_walks
-    + replica-index``, path a ","-joined vid string. Walks stopping at
-    a dead end keep their shorter path.
+    Returns ``(walk, start, path)`` — walk id a collision-resistant
+    64-bit hash of (start vid, replica index) (``hashing.walk_ids``),
+    path a ","-joined vid string. Walks stopping at a dead end keep
+    their shorter path.
     """
     if walk_length < 0:
         raise ValueError("walk_length must be >= 0")
@@ -145,8 +147,7 @@ def random_walks(
         v = np.repeat(v, num_walks)
         rep = np.tile(np.arange(num_walks, dtype=np.int64),
                       t.num_rows)
-        with np.errstate(over="ignore"):
-            wid = v * np.int64(num_walks) + rep
+        wid = _walk_ids(v, rep)
         return pa.table({
             "walk": wid,
             "path": pa.array([str(int(x)) for x in v], pa.string()),
@@ -424,9 +425,8 @@ def reference_random_walks(edge_pairs, walk_length, num_walks=1,
     out = {}
     for s in starts:
         for i in range(num_walks):
-            with np.errstate(over="ignore"):
-                wid = int(np.int64(s) * np.int64(num_walks)
-                          + np.int64(i))
+            wid = int(_walk_ids(np.array([s], np.int64),
+                                np.array([i], np.int64))[0])
             path = [int(s)]
             prev = -1
             for lvl in range(walk_length):

@@ -372,6 +372,23 @@ def pca_transform(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def _chunked_earlier_dup(V: np.ndarray, ncheck: int, tau: float,
+                         block: int | None = None) -> np.ndarray:
+    """dup[i] = any j < i with V[i]·V[j] ≥ tau, for i < ncheck, via
+    row-block chunks: peak memory is O(block × ncheck) floats (~128 MB
+    at the default block), never the dense ncheck² matrix (80 GB at
+    the 100k cluster cap)."""
+    dup = np.zeros(ncheck, bool)
+    blk = block or max(1, (1 << 24) // max(1, ncheck))
+    for b0 in range(1, ncheck, blk):
+        b1 = min(b0 + blk, ncheck)
+        S = V[b0:b1] @ V[:b1].T
+        lower = (np.arange(b1)[None, :]
+                 < np.arange(b0, b1)[:, None])
+        dup[b0:b1] = ((S >= tau) & lower).any(axis=1)
+    return dup
+
+
 def semdedup(
     ds: ray.data.Dataset,
     k: int = 8,
@@ -435,9 +452,7 @@ def semdedup(
                     "%d (farthest-from-centroid) pair-checked",
                     int(cid), m, max_cluster_rows)
             if ncheck > 1:
-                S = V[:ncheck] @ V[:ncheck].T
-                dup = np.triu(S >= tau, k=1).any(axis=0)
-                keep[:ncheck] = ~dup
+                keep[:ncheck] = ~_chunked_earlier_dup(V, ncheck, tau)
             grp = grp.copy()
             grp["keep"] = keep
             out.append(grp)

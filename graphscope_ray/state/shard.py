@@ -2499,8 +2499,8 @@ class GraphShard:
         v = np.repeat(v.astype(np.int64), num_walks)
         rep = np.tile(np.arange(num_walks, dtype=np.int64),
                       len(v) // max(1, num_walks))
-        with np.errstate(over="ignore"):
-            wid = v * np.int64(num_walks) + rep
+        from graphscope_ray.functions.hashing import walk_ids
+        wid = walk_ids(v, rep)
         self._wk_front = {
             "walk": wid,
             "path": np.asarray([str(int(x)) for x in v], object),
@@ -2514,6 +2514,14 @@ class GraphShard:
         """Expand the resident frontier against the local CSR: returns
         (candidate rows in frontier shape with last=cur, cand, w)."""
         f = self._wk_front or self._wk_empty()
+        if self.n_local == 0:
+            # shard owns no vertices but may still receive frontier
+            # rows (user start vid hashing here on a tiny graph):
+            # every such walk takes the documented dead-end path
+            if len(f["walk"]):
+                self._wk_done.append((f["walk"], f["path"]))
+            return (self._wk_empty(), np.empty(0, np.int64),
+                    np.empty(0, np.float64))
         pos = np.searchsorted(self.local, f["last"]) if len(f["walk"]) \
             else np.empty(0, np.int64)
         # a start vid absent from the graph must become the
@@ -2616,7 +2624,7 @@ class GraphShard:
         cand = t.column("cand").to_numpy(zero_copy_only=False)
         is_edge = np.zeros(len(prev), np.int8)
         has_prev = prev >= 0
-        if has_prev.any():
+        if has_prev.any() and self.n_local:
             pos = np.searchsorted(self.local, prev[has_prev])
             ok = (pos < self.n_local)
             pos = np.minimum(pos, self.n_local - 1)

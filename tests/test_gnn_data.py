@@ -55,3 +55,10 @@ def test_subgraphs_context_arcs_are_real_edges():
                             ds.take_all())
     assert key(pairs) == key(pairs2)
     assert key(ctx) == key(ctx2)
+
+
+def test_subgraphs_directed_mismatch_raises():
+    import pytest as _pytest
+    g, edges = _setup()            # pool built undirected
+    with _pytest.raises(ValueError, match="directedness"):
+        link_prediction_subgraphs(g, edges, fanouts=[2], directed=True)

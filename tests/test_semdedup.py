@@ -99,3 +99,24 @@ def test_semdedup_eps_monotone():
         out = semdedup(_ds(ids, V), eps=eps, iters=2, init=INIT)
         kept.append(int(out.to_pandas()["keep"].sum()))
     assert kept[0] >= kept[1] >= kept[2]
+
+
+def test_chunked_pair_check_matches_dense():
+    # the chunked earlier-dup kernel must equal the dense triu rule at
+    # every block size, including blocks smaller than the row count
+    import numpy as np
+    from graphscope_ray.stages.similarity import (
+        _chunked_earlier_dup,
+        _normalize,
+    )
+    rng = np.random.default_rng(7)
+    V = _normalize(rng.normal(size=(97, 5)))
+    tau = 0.8
+    S = V @ V.T
+    dense = np.triu(S >= tau, k=1).any(axis=0)
+    for blk in (1, 3, 32, 96, 97, 1000, None):
+        got = _chunked_earlier_dup(V, len(V), tau, block=blk)
+        assert (got == dense).all(), blk
+    # truncated ncheck: only the first ncheck rows are checked
+    got = _chunked_earlier_dup(V, 40, tau, block=7)
+    assert (got == dense[:40]).all()

@@ -71,8 +71,16 @@ def test_walks_are_valid_and_complete():
         arcs.add((v, u))
     vids = sorted({x for e in pairs for x in e})
     assert len(res) == len(vids) * 3           # every (start, replica)
+    from graphscope_ray.functions.hashing import walk_ids
+    expect_ids = {int(walk_ids(np.array([v], np.int64),
+                               np.array([r], np.int64))[0])
+                  for v in vids for r in range(3)}
+    assert set(res) == expect_ids              # id = hash(start, rep)
     for wid, path in res.items():
-        assert path[0] == wid // 3             # start encoded in id
+        # id is derived from this walk's start vid (some replica)
+        assert wid in {int(walk_ids(np.array([path[0]], np.int64),
+                                    np.array([r], np.int64))[0])
+                       for r in range(3)}
         assert len(path) == 7                  # no dead ends here
         for a, b in zip(path, path[1:]):
             assert (a, b) in arcs
@@ -82,7 +90,10 @@ def test_directed_dead_end_keeps_short_path():
     res = _as_dict(random_walks(_edges_ds(DIR_CHAIN), walk_length=9,
                                 num_walks=1, seed=5, directed=True))
     # vertex 3 is a sink: its walk is just [3]; all walks end at 3
-    assert res[3] == [3]
+    from graphscope_ray.functions.hashing import walk_ids
+    wid3 = int(walk_ids(np.array([3], np.int64),
+                        np.array([0], np.int64))[0])
+    assert res[wid3] == [3]
     for path in res.values():
         assert path[-1] == 3
 
@@ -108,7 +119,9 @@ def test_explicit_starts_and_zero_length():
         pd.DataFrame({"vid": np.array([2, 4], np.int64)}))
     res = _as_dict(random_walks(_edges_ds(TRIANGLE_TAIL), walk_length=0,
                                 num_walks=1, starts=starts, seed=1))
-    assert res == {2: [2], 4: [4]}
+    from graphscope_ray.functions.hashing import walk_ids
+    w = walk_ids(np.array([2, 4], np.int64), np.array([0, 0], np.int64))
+    assert res == {int(w[0]): [2], int(w[1]): [4]}
 
 
 def test_surfaces_walks_and_edge_paths():
@@ -258,4 +271,39 @@ def test_pool_unknown_start_is_single_vertex_path():
     want = reference_random_walks([(0, 1), (1, 2), (2, 0)], 3,
                                   num_walks=1, seed=5, starts=[999, 1])
     assert got == want
-    assert got[999] == [999]
+    from graphscope_ray.functions.hashing import walk_ids
+    w999 = int(walk_ids(np.array([999], np.int64),
+                        np.array([0], np.int64))[0])
+    assert got[w999] == [999]
+
+
+def test_pool_empty_shard_start_is_dead_end():
+    # P=8 over a 2-vertex graph guarantees shards owning zero
+    # vertices; start vids hashing to such a shard must take the
+    # single-vertex dead-end path, not IndexError (ADVICE r3)
+    from graphscope_ray.pipelines.walks import random_walks_pool
+    g = _pool([(0, 1)], 8)
+    starts = np.arange(20, dtype=np.int64)  # mostly unknown vids
+    got = _as_dict(random_walks_pool(g, 3, num_walks=1, seed=5,
+                                     starts=starts))
+    want = reference_random_walks([(0, 1)], 3, num_walks=1, seed=5,
+                                  starts=list(range(20)))
+    assert got == want
+
+
+def test_nonpositive_weights_raise():
+    import pytest as _pytest
+    rows = [(0, 1, 1.0), (1, 2, 0.0)]
+    with _pytest.raises(Exception, match="> 0"):
+        _as_dict(random_walks(_wedges_ds(rows), walk_length=2,
+                              num_walks=1, seed=1,
+                              weight_col="weight"))
+
+
+def test_walk_ids_distinct_and_deterministic():
+    from graphscope_ray.functions.hashing import walk_ids
+    v = np.repeat(np.array([2**62, -2**62, 0, 1], np.int64), 3)
+    r = np.tile(np.arange(3, dtype=np.int64), 4)
+    a = walk_ids(v, r)
+    assert len(set(a.tolist())) == len(a)
+    assert a.tolist() == walk_ids(v, r).tolist()
