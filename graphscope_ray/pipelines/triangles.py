@@ -245,11 +245,15 @@ def _csr_intersect_hits(oriented: ray.data.Dataset, deg_df: pd.DataFrame
 
     One triangle a→b, a→c, b→c (all arcs oriented low→high by
     (deg, id)) is found exactly once, at its base edge (a, b), as
-    c ∈ N⁺(a) ∩ N⁺(b); each find increments a, b and c.  Neighbor
-    lists are stored as sorted int32 LOCAL indices so the per-edge
-    ``np.intersect1d(assume_unique=True)`` runs on compact arrays and
-    the per-batch accumulator is one ``np.int64[NV]`` vector; tasks
-    emit only its nonzero (vid, cnt) rows."""
+    c ∈ N⁺(a) ∩ N⁺(b); each find increments a, b and c.  The
+    intersection is fully vectorized over the whole edge batch: each
+    edge expands its SMALLER endpoint's neighbor span (repeat/arange,
+    no per-edge loop) and tests membership in the other endpoint's
+    list via one ``searchsorted`` into the broadcast packed
+    ``u * NV + v`` arc-key array — the same O(log E) membership idiom
+    as the walk engine's arc test.  Neighbor ids are sorted int32
+    LOCAL indices; the per-batch accumulator is one ``np.int64[NV]``
+    vector and tasks emit only its nonzero (vid, cnt) rows."""
     vkeys = deg_df["vid"].to_numpy(np.int64)  # sorted by vid
     nv = len(vkeys)
 
@@ -260,23 +264,54 @@ def _csr_intersect_hits(oriented: ray.data.Dataset, deg_df: pd.DataFrame
     a_s, b_s = a_loc[order], b_loc[order]
     indptr = np.zeros(nv + 1, np.int64)
     np.cumsum(np.bincount(a_s, minlength=nv), out=indptr[1:])
-    csr_ref = ray.put((vkeys, indptr, b_s.astype(np.int32)))
+    # packed (a, b) arc keys, ascending by construction of the lexsort
+    packed = a_s.astype(np.int64) * np.int64(max(nv, 1)) + b_s
+    csr_ref = ray.put((vkeys, indptr, b_s.astype(np.int32), packed))
+
+    # cap the per-chunk expansion (Σ min-side degree) so worker memory
+    # stays bounded even for hub-heavy batches
+    expand_cap = 1 << 22
 
     def intersect(batch: pa.Table) -> pa.Table:
-        vk, ptr, nbrs = _resolve(csr_ref)
+        vk, ptr, nbrs, keys = _resolve(csr_ref)
         counts = np.zeros(len(vk), np.int64)
         ia = np.searchsorted(vk, batch.column("a").to_numpy(
             zero_copy_only=False).astype(np.int64))
         ib = np.searchsorted(vk, batch.column("b").to_numpy(
             zero_copy_only=False).astype(np.int64))
-        for j in range(len(ia)):
-            na = nbrs[ptr[ia[j]]:ptr[ia[j] + 1]]
-            nb = nbrs[ptr[ib[j]]:ptr[ib[j] + 1]]
-            w = np.intersect1d(na, nb, assume_unique=True)
-            if w.size:
-                counts[ia[j]] += w.size
-                counts[ib[j]] += w.size
-                counts[w] += 1  # w is unique → fancy-index increment
+        deg_a = ptr[ia + 1] - ptr[ia]
+        deg_b = ptr[ib + 1] - ptr[ib]
+        swap = deg_b < deg_a          # expand the smaller side
+        u = np.where(swap, ib, ia)    # |N(u)| <= |N(v)|
+        v = np.where(swap, ia, ib)
+        deg = np.where(swap, deg_b, deg_a)
+        live = deg > 0
+        u, v, deg = u[live], v[live], deg[live]
+        lo = ptr[u]
+        cum = np.cumsum(deg)
+        stride = np.int64(max(len(vk), 1))
+        start = 0
+        while start < len(u):
+            base = cum[start - 1] if start else 0
+            stop = int(np.searchsorted(cum, base + expand_cap)) + 1
+            stop = max(start + 1, min(stop, len(u)))
+            d = deg[start:stop]
+            tot = int(cum[stop - 1] - base)
+            eidx = np.repeat(np.arange(start, stop), d)
+            offs = (np.arange(tot)
+                    - np.repeat(np.cumsum(d) - d, d))
+            xs = nbrs[np.repeat(lo[start:stop], d) + offs]
+            key = v[eidx].astype(np.int64) * stride + xs
+            pos = np.searchsorted(keys, key)
+            pos_c = np.minimum(pos, max(0, len(keys) - 1))
+            hit = (pos < len(keys)) & (keys[pos_c] == key) \
+                if len(keys) else np.zeros(len(key), bool)
+            if hit.any():
+                eh = eidx[hit]
+                counts += np.bincount(
+                    np.concatenate([u[eh], v[eh], xs[hit]]),
+                    minlength=len(vk)).astype(np.int64)
+            start = stop
         nz = np.nonzero(counts)[0]
         return pa.table({"vid": pa.array(vk[nz], pa.int64()),
                          "cnt": pa.array(counts[nz], pa.int64())})
