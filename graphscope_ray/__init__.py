@@ -19,3 +19,31 @@ owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptySchemaDivergenceFilter(_logging.Filter):
+    """Suppress Ray Data's benign empty-schema divergence warning.
+
+    Ray 2.49's sort-based shuffle (inside ``groupby().map_groups``)
+    builds zero-row output splits with an EMPTY schema whenever a sort
+    range holds no rows (buckets < blocks); the streaming executor then
+    logs "Operator produced a RefBundle with a different schema …
+    new schema: ." once per operator. Those bundles never reach user
+    UDFs (``_apply_udf_to_groups`` yields nothing for empty blocks) and
+    every gather point in this package filters raw blocks through
+    :func:`stages.relational.typed_blocks`, so the message is pure
+    noise for this engine's bucketed operators. Only the exact
+    empty-new-schema variant is suppressed — real schema divergence
+    still warns."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not ("a different schema" in msg
+                    and "new schema: ." in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaDivergenceFilter())

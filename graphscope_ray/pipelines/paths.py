@@ -58,8 +58,8 @@ def _dfs_walk(source: int, *tables: pa.Table) -> pa.Table:
     reference too, dfs.h:227)."""
     # zero-row blocks from upstream bucketed unions can carry an EMPTY
     # schema (no 'src'/'dst' fields) — drop them before gathering
-    tables = [t for t in tables
-              if t.num_rows > 0 and "src" in t.schema.names]
+    from graphscope_ray.stages.relational import typed_blocks
+    tables = typed_blocks(tables, "src")
     if not tables:
         return pa.table({
             "vid": pa.array([int(source)], pa.int64()),

@@ -76,6 +76,20 @@ def broadcast_lookup_join(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def typed_blocks(tables, required: str) -> list:
+    """Filter a raw block gather down to schema-carrying blocks.
+
+    Ray's sort-based shuffle emits zero-row splits with an EMPTY
+    schema (no fields at all) when a sort range holds no rows; any
+    code that gathers ``get_internal_block_refs()`` / remote-arg
+    tables and touches columns must drop those first or hit
+    KeyError/IndexError on a tiny input (round-2's one red row).
+    ``required`` is a column every real block carries."""
+    return [t for t in tables
+            if t is not None and t.num_rows > 0
+            and required in t.schema.names]
+
+
 def bucketed_group_apply(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -229,6 +243,27 @@ def topk(ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
     ).limit(k)
 
 
+def _arrow_fields(ds: ray.data.Dataset) -> dict:
+    """{column: arrow type} from a Dataset schema, tolerating both
+    Arrow and pandas block schemas (a ``Dataset.filter`` over pandas
+    blocks reports a PandasBlockSchema, not a pyarrow.Schema)."""
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError(
+            "dataset has no schema (fully empty with no type "
+            "information) — produce empties via a batch-level filter "
+            "(select_expr) so the schema survives")
+    base = sch.base_schema
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for name, typ in zip(base.names, base.types):
+        if not isinstance(typ, pa.DataType):
+            typ = pa.from_numpy_dtype(np.dtype(typ))
+        out[name] = typ
+    return out
+
+
 def cogroup_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -246,13 +281,12 @@ def cogroup_join(
     must be disjoint apart from the keys; the right key column is
     dropped from the output."""
     right_on = right_on or on
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    ltypes = _arrow_fields(left)
+    rtypes = _arrow_fields(right)
+    lcols, rcols = list(ltypes), list(rtypes)
     overlap = (set(lcols) - {on}) & (set(rcols) - {right_on})
     if overlap:
         raise ValueError(f"cogroup_join column collision: {sorted(overlap)}")
-    ltypes = {f.name: f.type for f in left.schema().base_schema}
-    rtypes = {f.name: f.type for f in right.schema().base_schema}
     payload = {c: ltypes[c] for c in lcols if c != on}
     payload.update({c: rtypes[c] for c in rcols if c != right_on})
 
