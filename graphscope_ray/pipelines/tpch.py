@@ -107,40 +107,63 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
     return _fixed_cols(top, {"revenue": 4})
 
 
-def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
-    """Revenue per customer nation: region⋈nation⋈customer⋈orders⋈lineitem
-    — the multi-join chain, small dims broadcast via pandas merge."""
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+def q5_nation_revenue(sf_dir: str,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Revenue per customer nation: nation⋈customer⋈orders⋈lineitem.
+
+    Scale shape: nation (≤ a few hundred rows by TPC-H contract) is
+    the only unconditional broadcast; the customer side auto-selects
+    broadcast vs bucketed co-group on BROADCAST_LIMIT_ROWS exactly
+    like q3 (at 100× the customer table is not a "small dim").
+    Lineitem revenue is pre-aggregated to order grain BEFORE any join,
+    so both co-group sides are order-scale and the lineitem table
+    itself never shuffles. ``num_buckets`` sizes the co-group
+    exchanges (set ≳ cluster cores at scale)."""
+    from graphscope_ray.pipelines.triangles import BROADCAST_LIMIT_ROWS
+    from graphscope_ray.stages.relational import (
+        broadcast_lookup_join,
+        cogroup_join,
+    )
+
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    cust = cust.merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey",
-                      right_on="n_nationkey")[["c_custkey", "n_name"]]
+    )
+    # (c_custkey, n_name): nation is a per-batch pandas lookup, no shuffle
+    cust_n = broadcast_lookup_join(cust, nation, on="c_nationkey",
+                                   how="inner").select_columns(
+                                       ["c_custkey", "n_name"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
+    ).rename_columns({"o_custkey": "c_custkey"})
+    if cust.count() <= BROADCAST_LIMIT_ROWS:
+        o_n = broadcast_lookup_join(orders, cust_n.to_pandas(),
+                                    on="c_custkey", how="inner")
+    else:
+        o_n = cogroup_join(orders, cust_n, on="c_custkey",
+                           num_buckets=num_buckets)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
-    from graphscope_ray.stages.relational import broadcast_lookup_join
-
-    o_n = broadcast_lookup_join(
-        orders.rename_columns({"o_custkey": "c_custkey"}), cust,
-        on="c_custkey", how="inner",
-    )
-    ol = li.join(
-        o_n, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
     def revenue(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({"n_name": t.column("n_name"), "revenue": rev})
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
 
+    rev_per_order = grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["o_orderkey"], {"revenue": ("revenue", "sum")},
+        num_buckets=num_buckets,
+    )
+    ol = cogroup_join(rev_per_order,
+                      o_n.select_columns(["o_orderkey", "n_name"]),
+                      on="o_orderkey", num_buckets=num_buckets)
     out = grouped_agg(
-        ol.map_batches(revenue, batch_format="pyarrow"),
+        ol.select_columns(["n_name", "revenue"]),
         ["n_name"], {"revenue": ("revenue", "sum")},
     )
     return _fixed_cols(out, {"revenue": 4})

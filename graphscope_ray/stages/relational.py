@@ -259,7 +259,10 @@ def _arrow_fields(ds: ray.data.Dataset) -> dict:
     out = {}
     for name, typ in zip(base.names, base.types):
         if not isinstance(typ, pa.DataType):
-            typ = pa.from_numpy_dtype(np.dtype(typ))
+            dt = np.dtype(typ)
+            # pandas object columns are strings by engine convention
+            typ = pa.string() if dt == np.dtype(object) \
+                else pa.from_numpy_dtype(dt)
         out[name] = typ
     return out
 
