@@ -10,8 +10,13 @@ Design (the repo's deterministic full-batch-GD-partials pattern, as in
 - The embedding matrices (V×d input + V×d output) are the broadcast
   model — ``ray.put`` once per epoch, resolved per block. O(V·d)
   driver/worker memory is the documented contract (same as the vertex
-  map); beyond ~10⁸ vertices a parameter-server sharding would be
-  needed.
+  map), ENFORCED by ``MODEL_BROADCAST_LIMIT_ELEMS``: past that,
+  ``train_skipgram`` raises with a pointer to parameter-server
+  sharding (the multi-node design for 10⁸⁺-vertex vocabularies:
+  range-shard (Win, Wout) rows over actors keyed by the same sorted
+  vid order, have each block pull only its touched rows, push sparse
+  grads back). The vocab lookup itself is a broadcast SORTED vid
+  array + searchsorted (8 bytes/vertex), never a Python dict.
 - Each epoch is ONE streaming pass over the walk corpus: a block
   parses its paths vectorized, forms (center, context) pairs within
   the window, draws ``negatives`` deterministic negatives per pair
@@ -39,6 +44,12 @@ import ray
 import ray.data
 
 from graphscope_ray.functions.hashing import hash64_any
+
+
+#: Max elements per broadcast embedding matrix (V × dim). 5e8 float64
+#: = 4 GB per matrix; past this the broadcast-model design must give
+#: way to parameter-server sharding (see module docstring).
+MODEL_BROADCAST_LIMIT_ELEMS = 500_000_000
 
 
 def _resolve(ref):
@@ -153,10 +164,20 @@ def train_skipgram(
     V = len(vids)
     if V == 0:
         return pd.DataFrame({"vid": [], "embedding": []}), []
+    if V * dim > MODEL_BROADCAST_LIMIT_ELEMS:
+        raise ValueError(
+            f"SGNS model is {V}×{dim} = {V * dim:.3g} elements per "
+            f"matrix, past MODEL_BROADCAST_LIMIT_ELEMS "
+            f"({MODEL_BROADCAST_LIMIT_ELEMS:.3g}); the broadcast-model "
+            "design tops out here — shard the model across "
+            "parameter-server actors (or reduce dim / prune the "
+            "vocabulary) beyond this scale")
     p75 = freq ** 0.75
     cdf = np.cumsum(p75 / p75.sum())
     cdf[-1] = 1.0
-    vmap_ref = ray.put({int(v): i for i, v in enumerate(vids)})
+    # vocab lookup = searchsorted on the broadcast SORTED vid array
+    # (np.unique order) — O(V·8B) once, no V-entry Python dict
+    vids_ref = ray.put(vids)
     cdf_ref = ray.put(cdf)
 
     Win = _init_matrix(vids, dim)
@@ -168,7 +189,7 @@ def train_skipgram(
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             Wi, Wo = _resolve(wref)
-            vmap = _resolve(vmap_ref)
+            vkeys = _resolve(vids_ref)
             c_raw, x_raw = _pairs_from_paths(list(b[path_col]), window)
             if not len(c_raw):
                 return pd.DataFrame({
@@ -177,10 +198,11 @@ def train_skipgram(
                     "row": pd.Series([], dtype=np.int64),
                     "grad": pd.Series([], dtype=object),
                     "loss": pd.Series([], dtype=np.float64)})
-            ci = np.fromiter((vmap[int(v)] for v in c_raw), np.int64,
-                             len(c_raw))
-            xi = np.fromiter((vmap[int(v)] for v in x_raw), np.int64,
-                             len(x_raw))
+            # every token is in the vocab by construction (vocab was
+            # built from this same corpus), so direct searchsorted is
+            # exact and fully vectorized
+            ci = np.searchsorted(vkeys, c_raw)
+            xi = np.searchsorted(vkeys, x_raw)
             neg = _negatives(ci, xi, negatives, _resolve(cdf_ref), seed)
             dWin, dWout, loss = _sgns_grads(ci, xi, neg, Wi, Wo)
             rows_in = np.unique(ci)
@@ -240,12 +262,11 @@ def skipgram_reference(paths: list[str], dim=32, window=2, epochs=5,
     p75 = freq.astype(np.float64) ** 0.75
     cdf = np.cumsum(p75 / p75.sum())
     cdf[-1] = 1.0
-    vmap = {int(v): i for i, v in enumerate(vids)}
     Win = _init_matrix(vids, dim)
     Wout = np.zeros((len(vids), dim), np.float64)
     c_raw, x_raw = _pairs_from_paths(paths, window)
-    ci = np.fromiter((vmap[int(v)] for v in c_raw), np.int64, len(c_raw))
-    xi = np.fromiter((vmap[int(v)] for v in x_raw), np.int64, len(x_raw))
+    ci = np.searchsorted(vids, c_raw)
+    xi = np.searchsorted(vids, x_raw)
     neg = _negatives(ci, xi, negatives, cdf, seed)
     losses = []
     n = max(1, len(ci))

@@ -92,3 +92,18 @@ def test_nx_node2vec_surface():
                         seed=3)
     for k in emb:
         assert np.array_equal(emb[k], emb2[k])   # deterministic
+
+
+def test_model_broadcast_limit_raises(monkeypatch):
+    import graphscope_ray.functions.skipgram as sg
+    monkeypatch.setattr(sg, "MODEL_BROADCAST_LIMIT_ELEMS", 10)
+    import pandas as pd
+    import ray.data
+    walks = ray.data.from_pandas(pd.DataFrame(
+        {"path": ["1,2,3", "2,3,1"]}))
+    try:
+        sg.train_skipgram(walks, dim=8, epochs=1)
+    except ValueError as e:
+        assert "parameter-server" in str(e)
+    else:
+        raise AssertionError("expected ValueError past the model cap")
