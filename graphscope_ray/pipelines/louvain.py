@@ -198,6 +198,163 @@ def _local_move_level(arcs, vids, kv, m2, max_rounds):
     return comm, total_moves
 
 
+def louvain_pool(
+    edges: ray.data.Dataset,
+    num_partitions: int = 8,
+    max_levels: int = 5,
+    max_rounds_per_level: int = 12,
+    vertices: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Louvain with the LEVEL-0 local move on the resident shard pool —
+    the 100-TB path. Identical results to :func:`louvain` (same gain
+    formula, strict margin, parity gating, min-community tie-breaks;
+    pinned exactly in tests at P ∈ {1, 3}); the difference is purely
+    data placement: community labels and weighted degrees live in the
+    shard actors (``state/shard.py`` ``lv_*`` kernel, three fused
+    message waves per round), the driver holds only scalars and object
+    refs — no O(V) arrays, no per-round O(V) broadcast (the round-3
+    verdict's last vertex-scale driver materialization). Contraction,
+    level composition and the canonical min-member relabel are bucketed
+    Dataset joins; deeper levels (community-scale after contraction)
+    recurse into :func:`louvain`. Reference semantics:
+    apps/pregel/louvain/louvain.h (aggregator-based local moving)."""
+    from graphscope_ray.functions.hashing import partition_of
+    from graphscope_ray.stages.relational import cogroup_join, dedup_first
+    from graphscope_ray.state.graph import _route_groups, build_graph
+
+    level_edges = _canonical_weighted(edges).materialize()
+
+    def noloop_arcs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        m = u != v
+        return pa.table({"src": pa.array(u[m]), "dst": pa.array(v[m]),
+                         "weight": pa.array(w[m], pa.float64())})
+
+    def loop_rows(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        m = u == v
+        return pa.table({
+            "vid": pa.array(u[m]),
+            "w": pa.array(w[m], pa.float64()),
+            "_fid": pa.array(partition_of(u[m], num_partitions),
+                             pa.int64())})
+
+    def all_vids(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": pa.array(np.concatenate([u, v]))})
+
+    g = build_graph(
+        level_edges.map_batches(noloop_arcs, batch_format="pyarrow"),
+        num_partitions=num_partitions, directed=False,
+        extra_vertices=level_edges.map_batches(all_vids,
+                                               batch_format="pyarrow"))
+    _route_groups(
+        level_edges.map_batches(loop_rows, batch_format="pyarrow"),
+        g.shards, "_fid",
+        lambda shard, tab: shard.lv_loops_ingest.remote(tab))
+    m2 = float(sum(g.call_all("lv_init")))
+
+    total_moves = 0
+    if m2 > 0:
+        # round r's decisions (waves B+C) are applied at the START of
+        # the next wave A with parity r % 2 — the exact round/parity
+        # sequence of _local_move_level, three waves per round
+        refs_sc = None
+        applied = decided = empty = 0
+        while decided < max_rounds_per_level:
+            refs_a = g.step_refs("lv_nbr_step", applied % 2,
+                                 inbox=refs_sc)
+            if refs_sc is not None:
+                moved = sum(g.step_scalars(refs_a))
+                applied += 1
+                if moved == 0:
+                    empty += 1
+                    if empty >= 2:      # both parities settled
+                        refs_sc = None
+                        break
+                else:
+                    empty = 0
+                    total_moves += moved
+            refs_b = g.step_refs("lv_cand_step", inbox=refs_a)
+            refs_sc = g.step_refs("lv_score_step", m2, inbox=refs_b)
+            decided += 1
+        if refs_sc is not None:
+            total_moves += sum(g.apply_all("lv_apply_final", refs_sc,
+                                           applied % 2))
+
+    comm0 = ray.data.from_arrow_refs(
+        [s.lv_table.remote() for s in g.shards])
+
+    if total_moves == 0 or m2 == 0:
+        final = comm0.map_batches(
+            lambda t: pa.table({"vid": t.column("vid"),
+                                "community": t.column("vid")}),
+            batch_format="pyarrow")
+    else:
+        # contract communities into super-vertices (two bucketed joins,
+        # no driver state) and recurse the deeper — community-scale —
+        # levels through the Dataset engine
+        ju = cogroup_join(
+            level_edges,
+            comm0.map_batches(
+                lambda t: pa.table({"u": t.column("vid"),
+                                    "cu": t.column("comm")}),
+                batch_format="pyarrow"), on="u")
+        jv = cogroup_join(
+            ju,
+            comm0.map_batches(
+                lambda t: pa.table({"v": t.column("vid"),
+                                    "cv": t.column("comm")}),
+                batch_format="pyarrow"), on="v")
+
+        def contract(t: pa.Table) -> pa.Table:
+            cu = t.column("cu").to_numpy(zero_copy_only=False)
+            cv = t.column("cv").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(np.minimum(cu, cv)),
+                "dst": pa.array(np.maximum(cu, cv)),
+                "weight": t.column("w")})
+
+        contracted = jv.map_batches(contract, batch_format="pyarrow")
+        deep = louvain(contracted, max_levels=max_levels - 1,
+                       max_rounds_per_level=max_rounds_per_level)
+        composed = cogroup_join(
+            comm0, deep.map_batches(
+                lambda t: pa.table({"comm": t.column("vid"),
+                                    "community": t.column("community")}),
+                batch_format="pyarrow"), on="comm")
+        # canonical relabel: community id = min ORIGINAL member vid
+        canon = grouped_agg(
+            composed.select_columns(["vid", "community"]),
+            ["community"], {"canon": ("vid", "min")})
+        final = cogroup_join(
+            composed.select_columns(["vid", "community"]), canon,
+            on="community").map_batches(
+                lambda t: pa.table({"vid": t.column("vid"),
+                                    "community": t.column("canon")}),
+                batch_format="pyarrow")
+
+    if vertices is not None:
+        singles = vertices.map_batches(
+            lambda t: pa.table({
+                "vid": t.column("vid").cast(pa.int64()),
+                "community": t.column("vid").cast(pa.int64()),
+                "pri": pa.array(np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        tagged = final.map_batches(
+            lambda t: t.append_column(
+                "pri", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow")
+        final = dedup_first(tagged.union(singles), ["vid"],
+                            order_by=["pri"]).drop_columns(["pri"])
+    return final
+
+
 def louvain(
     edges: ray.data.Dataset,
     max_levels: int = 5,

@@ -453,12 +453,14 @@ def q_part_scc(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
 
 
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
-    """Louvain communities on the part graph (rows-only: no SQL twin;
-    modularity-vs-networkx covered in pytest)."""
-    from graphscope_ray.pipelines.louvain import louvain
+    """Louvain communities on the part graph — level-0 local move on
+    the resident shard pool (O(1) driver state; exact-equal to the
+    Dataset engine, pinned at P∈{1,3} in tests/test_louvain.py; no SQL
+    twin — rows-only gate with modularity-vs-networkx in pytest)."""
+    from graphscope_ray.pipelines.louvain import louvain_pool
 
-    return louvain(part_cooccurrence_edges(sf_dir),
-                   vertices=part_vertices(sf_dir))
+    return louvain_pool(part_cooccurrence_edges(sf_dir),
+                        vertices=part_vertices(sf_dir))
 
 
 def q_part_voterank(sf_dir: str, k: int = 20, num_partitions: int = 8

@@ -498,6 +498,209 @@ class GraphShard:
         self.state[pos] = newlab
         return changed
 
+    # --------------------------------- Louvain distributed local-move
+    # (pipelines/louvain.louvain_pool; reference semantics
+    # apps/pregel/louvain/louvain.h — aggregator-based local moving).
+    # Per round, three fused waves with O(1) driver state:
+    #   A lv_nbr_step  : apply previous round's accepted moves, then
+    #                    push comm[src] along every arc to owner(dst)
+    #                    pre-summed per (dst, comm)  [O(E) messages]
+    #   B lv_cand_step : owner(v) groups to per-(v, c) weights w_{v→c},
+    #                    synthesizes the stay option, ships candidate
+    #                    rows AND raw (c, vid, kv) community-mass rows
+    #                    to owner(c)                 [O(E)+O(V)]
+    #   C lv_score_step: owner(c) reduces tot[c] in ascending-vid
+    #                    order (float order pinned), scores its rows,
+    #                    returns per-v partial bests + the stay score
+    #                    to owner(v)                 [O(V) bests]
+    # The per-round math (gain formula, strict margin, parity gating,
+    # min-community tie-breaks) is IDENTICAL to the Dataset engine's
+    # _local_move_level; tests pin exact equality at P ∈ {1, 3}.
+    def lv_loops_ingest(self, t: pa.Table) -> int:
+        """Buffer this shard's self-loop weight rows (vid, w) — the
+        pool's arc set excludes loops; kv adds 2w per loop."""
+        if not hasattr(self, "_lv_loopbuf"):
+            self._lv_loopbuf = []
+        if t is not None and t.num_rows:
+            self._lv_loopbuf.append((
+                np.asarray(t.column("vid").to_numpy(zero_copy_only=False),
+                           np.int64),
+                np.asarray(t.column("w").to_numpy(zero_copy_only=False),
+                           np.float64)))
+        return int(t.num_rows if t is not None else 0)
+
+    def lv_init(self) -> float:
+        """comm = own vid; kv = Σ arc weights + 2×self-loops. Returns
+        this shard's kv partial (driver scalar-sums m2)."""
+        w = self._weights()
+        if isinstance(w, np.ndarray):
+            kv = np.bincount(self.e_src_pos, weights=w,
+                             minlength=self.n_local).astype(np.float64)
+        else:
+            kv = np.bincount(self.e_src_pos,
+                             minlength=self.n_local).astype(np.float64)
+        for vid, lw in getattr(self, "_lv_loopbuf", []):
+            pos = np.searchsorted(self.local, vid)
+            np.add.at(kv, pos, 2.0 * lw)
+        self._lv_loopbuf = []
+        self._lv_kv = kv
+        self._lv_comm = self.local.copy()
+        return float(kv.sum())
+
+    def _lv_nbr_scatter(self):
+        labels = self._lv_comm[self.e_src_pos]
+        w = self._weights()
+        out = []
+        for d in range(self.P):
+            lo, hi = self.part_bounds[d], self.part_bounds[d + 1]
+            dsts, labs = self.e_dst[lo:hi], labels[lo:hi]
+            if len(dsts) == 0:
+                out.append(None)
+                continue
+            ws = (w[lo:hi] if isinstance(w, np.ndarray)
+                  else np.ones(hi - lo, np.float64))
+            order = np.lexsort((labs, dsts))
+            dsts, labs, ws = dsts[order], labs[order], ws[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1]))))
+            out.append((dsts[starts], labs[starts],
+                        np.add.reduceat(ws, starts)))
+        return out if self.P > 1 else out[0]
+
+    def _lv_apply(self, parity: int, *inbox) -> int:
+        v, kind, c, score = _concat_msgs(
+            inbox, (np.int64, np.int8, np.int64, np.float64))
+        if not len(v):
+            return 0
+        sm = kind == 1
+        vs, ss = v[sm], score[sm]
+        so = np.argsort(vs, kind="stable")
+        vs, ss = vs[so], ss[so]
+        vb, cb, sb = v[~sm], c[~sm], score[~sm]
+        order = np.lexsort((cb, -sb, vb))
+        vb, cb, sb = vb[order], cb[order], sb[order]
+        first = np.concatenate(([True], vb[1:] != vb[:-1]))
+        vb, cb, sb = vb[first], cb[first], sb[first]
+        stay = ss[np.searchsorted(vs, vb)]
+        pos = np.searchsorted(self.local, vb)
+        cold = self._lv_comm[pos]
+        mv = ((cb != cold) & (sb > stay + 1e-12)
+              & ((vb % 2) == parity))
+        self._lv_comm[pos[mv]] = cb[mv]
+        return int(mv.sum())
+
+    def lv_nbr_step(self, parity: int, *inbox):
+        moved = self._lv_apply(parity, *inbox) if inbox else 0
+        return self._msgs_tuple(self._lv_nbr_scatter()) + (moved,)
+
+    def lv_apply_final(self, parity: int, *inbox) -> int:
+        return self._lv_apply(parity, *inbox)
+
+    def lv_cand_step(self, *inbox):
+        u, cn, w = _concat_msgs(inbox, (np.int64, np.int64, np.float64))
+        if len(u):
+            order = np.lexsort((cn, u))
+            u, cn, w = u[order], cn[order], w[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], (u[1:] != u[:-1]) | (cn[1:] != cn[:-1]))))
+            cu, cc = u[starts], cn[starts]
+            cw = np.add.reduceat(w, starts)
+        else:
+            cu = cc = np.empty(0, np.int64)
+            cw = np.empty(0, np.float64)
+        pos = np.searchsorted(self.local, cu)
+        cold = self._lv_comm[pos]
+        ckv = self._lv_kv[pos]
+        cself = (cc == cold)
+        # synthesize the stay option (w_{v,cold} = 0) for vertices with
+        # no arc into their own community — exactly once per vertex
+        ustarts = np.flatnonzero(np.concatenate(
+            ([True], cu[1:] != cu[:-1]))) if len(cu) else np.empty(0, int)
+        if len(ustarts):
+            has_self = np.logical_or.reduceat(cself, ustarts)
+            miss = ~has_self
+            mu = cu[ustarts[miss]]
+            mpos = np.searchsorted(self.local, mu)
+            cu = np.concatenate([cu, mu])
+            cc = np.concatenate([cc, self._lv_comm[mpos]])
+            cw = np.concatenate([cw, np.zeros(miss.sum())])
+            cold = np.concatenate([cold, self._lv_comm[mpos]])
+            ckv = np.concatenate([ckv, self._lv_kv[mpos]])
+            cself = np.concatenate([cself, np.ones(miss.sum(), bool)])
+        # community-mass rows for every LOCAL vertex → owner(comm)
+        towner = partition_of(self._lv_comm, self.P)
+        cowner = partition_of(cc, self.P)
+        out = []
+        for d in range(self.P):
+            tm = towner == d
+            cm = cowner == d
+            if not tm.any() and not cm.any():
+                out.append(None)
+                continue
+            out.append((self._lv_comm[tm], self.local[tm],
+                        self._lv_kv[tm],
+                        cu[cm], cc[cm], cw[cm], ckv[cm],
+                        cself[cm].astype(np.int8)))
+        return self._msgs_tuple(out if self.P > 1 else out[0]) + (0,)
+
+    def lv_score_step(self, m2: float, *inbox):
+        tc, tvid, tkv, cv, cc, cw, ckv, cself = _concat_msgs(
+            inbox, (np.int64, np.int64, np.float64,
+                    np.int64, np.int64, np.float64, np.float64, np.int8))
+        # tot[c] reduced in ascending (c, vid) order — the same float
+        # summation order as the Dataset engine's vid-ordered groupby
+        if len(tc):
+            order = np.lexsort((tvid, tc))
+            tcs, tkvs = tc[order], tkv[order]
+            starts = np.flatnonzero(np.concatenate(
+                ([True], tcs[1:] != tcs[:-1])))
+            uc, tot = tcs[starts], np.add.reduceat(tkvs, starts)
+        else:
+            uc, tot = np.empty(0, np.int64), np.empty(0, np.float64)
+        out_parts = [[] for _ in range(self.P)]
+        if len(cv):
+            tot_c = tot[np.searchsorted(uc, cc)]
+            selfb = cself.astype(bool)
+            score = cw - (tot_c - np.where(selfb, ckv, 0.0)) * ckv / m2
+            vowner = partition_of(cv, self.P)
+            # stay rows (kind 1)
+            for d in range(self.P):
+                m = selfb & (vowner == d)
+                if m.any():
+                    out_parts[d].append((cv[m],
+                                         np.ones(m.sum(), np.int8),
+                                         cc[m], score[m]))
+            # per-v partial best among THIS shard's rows (kind 0):
+            # max score, ties → min community (matches the Dataset
+            # engine's (score desc, cn asc) stable sort)
+            order = np.lexsort((cc, -score, cv))
+            vb = cv[order]
+            first = np.concatenate(([True], vb[1:] != vb[:-1]))
+            sel = order[first]
+            bowner = vowner[sel]
+            for d in range(self.P):
+                m = bowner == d
+                if m.any():
+                    out_parts[d].append((cv[sel][m],
+                                         np.zeros(m.sum(), np.int8),
+                                         cc[sel][m], score[sel][m]))
+        out = []
+        for d in range(self.P):
+            parts = out_parts[d]
+            if not parts:
+                out.append(None)
+            elif len(parts) == 1:
+                out.append(parts[0])
+            else:
+                out.append(tuple(np.concatenate([p[i] for p in parts])
+                                 for i in range(4)))
+        return self._msgs_tuple(out if self.P > 1 else out[0]) + (0,)
+
+    def lv_table(self) -> pa.Table:
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "comm": pa.array(self._lv_comm, pa.int64())})
+
     # ------------------------------------------------ BFS / SSSP (min-dist)
     def dist_init(self, roots: np.ndarray) -> int:
         self.state = np.full(self.n_local, INF, dtype=np.float64)

@@ -63,3 +63,51 @@ def test_louvain_deterministic():
     a = louvain(ds).to_pandas().sort_values("vid").reset_index(drop=True)
     b = louvain(ds).to_pandas().sort_values("vid").reset_index(drop=True)
     assert (a["community"].to_numpy() == b["community"].to_numpy()).all()
+
+
+def _pairs_ds(rows, weighted=False):
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    df = pd.DataFrame(rows, columns=cols)
+    df[["src", "dst"]] = df[["src", "dst"]].astype(np.int64)
+    return ray.data.from_pandas(df)
+
+
+def _as_map(ds):
+    out = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    return dict(zip(out["vid"].astype(int), out["community"].astype(int)))
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pool_matches_dataset_engine_exactly(P):
+    from graphscope_ray.pipelines.louvain import louvain_pool
+    edges, _ = _planted(n_comm=3, size=8, seed=11)
+    ds = _pairs_ds(edges)
+    want = _as_map(louvain(ds))
+    got = _as_map(louvain_pool(ds, num_partitions=P))
+    assert got == want
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pool_selfloops_weights_and_isolated(P):
+    from graphscope_ray.pipelines.louvain import louvain_pool
+    # integer weights + a self-loop + parallel edge (summed by canon)
+    rows = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (3, 3, 4.0),
+            (3, 4, 1.0), (4, 5, 2.0), (5, 3, 1.0), (0, 1, 1.0)]
+    ds = _pairs_ds(rows, weighted=True)
+    verts = ray.data.from_pandas(pd.DataFrame(
+        {"vid": np.arange(9, dtype=np.int64)}))
+    want = _as_map(louvain(ds, vertices=verts))
+    got = _as_map(louvain_pool(ds, num_partitions=P, vertices=verts))
+    assert got == want
+    # isolated vertices 6..8 are singletons
+    for v in (6, 7, 8):
+        assert got[v] == v
+
+
+def test_pool_no_move_graph():
+    # two disconnected vertices joined by nothing that improves
+    # modularity: a single edge graph — still must match
+    from graphscope_ray.pipelines.louvain import louvain_pool
+    ds = _pairs_ds([(10, 20)])
+    assert _as_map(louvain_pool(ds, num_partitions=2)) == _as_map(
+        louvain(ds))
