@@ -123,14 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one exact twin pins the whole chain's stage order and text
         # threading, not just each stage in isolation.
         "doc_pipeline": textproc.q_doc_pipeline,
-        # rows-only but merge-sequence-EXACT in pytest
-        "doc_bpe_merges": textproc.q_doc_bpe_merges,
+        "part_avg_clustering": sf_graph.q_part_avg_clustering,
         # --- positions 51+ ---------------------------------------------
         # The driver sweep records exactly 50 rows in dict order; the
         # tail holds entries whose exactness is already pinned against
         # networkx/pandas/DuckDB oracles in pytest or was recorded in a
         # prior round — losing their gate row costs the least evidence.
-        "part_avg_clustering": sf_graph.q_part_avg_clustering,
         "part_transitivity": sf_graph.q_part_transitivity,
         "part_assortativity": sf_graph.q_part_assortativity,
         "part_avg_degree_connectivity": sf_graph.q_part_avg_degree_connectivity,
@@ -154,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": textproc.q_emb_kmeans,
         "emb_pca": textproc.q_emb_pca,
         "doc_dsir": textproc.q_doc_dsir,
+        # rows-only but merge-sequence-EXACT in pytest
+        "doc_bpe_merges": textproc.q_doc_bpe_merges,
         # SemDeDup (k-means + within-cluster cosine dedup) over the
         # id-shifted duplicated embeddings — rows-only (iterative
         # k-means), keep rule replica-exact in pytest.
