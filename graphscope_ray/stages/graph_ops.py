@@ -92,9 +92,18 @@ def report_graph(edges: ray.data.Dataset) -> dict:
             "n_vertices": degree_table(mat, mode="both").count()}
 
 
-def archive_graph(edges: ray.data.Dataset, path: str) -> None:
+def archive_graph(edges: ray.data.Dataset, path: str,
+                  format: str = "parquet", **graphar_kwargs) -> None:
     """ARCHIVE_GRAPH (grape_instance.cc:214-233): persist to parquet
-    (a directory of part files — resumable layout)."""
+    (a directory of part files — resumable layout), or, with
+    ``format="graphar"``, to the Apache GraphAr interchange layout the
+    reference's ``Graph.save_to(format="graphar")`` emits
+    (framework/graph.py:1249-1347; sources/graphar.save_graphar)."""
+    if format == "graphar":
+        from graphscope_ray.sources.graphar import save_graphar
+
+        save_graphar(edges, path, **graphar_kwargs)
+        return
     edges.write_parquet(path)
 
 
