@@ -79,7 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_harmonic": sf_graph.q_part_harmonic,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
-        "part_hits": sf_graph.q_part_hits,
+        # string-oid WCC through the session relabel path with the
+        # md5-interchange hasher — proves the non-integer-oid path
+        # end-to-end at gate scale (r3 verdict ask #8)
+        "part_wcc_stroid": sf_graph.q_part_wcc_stroid,
         # multi-label property graph (apps/property family)
         "part_wcc_labeled": sf_graph.q_part_wcc_labeled,
         "part_sssp_labeled": sf_graph.q_part_sssp_labeled,
@@ -130,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # networkx/pandas/DuckDB oracles in pytest or was recorded in a
         # prior round — losing their gate row costs the least evidence.
         "part_transitivity": sf_graph.q_part_transitivity,
+        "part_hits": sf_graph.q_part_hits,
         "part_assortativity": sf_graph.q_part_assortativity,
         "part_avg_degree_connectivity": sf_graph.q_part_avg_degree_connectivity,
         "part_node_boundary": sf_graph.q_part_node_boundary,
@@ -882,6 +886,30 @@ def _all_oracle_sql() -> dict[str, str]:
         "  UNION\n"
         "  SELECT a.dst, r.comp FROM reach r JOIN arcs a ON a.src = r.vid)\n"
         "SELECT vid, min(comp) AS component FROM reach GROUP BY vid",
+        # string-oid WCC: vids = md5-lower-64 of 'P<partkey>' viewed as
+        # SIGNED int64 (the engine's .view(np.int64)); component = min
+        # signed hashed vid — the exact session-relabel interchange
+        "part_wcc_stroid": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        """hvi AS MATERIALIZED (
+  SELECT 'P' || CAST(vid AS VARCHAR) AS node,
+         CAST(CASE WHEN CAST(md5_number_lower('P' || CAST(vid AS VARCHAR))
+                        AS HUGEINT) >= CAST('9223372036854775808' AS HUGEINT)
+              THEN CAST(md5_number_lower('P' || CAST(vid AS VARCHAR))
+                        AS HUGEINT) - CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(md5_number_lower('P' || CAST(vid AS VARCHAR))
+                        AS HUGEINT) END AS BIGINT) AS hvid,
+         vid
+  FROM verts),
+sarc AS MATERIALIZED (
+  SELECT hs.hvid AS src, hd.hvid AS dst
+  FROM arcs a JOIN hvi hs ON hs.vid = a.src
+              JOIN hvi hd ON hd.vid = a.dst),
+reach(vid, comp) AS (
+  SELECT hvid, hvid FROM hvi
+  UNION
+  SELECT a.dst, r.comp FROM reach r JOIN sarc a ON a.src = r.vid)
+SELECT h.node AS node, min(r.comp) AS component
+FROM reach r JOIN hvi h ON h.hvid = r.vid GROUP BY h.node""",
         "part_cdlp": _cdlp_sql(),
         "part_triangles": f"WITH {_GRAPH_CTES.strip()},\n"
         "e AS (SELECT src AS u, dst AS v FROM edges),\n"

@@ -452,6 +452,50 @@ def q_part_scc(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
     return algorithms.scc(g)
 
 
+def q_part_wcc_stroid(sf_dir: str, num_partitions: int = 8
+                      ) -> pd.DataFrame:
+    """String-oid WCC end-to-end through the SESSION relabel path —
+    the reference's string-oid semantics (the builtin wcc accepts
+    arbitrary oids via the vertex map, python/graphscope/analytical/
+    app/wcc.py:57-64 + core/vertex_map/global_vertex_map.h:44-120).
+
+    Part keys become string oids ``'P<partkey>'``; the session graph
+    relabels them with the md5-lower-64 interchange hash (DuckDB
+    ``md5_number_lower``), runs pool WCC over the hashed int64 vids,
+    and the Context joins the node map back — so the gate's exact
+    DuckDB twin reproduces every step including the relabel. Output:
+    (node, component), component = min signed hashed vid."""
+    from graphscope_ray import session as gss
+    from graphscope_ray.functions.text import _md5_lower64
+
+    def stringify_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.char.add(
+                "P", s.astype(np.int64).astype(str)).astype(object)),
+            "dst": pa.array(np.char.add(
+                "P", d.astype(np.int64).astype(str)).astype(object)),
+        })
+
+    def stringify_verts(t: pa.Table) -> pa.Table:
+        v = t.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.char.add(
+            "P", v.astype(np.int64).astype(str)).astype(object))})
+
+    sedges = part_cooccurrence_edges(sf_dir).map_batches(
+        stringify_edges, batch_format="pyarrow")
+    sverts = part_vertices(sf_dir).map_batches(
+        stringify_verts, batch_format="pyarrow")
+    sess = gss.Session(num_partitions=num_partitions)
+    g = (sess.g(directed=False, oid_hasher=_md5_lower64)
+         .add_edges(sedges, src_field="src", dst_field="dst")
+         .add_vertices(sverts, vid_field="node"))
+    out = gss.wcc(g).to_dataset().to_pandas()
+    sess.close()
+    return out[["node", "component"]]
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph — level-0 local move on
     the resident shard pool (O(1) driver state; exact-equal to the

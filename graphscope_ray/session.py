@@ -74,6 +74,11 @@ class Graph:
     directed: bool = True
     _vertex_specs: tuple = field(default_factory=tuple)  # (ds, vid_col)
     _edge_specs: tuple = field(default_factory=tuple)    # (ds, src, dst, w)
+    #: optional string-oid → uint64 vectorized hash overriding the
+    #: default siphash relabel (e.g. functions.text._md5_lower64 for a
+    #: DuckDB-reproducible md5 interchange); must be injective on the
+    #: input oids (collisions are detected and raised either way)
+    oid_hasher: object = None
 
     # -- construction -----------------------------------------------------
     def add_vertices(self, vertices, label: str = "_", vid_field=0
@@ -117,14 +122,16 @@ class Graph:
     def _int_edges(self) -> ray.data.Dataset:
         """Union of edge specs normalized to (src, dst[, weight]) int64."""
         relabel = self._needs_relabel
+        hasher = self.oid_hasher
         parts = []
         for ds, s, d, w in self._edge_specs:
             cols = [s, d] + ([w] if w else [])
             sub = ds.select_columns(cols)
 
-            def norm(t: pa.Table, s=s, d=d, w=w, relabel=relabel) -> pa.Table:
-                out = {"src": _vids(t.column(s), relabel),
-                       "dst": _vids(t.column(d), relabel)}
+            def norm(t: pa.Table, s=s, d=d, w=w, relabel=relabel,
+                     hasher=hasher) -> pa.Table:
+                out = {"src": _vids(t.column(s), relabel, hasher),
+                       "dst": _vids(t.column(d), relabel, hasher)}
                 if w:
                     out["weight"] = t.column(w).cast(pa.float64())
                 return pa.table(out)
@@ -139,11 +146,14 @@ class Graph:
         if not self._vertex_specs:
             return None
         relabel = self._needs_relabel
+        hasher = self.oid_hasher
         parts = []
         for ds, v in self._vertex_specs:
 
-            def norm(t: pa.Table, v=v, relabel=relabel) -> pa.Table:
-                return pa.table({"vid": _vids(t.column(v), relabel)})
+            def norm(t: pa.Table, v=v, relabel=relabel,
+                     hasher=hasher) -> pa.Table:
+                return pa.table({"vid": _vids(t.column(v), relabel,
+                                              hasher)})
 
             parts.append(ds.select_columns([v])
                          .map_batches(norm, batch_format="pyarrow"))
@@ -161,18 +171,21 @@ class Graph:
         if hasattr(self, "_node_map_ds"):
             return self._node_map_ds
         parts = []
+        hasher = self.oid_hasher
         for ds, s, d, _ in self._edge_specs:
-            def ends(t: pa.Table, s=s, d=d) -> pa.Table:
+            def ends(t: pa.Table, s=s, d=d, hasher=hasher) -> pa.Table:
                 node = pa.concat_arrays([
                     t.column(s).cast(pa.string()).combine_chunks(),
                     t.column(d).cast(pa.string()).combine_chunks()])
-                return pa.table({"vid": _vids(node, True), "node": node})
+                return pa.table({"vid": _vids(node, True, hasher),
+                                 "node": node})
             parts.append(ds.select_columns([s, d])
                          .map_batches(ends, batch_format="pyarrow"))
         for ds, v in self._vertex_specs:
-            def one(t: pa.Table, v=v) -> pa.Table:
+            def one(t: pa.Table, v=v, hasher=hasher) -> pa.Table:
                 node = t.column(v).cast(pa.string()).combine_chunks()
-                return pa.table({"vid": _vids(node, True), "node": node})
+                return pa.table({"vid": _vids(node, True, hasher),
+                                 "node": node})
             parts.append(ds.select_columns([v])
                          .map_batches(one, batch_format="pyarrow"))
         allp = parts[0]
@@ -212,13 +225,16 @@ class Graph:
         return self._int_edges()
 
 
-def _vids(col: pa.ChunkedArray | pa.Array, relabel: bool) -> pa.Array:
+def _vids(col: pa.ChunkedArray | pa.Array, relabel: bool,
+          hasher=None) -> pa.Array:
     if not relabel:
         return col.cast(pa.int64()) if isinstance(col, pa.Array) \
             else col.combine_chunks().cast(pa.int64())
-    from graphscope_ray.functions.hashing import hash64_strings
+    if hasher is None:
+        from graphscope_ray.functions.hashing import hash64_strings
+        hasher = hash64_strings
     arr = col.cast(pa.string()).to_numpy(zero_copy_only=False)
-    return pa.array(hash64_strings(arr.astype(object)).view(np.int64),
+    return pa.array(hasher(arr.astype(object)).view(np.int64),
                     pa.int64())
 
 
@@ -293,8 +309,9 @@ class Session:
         self._pools: dict = {}
         self._closed = False
 
-    def g(self, directed: bool = True) -> Graph:
-        return Graph(session=self, directed=directed)
+    def g(self, directed: bool = True, oid_hasher=None) -> Graph:
+        return Graph(session=self, directed=directed,
+                     oid_hasher=oid_hasher)
 
     def close(self) -> None:
         for g in self._pools.values():
@@ -524,10 +541,12 @@ def attribute_assortativity_coefficient(graph: Graph, attribute: str
     same way)."""
     from graphscope_ray.pipelines.structure import attribute_assortativity
     relabel = graph._needs_relabel
+    hasher = graph.oid_hasher
     for ds, vcol in graph._vertex_specs:
         if attribute in ds.schema().names:
             def norm(t: pa.Table, vcol=vcol) -> pa.Table:
-                return pa.table({"vid": _vids(t.column(vcol), relabel),
+                return pa.table({"vid": _vids(t.column(vcol), relabel,
+                                              hasher),
                                  attribute: t.column(attribute)})
             attrs = ds.select_columns([vcol, attribute]).map_batches(
                 norm, batch_format="pyarrow")
@@ -645,8 +664,11 @@ def minimum_spanning_forest(graph: Graph) -> ray.data.Dataset:
 
 def _src_vid(graph: Graph, src) -> int:
     if graph._needs_relabel:
-        from graphscope_ray.functions.hashing import hash64_strings
-        return int(hash64_strings(np.asarray([str(src)], object))
+        hasher = graph.oid_hasher
+        if hasher is None:
+            from graphscope_ray.functions.hashing import hash64_strings
+            hasher = hash64_strings
+        return int(hasher(np.asarray([str(src)], object))
                    .view(np.int64)[0])
     return int(src)
 
