@@ -67,14 +67,13 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
         cogroup_join,
     )
 
+    # predicate pushdown: the segment filter rides the parquet scan so
+    # row groups whose stats exclude it never leave storage (GIE Scan
+    # predicate, algebra.proto:234)
     cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    cust = cust.map_batches(
-        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment))
-        .drop_columns(["c_mktsegment"]),
-        batch_format="pyarrow",
-    )
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == segment),
+    ).select_columns(["c_custkey"])
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )

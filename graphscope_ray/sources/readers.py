@@ -15,13 +15,29 @@ import ray.data
 
 
 def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
-                       weight: str | None = None) -> ray.data.Dataset:
+                       weight: str | None = None,
+                       filter_expr=None) -> ray.data.Dataset:
+    """Pruned parquet scan: only the named columns leave storage, and
+    ``filter_expr`` (a ``pyarrow.dataset`` expression, e.g.
+    ``pc.field("weight") > 2``) is pushed into the fragment scan so
+    row groups whose statistics exclude the predicate are SKIPPED at
+    the read — the GIE Scan predicate (algebra.proto:234) mapped onto
+    ``read_parquet(filter=...)``; row-group skipping asserted in
+    tests/test_scan_pushdown.py."""
     cols = [src, dst] + ([weight] if weight else [])
-    ds = ray.data.read_parquet(path, columns=cols)
+    ds = ray.data.read_parquet(path, columns=cols, filter=filter_expr)
     ren = {src: "src", dst: "dst"}
     if weight:
         ren[weight] = "weight"
     return ds.rename_columns(ren)
+
+
+def read_table_parquet(path: str, columns: list[str] | None = None,
+                       filter_expr=None) -> ray.data.Dataset:
+    """Generic pruned + predicate-pushed parquet scan (GIE Scan with
+    column projection and predicate, algebra.proto:234)."""
+    return ray.data.read_parquet(path, columns=columns,
+                                 filter=filter_expr)
 
 
 def read_edges_csv(path: str, src: str = "src", dst: str = "dst",
