@@ -393,8 +393,29 @@ def scaling():
     }))
 
 
+def smoke2m():
+    """Standing 3.3×-scale smoke (default 2M repos / ~129M arcs /
+    ~7 GB content): corpus → build → fixed-10-round PageRank, with the
+    host-window stamp attached (BASELINE.md r3 protocol). Proves every
+    stage streams within heap at a scale where per-round compute
+    dominates actor latency. Env: GRAFT_SMOKE_REPOS (default
+    2_000_000)."""
+    _init_ray()
+    import ray
+
+    os.environ["GRAFT_BIG_REPOS"] = os.environ.get(
+        "GRAFT_SMOKE_REPOS", "2000000")
+    out = big_superstep_rate()
+    out.update(_host_window())
+    out["num_cpus"] = NUM_CPUS
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--smoke2m" in sys.argv:
+        smoke2m()
     else:
         main()
