@@ -72,7 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sssp": sf_graph.q_part_sssp,
         "part_clustering": sf_graph.q_part_clustering,
         "part_kcore": sf_graph.q_part_kcore,
-        "part_apsp": sf_graph.q_part_apsp,
+        # Cypher query-language frontend over the part graph (r4)
+        "cypher_parts": sf_graph.q_cypher_parts,
         "part_sssp_path": sf_graph.q_part_sssp_path,
         "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_closeness": sf_graph.q_part_closeness,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prior round — losing their gate row costs the least evidence.
         "part_transitivity": sf_graph.q_part_transitivity,
         "part_hits": sf_graph.q_part_hits,
+        "part_apsp": sf_graph.q_part_apsp,
         "part_assortativity": sf_graph.q_part_assortativity,
         "part_avg_degree_connectivity": sf_graph.q_part_avg_degree_connectivity,
         "part_node_boundary": sf_graph.q_part_node_boundary,
@@ -910,6 +912,10 @@ reach(vid, comp) AS (
   SELECT a.dst, r.comp FROM reach r JOIN sarc a ON a.src = r.vid)
 SELECT h.node AS node, min(r.comp) AS component
 FROM reach r JOIN hvi h ON h.hvid = r.vid GROUP BY h.node""",
+        "cypher_parts": f"WITH {_GRAPH_CTES.strip()}\n"
+        "SELECT src AS part, count(*) AS partners,\n"
+        "       CAST(sum(weight) AS BIGINT) AS wsum\n"
+        "FROM arcs WHERE weight >= 2 GROUP BY src",
         "part_cdlp": _cdlp_sql(),
         "part_triangles": f"WITH {_GRAPH_CTES.strip()},\n"
         "e AS (SELECT src AS u, dst AS v FROM edges),\n"

@@ -496,6 +496,23 @@ def q_part_wcc_stroid(sf_dir: str, num_partitions: int = 8
     return out[["node", "component"]]
 
 
+def q_cypher_parts(sf_dir: str) -> ray.data.Dataset:
+    """Cypher frontend end-to-end over the part graph (GIE
+    query-language surface, compiled onto the relational layer by
+    graphscope_ray.query.cypher): per-part partner count and total
+    co-occurrence weight over arcs with weight ≥ 2, undirected match.
+    Exact DuckDB twin in oracle_sql."""
+    from graphscope_ray.query import CypherGraph
+
+    g = (CypherGraph()
+         .add_vertices("Part", part_vertices(sf_dir))
+         .add_edges("COOCCUR", part_cooccurrence_edges(sf_dir)))
+    return g.query(
+        "MATCH (a:Part)-[e:COOCCUR]-(b:Part) WHERE e.weight >= 2 "
+        "RETURN a AS part, count(*) AS partners, "
+        "sum(e.weight) AS wsum")
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph — level-0 local move on
     the resident shard pool (O(1) driver state; exact-equal to the

@@ -1,0 +1,826 @@
+"""Cypher-subset frontend compiled onto the relational operator layer.
+
+The reference's GIE compiler parses Cypher/Gremlin and lowers them to
+its relational algebra (``interactive_engine/compiler/…`` →
+``algebra.proto``: Scan/Project/Select/ExpandE/GetV/PathExpand/
+GroupBy/OrderBy/Limit/Dedup). This module is that pipeline
+Ray-Data-first: a hand-written tokenizer + recursive-descent parser
+and a planner that lowers each clause onto ``stages/relational`` —
+pattern hops become bucketed co-group joins (ExpandE+GetV), WHERE
+becomes a vectorized batch mask (Select), RETURN aggregates become
+``grouped_agg`` (GroupBy), ORDER/SKIP/LIMIT become sort + offset-rank
+(OrderBy+Limit), DISTINCT becomes ``dedup_first`` (Dedup). Everything
+streams; the driver never holds row data.
+
+Supported subset (documented contract, tested in tests/test_cypher.py):
+
+- ``MATCH`` with one or more comma-separated linear path patterns;
+  shared variables join patterns. Directed ``-[e:T]->`` / ``<-[e:T]-``,
+  undirected ``-[e:T]-``, variable-length ``-[:T*1..3]->`` (bounded),
+  inline property maps ``{k: v}`` as equality filters.
+- ``WHERE`` with comparisons (=, <>, <, <=, >, >=), arithmetic
+  (+ - * /), AND/OR/NOT, parentheses, ``x.p IN [lits]``.
+- ``RETURN [DISTINCT]`` of ``var`` (the vertex id), ``var.prop``,
+  arithmetic expressions, and aggregates ``count(*) / count(x) /
+  count(DISTINCT x) / sum / min / max / avg`` with ``AS`` aliases;
+  non-aggregate items become the grouping keys (Cypher semantics).
+- ``ORDER BY … [ASC|DESC]``, ``SKIP n``, ``LIMIT n``.
+
+Pattern matching is homomorphic (variables may bind the same vertex
+unless constrained) — GIE's default as well.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+# ------------------------------------------------------------ tokens
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | (?P<str>'[^']*'|"[^"]*")
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/])
+    )""", re.VERBOSE)
+
+_KEYWORDS = {"MATCH", "WHERE", "RETURN", "ORDER", "BY", "LIMIT",
+             "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT", "ASC",
+             "DESC", "IN", "TRUE", "FALSE", "NULL"}
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == pos:
+            if src[pos:].strip():
+                raise ValueError(f"cypher: cannot tokenize at {src[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        if m.group("num"):
+            v = m.group("num")
+            out.append(("num", float(v) if "." in v else int(v)))
+        elif m.group("str"):
+            out.append(("str", m.group("str")[1:-1]))
+        elif m.group("name"):
+            n = m.group("name")
+            up = n.upper()
+            out.append(("kw", up) if up in _KEYWORDS else ("name", n))
+        else:
+            out.append(("punct", m.group("punct")))
+    out.append(("eof", None))
+    return out
+
+
+# --------------------------------------------------------------- AST
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+    props: dict
+
+
+@dataclass
+class RelPat:
+    var: str | None
+    rtype: str | None
+    direction: str          # "out" | "in" | "both"
+    props: dict
+    min_hops: int = 1
+    max_hops: int = 1
+
+
+@dataclass
+class PathPat:
+    nodes: list
+    rels: list
+
+
+@dataclass
+class Prop:
+    var: str
+    name: str
+
+
+@dataclass
+class Var:
+    var: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class NotOp:
+    item: object
+
+
+@dataclass
+class InOp:
+    item: object
+    values: list
+
+
+@dataclass
+class Agg:
+    fn: str                 # count/sum/min/max/avg
+    arg: object             # expr or None for count(*)
+    distinct: bool = False
+
+
+@dataclass
+class RetItem:
+    expr: object
+    alias: str
+
+
+@dataclass
+class Query:
+    patterns: list
+    where: object | None
+    distinct: bool
+    items: list
+    order: list             # [(alias_or_expr, asc)]
+    skip: int | None
+    limit: int | None
+
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(f"cypher: expected {val or kind}, got {t}")
+        return t
+
+    def accept(self, kind, val=None):
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    # ---- query
+    def parse(self) -> Query:
+        self.expect("kw", "MATCH")
+        patterns = [self.pattern()]
+        while self.accept("punct", ","):
+            patterns.append(self.pattern())
+        where = None
+        if self.accept("kw", "WHERE"):
+            where = self.expr()
+        self.expect("kw", "RETURN")
+        distinct = self.accept("kw", "DISTINCT")
+        items = [self.ret_item()]
+        while self.accept("punct", ","):
+            items.append(self.ret_item())
+        order: list = []
+        if self.accept("kw", "ORDER"):
+            self.expect("kw", "BY")
+            order.append(self.order_item())
+            while self.accept("punct", ","):
+                order.append(self.order_item())
+        skip = limit = None
+        if self.accept("kw", "SKIP"):
+            skip = int(self.expect("num")[1])
+        if self.accept("kw", "LIMIT"):
+            limit = int(self.expect("num")[1])
+        self.expect("eof")
+        return Query(patterns, where, distinct, items, order, skip, limit)
+
+    # ---- patterns
+    def pattern(self) -> PathPat:
+        nodes = [self.node()]
+        rels = []
+        while self.peek() == ("punct", "-") or self.peek() == ("punct", "<-"):
+            rels.append(self.rel())
+            nodes.append(self.node())
+        return PathPat(nodes, rels)
+
+    def node(self) -> NodePat:
+        self.expect("punct", "(")
+        var = label = None
+        props: dict = {}
+        if self.peek()[0] == "name":
+            var = self.next()[1]
+        if self.accept("punct", ":"):
+            label = self.expect("name")[1]
+        if self.peek() == ("punct", "{"):
+            props = self.prop_map()
+        self.expect("punct", ")")
+        return NodePat(var, label, props)
+
+    def rel(self) -> RelPat:
+        direction = "both"
+        t = self.next()
+        if t == ("punct", "<-"):
+            direction = "in"
+        elif t != ("punct", "-"):
+            raise ValueError(f"cypher: bad relationship start {t}")
+        var = rtype = None
+        props: dict = {}
+        lo = hi = 1
+        if self.accept("punct", "["):
+            if self.peek()[0] == "name":
+                var = self.next()[1]
+            if self.accept("punct", ":"):
+                rtype = self.expect("name")[1]
+            if self.accept("punct", "*"):
+                lo = int(self.expect("num")[1])
+                self.expect("punct", "..")
+                hi = int(self.expect("num")[1])
+                if not (1 <= lo <= hi <= 8):
+                    raise ValueError("cypher: *lo..hi must satisfy "
+                                     "1 <= lo <= hi <= 8")
+            if self.peek() == ("punct", "{"):
+                props = self.prop_map()
+            self.expect("punct", "]")
+        if self.accept("punct", "->"):
+            if direction == "in":
+                raise ValueError("cypher: <-…-> is not a direction")
+            direction = "out"
+        else:
+            self.expect("punct", "-")
+            # "<-[…]-" keeps direction "in"; "-[…]-" stays "both"
+        return RelPat(var, rtype, direction, props, lo, hi)
+
+    def prop_map(self) -> dict:
+        self.expect("punct", "{")
+        out = {}
+        while True:
+            k = self.expect("name")[1]
+            self.expect("punct", ":")
+            out[k] = self.literal()
+            if not self.accept("punct", ","):
+                break
+        self.expect("punct", "}")
+        return out
+
+    def literal(self):
+        if self.accept("punct", "-"):
+            v = self.literal()
+            return -v
+        t = self.next()
+        if t[0] in ("num", "str"):
+            return t[1]
+        if t == ("kw", "TRUE"):
+            return True
+        if t == ("kw", "FALSE"):
+            return False
+        raise ValueError(f"cypher: expected literal, got {t}")
+
+    # ---- expressions (precedence: OR < AND < NOT < cmp < add < mul)
+    def expr(self):
+        e = self.and_expr()
+        while self.accept("kw", "OR"):
+            e = BinOp("or", e, self.and_expr())
+        return e
+
+    def and_expr(self):
+        e = self.not_expr()
+        while self.accept("kw", "AND"):
+            e = BinOp("and", e, self.not_expr())
+        return e
+
+    def not_expr(self):
+        if self.accept("kw", "NOT"):
+            return NotOp(self.not_expr())
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        if self.accept("kw", "IN"):
+            self.expect("punct", "[")
+            vals = [self.literal()]
+            while self.accept("punct", ","):
+                vals.append(self.literal())
+            self.expect("punct", "]")
+            return InOp(e, vals)
+        t = self.peek()
+        if t[0] == "punct" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            return BinOp(t[1], e, self.add_expr())
+        return e
+
+    def add_expr(self):
+        e = self.mul_expr()
+        while self.peek()[0] == "punct" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            e = BinOp(op, e, self.mul_expr())
+        return e
+
+    def mul_expr(self):
+        e = self.atom()
+        while self.peek()[0] == "punct" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            e = BinOp(op, e, self.atom())
+        return e
+
+    def atom(self):
+        t = self.peek()
+        if t == ("punct", "-"):
+            self.next()
+            return BinOp("-", Lit(0), self.atom())
+        if t == ("punct", "("):
+            self.next()
+            e = self.expr()
+            self.expect("punct", ")")
+            return e
+        if t[0] in ("num", "str") or t[1] in ("TRUE", "FALSE"):
+            return Lit(self.literal())
+        if t[0] == "name":
+            name = self.next()[1]
+            if name.lower() in _AGG_FNS and self.peek() == ("punct", "("):
+                self.next()
+                distinct = self.accept("kw", "DISTINCT")
+                if self.accept("punct", "*"):
+                    arg = None
+                else:
+                    arg = self.expr()
+                self.expect("punct", ")")
+                return Agg(name.lower(), arg, distinct)
+            if self.accept("punct", "."):
+                prop = self.expect("name")[1]
+                return Prop(name, prop)
+            return Var(name)
+        raise ValueError(f"cypher: unexpected token {t}")
+
+    def ret_item(self) -> RetItem:
+        e = self.expr()
+        alias = None
+        if self.accept("kw", "AS"):
+            alias = self.expect("name")[1]
+        if alias is None:
+            if isinstance(e, Prop):
+                alias = f"{e.var}_{e.name}"
+            elif isinstance(e, Var):
+                alias = e.var
+            elif isinstance(e, Agg):
+                alias = e.fn
+            else:
+                raise ValueError("cypher: computed RETURN items need AS")
+        return RetItem(e, alias)
+
+    def order_item(self):
+        e = self.expr()
+        asc = True
+        if self.accept("kw", "DESC"):
+            asc = False
+        else:
+            self.accept("kw", "ASC")
+        return (e, asc)
+
+
+def parse_cypher(src: str) -> Query:
+    return _Parser(src).parse()
+
+
+# ----------------------------------------------------------- planner
+def _expr_props(e, out: set):
+    """Collect referenced (var, prop) pairs."""
+    if isinstance(e, Prop):
+        out.add((e.var, e.name))
+    elif isinstance(e, BinOp):
+        _expr_props(e.left, out)
+        _expr_props(e.right, out)
+    elif isinstance(e, NotOp):
+        _expr_props(e.item, out)
+    elif isinstance(e, InOp):
+        _expr_props(e.item, out)
+    elif isinstance(e, Agg) and e.arg is not None:
+        _expr_props(e.arg, out)
+
+
+def _eval(e, df: pd.DataFrame):
+    """Vectorized expression evaluation over the binding frame."""
+    if isinstance(e, Lit):
+        return e.value
+    if isinstance(e, Var):
+        return df[e.var]
+    if isinstance(e, Prop):
+        return df[f"{e.var}__{e.name}"]
+    if isinstance(e, NotOp):
+        return ~_eval(e.item, df).astype(bool)
+    if isinstance(e, InOp):
+        v = _eval(e.item, df)
+        if not hasattr(v, "isin"):
+            v = pd.Series(v, index=df.index)
+        return v.isin(e.values)
+    if isinstance(e, BinOp):
+        a, b = _eval(e.left, df), _eval(e.right, df)
+        return {
+            "=": lambda: a == b, "<>": lambda: a != b,
+            "<": lambda: a < b, "<=": lambda: a <= b,
+            ">": lambda: a > b, ">=": lambda: a >= b,
+            "+": lambda: a + b, "-": lambda: a - b,
+            "*": lambda: a * b, "/": lambda: a / b,
+            "and": lambda: a.astype(bool) & b.astype(bool)
+            if hasattr(a, "astype") else (bool(a) & b.astype(bool)),
+            "or": lambda: a.astype(bool) | b.astype(bool)
+            if hasattr(a, "astype") else (bool(a) | b.astype(bool)),
+        }[e.op]()
+    raise ValueError(f"cypher: cannot evaluate {e!r}")
+
+
+class CypherGraph:
+    """Property-graph catalog + Cypher executor.
+
+    ``add_vertices(label, ds, vid_col)`` registers a vertex table
+    (unique ids required); ``add_edges(rtype, ds, src, dst)`` an edge
+    table; ``query(cypher)`` returns a Ray Dataset. All intermediate
+    state is Datasets — patterns grow a streaming *binding table* with
+    one int64 column per bound variable plus lazily-joined
+    ``var__prop`` property columns (only properties the query actually
+    references are ever joined — the GIE column-prune contract)."""
+
+    def __init__(self):
+        self._v: dict[str, tuple] = {}
+        self._e: dict[str, tuple] = {}
+
+    def add_vertices(self, label: str, ds: ray.data.Dataset,
+                     vid_col: str = "vid") -> "CypherGraph":
+        self._v[label] = (ds, vid_col)
+        return self
+
+    def add_edges(self, rtype: str, ds: ray.data.Dataset,
+                  src: str = "src", dst: str = "dst") -> "CypherGraph":
+        self._e[rtype] = (ds, src, dst)
+        return self
+
+    # -- helpers
+    def _vertex_ds(self, label: str | None) -> ray.data.Dataset:
+        if label is not None:
+            if label not in self._v:
+                raise KeyError(f"cypher: unknown vertex label {label!r}")
+            ds, vid = self._v[label]
+            return ds.map_batches(
+                lambda t, vid=vid: pa.table(
+                    {"vid": t.column(vid).cast(pa.int64())}),
+                batch_format="pyarrow")
+        # unlabeled: union of all labels' ids + edge endpoints
+        parts = [self._vertex_ds(lb) for lb in self._v]
+        for rtype in self._e:
+            ds, s, d = self._e[rtype]
+            parts.append(ds.map_batches(
+                lambda t, s=s, d=d: pa.table({"vid": pa.concat_arrays([
+                    t.column(s).cast(pa.int64()).combine_chunks(),
+                    t.column(d).cast(pa.int64()).combine_chunks()])}),
+                batch_format="pyarrow"))
+        if not parts:
+            raise ValueError("cypher: empty graph")
+        from graphscope_ray.stages.relational import dedup_first
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return dedup_first(out, ["vid"])
+
+    def _edge_arcs(self, rel: RelPat, left: str, right: str,
+                   eprops: list[str]) -> ray.data.Dataset:
+        """Arc table for one hop: columns (left, right, e__p...) in
+        traversal orientation."""
+        if rel.rtype is None:
+            if len(self._e) != 1:
+                raise ValueError("cypher: untyped relationship is only "
+                                 "allowed with exactly one edge table")
+            rel = RelPat(rel.var, next(iter(self._e)), rel.direction,
+                         rel.props, rel.min_hops, rel.max_hops)
+        ds, s, d = self._e[rel.rtype]
+
+        def orient(flip: bool):
+            def f(t: pa.Table) -> pa.Table:
+                a = t.column(s).cast(pa.int64())
+                b = t.column(d).cast(pa.int64())
+                cols = {left: b if flip else a, right: a if flip else b}
+                for p in eprops:
+                    cols[f"{rel.var}__{p}"] = t.column(p)
+                return pa.table(cols)
+            return f
+
+        if rel.direction == "out":
+            return ds.map_batches(orient(False), batch_format="pyarrow")
+        if rel.direction == "in":
+            return ds.map_batches(orient(True), batch_format="pyarrow")
+        return (ds.map_batches(orient(False), batch_format="pyarrow")
+                .union(ds.map_batches(orient(True),
+                                      batch_format="pyarrow")))
+
+    # -- execution
+    def query(self, src: str) -> ray.data.Dataset:
+        from graphscope_ray.stages.relational import (
+            cogroup_join,
+            dedup_first,
+            grouped_agg,
+        )
+
+        q = parse_cypher(src)
+
+        # referenced properties (pruned joins)
+        need: set = set()
+        if q.where is not None:
+            _expr_props(q.where, need)
+        for it in q.items:
+            _expr_props(it.expr, need)
+        for e, _ in q.order:
+            _expr_props(e, need)
+
+        # inline {k: v} maps become WHERE conjuncts
+        conjuncts = [] if q.where is None else [q.where]
+        var_labels: dict[str, str | None] = {}
+        anon = [0]
+
+        def nm(v):
+            if v is None:
+                anon[0] += 1
+                return f"_anon{anon[0]}"
+            return v
+
+        patterns = []
+        for pat in q.patterns:
+            nodes = []
+            for n in pat.nodes:
+                v = nm(n.var)
+                nodes.append(NodePat(v, n.label, n.props))
+                if n.label is not None:
+                    var_labels.setdefault(v, n.label)
+                else:
+                    var_labels.setdefault(v, None)
+                for k, val in n.props.items():
+                    conjuncts.append(BinOp("=", Prop(v, k), Lit(val)))
+                    need.add((v, k))
+            rels = []
+            for r in pat.rels:
+                rv = nm(r.var)
+                rels.append(RelPat(rv, r.rtype, r.direction, r.props,
+                                   r.min_hops, r.max_hops))
+                for k, val in r.props.items():
+                    conjuncts.append(BinOp("=", Prop(rv, k), Lit(val)))
+                    need.add((rv, k))
+            patterns.append(PathPat(nodes, rels))
+
+        edge_vars = {r.var for pat in patterns for r in pat.rels}
+        eprops_of = {v: sorted({p for (vv, p) in need if vv == v})
+                     for v in edge_vars}
+
+        # ---- build the binding table pattern by pattern
+        binding: ray.data.Dataset | None = None
+        bound: set = set()
+        tmp = [0]
+
+        def bind_node(b, node, col):
+            """Ensure `col` satisfies node's label (semi-join)."""
+            if node.label is None:
+                return b
+            lab = self._vertex_ds(node.label).map_batches(
+                lambda t, col=col: pa.table(
+                    {col: t.column("vid")}), batch_format="pyarrow")
+            return cogroup_join(b, lab, on=col)
+
+        def hop(b, rel, lcol, rnode):
+            """One relationship hop from bound column `lcol`."""
+            rcol = rnode.var
+            fresh = rcol not in bound
+            tgt = rcol if fresh else f"_tmp{tmp[0]}"
+            if not fresh:
+                tmp[0] += 1
+            eprops = eprops_of.get(rel.var, [])
+            if rel.max_hops == 1:
+                arcs = self._edge_arcs(rel, lcol, tgt, eprops)
+                b = cogroup_join(b, arcs, on=lcol)
+            else:
+                if eprops:
+                    raise ValueError("cypher: variable-length "
+                                     "relationships cannot bind "
+                                     "edge properties")
+                outs = []
+                for k in range(rel.min_hops, rel.max_hops + 1):
+                    bk = b
+                    cur = lcol
+                    for j in range(k):
+                        nxt = tgt if j == k - 1 else f"_h{tmp[0]}_{j}"
+                        arcs = self._edge_arcs(rel, cur, nxt, [])
+                        bk = cogroup_join(bk, arcs, on=cur)
+                        cur = nxt
+                    keep = [c for c in bk.schema().names
+                            if not c.startswith("_h")]
+                    outs.append(bk.select_columns(keep))
+                tmp[0] += 1
+                b = outs[0]
+                for o in outs[1:]:
+                    b = b.union(o)
+            if not fresh:
+                b = b.map_batches(
+                    lambda t, a=rcol, bcol=tgt: t.filter(
+                        pa.compute.equal(t.column(a), t.column(bcol))
+                    ).drop_columns([bcol]),
+                    batch_format="pyarrow")
+            else:
+                bound.add(rcol)
+                b = bind_node(b, rnode, rcol)
+            return b
+
+        for pat in patterns:
+            first = pat.nodes[0]
+            if binding is None or first.var not in bound:
+                start = self._vertex_ds(first.label).map_batches(
+                    lambda t, c=first.var: pa.table(
+                        {c: t.column("vid")}), batch_format="pyarrow")
+                if binding is None:
+                    binding = start
+                else:
+                    # cartesian-free: require a shared variable later;
+                    # join once the pattern binds one. Simplest sound
+                    # rule: patterns after the first must START on a
+                    # bound variable.
+                    raise ValueError(
+                        "cypher: each additional pattern must start "
+                        "on an already-bound variable")
+                bound.add(first.var)
+            lcol = first.var
+            for rel, rnode in zip(pat.rels, pat.nodes[1:]):
+                binding = hop(binding, rel, lcol, rnode)
+                lcol = rnode.var
+
+        # ---- join needed node properties (pruned)
+        node_need: dict[str, list[str]] = {}
+        for v, p in need:
+            if v not in edge_vars:
+                node_need.setdefault(v, []).append(p)
+        for v, props in sorted(node_need.items()):
+            label = var_labels.get(v)
+            if label is None:
+                cands = [lb for lb, (ds, vid) in self._v.items()
+                         if all(p in ds.schema().names for p in props)]
+                if len(cands) != 1:
+                    raise ValueError(
+                        f"cypher: property access on unlabeled {v!r} is "
+                        f"ambiguous across vertex tables {cands}")
+                label = cands[0]
+            ds, vid = self._v[label]
+            cols = [vid] + sorted(set(props))
+            side = ds.select_columns(cols).map_batches(
+                lambda t, v=v, vid=vid, props=props: pa.table(
+                    {v: t.column(vid).cast(pa.int64()),
+                     **{f"{v}__{p}": t.column(p) for p in sorted(set(props))}}),
+                batch_format="pyarrow")
+            binding = cogroup_join(binding, side, on=v)
+
+        # ---- WHERE (+ inline props)
+        if conjuncts:
+            pred = conjuncts[0]
+            for c in conjuncts[1:]:
+                pred = BinOp("and", pred, c)
+
+            def filt(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                m = _eval(pred, df)
+                return df[np.asarray(m, bool)]
+
+            binding = binding.map_batches(filt, batch_format="pandas")
+
+        # ---- RETURN
+        aggs = [it for it in q.items if isinstance(it.expr, Agg)]
+        keys = [it for it in q.items if not isinstance(it.expr, Agg)]
+
+        def project_keys(df: pd.DataFrame) -> pd.DataFrame:
+            out = {}
+            for it in keys:
+                out[it.alias] = _eval(it.expr, df)
+            for it in aggs:       # pre-compute agg input columns
+                if it.expr.arg is not None:
+                    out[f"_in_{it.alias}"] = _eval(it.expr.arg, df)
+                else:
+                    out[f"_in_{it.alias}"] = np.ones(len(df), np.int64)
+            if not len(df):
+                return pd.DataFrame({k: pd.Series([], dtype=object)
+                                     for k in out} if not out else
+                                    {k: v[:0] if hasattr(v, "__len__")
+                                     else pd.Series([], dtype=np.float64)
+                                     for k, v in out.items()})
+            return pd.DataFrame(out)
+
+        proj = binding.map_batches(project_keys, batch_format="pandas")
+
+        if aggs:
+            gkeys = [it.alias for it in keys]
+            dummy = not gkeys
+            if dummy:
+                proj = proj.map_batches(
+                    lambda df: df.assign(_g=np.int64(0)),
+                    batch_format="pandas")
+                gkeys = ["_g"]
+            spec = {}
+            post_avg = []
+            for it in aggs:
+                a: Agg = it.expr
+                col = f"_in_{it.alias}"
+                if a.fn == "count" and a.distinct:
+                    spec[it.alias] = (col, "nunique")
+                elif a.fn == "count":
+                    spec[it.alias] = (col, "size")
+                elif a.fn == "avg":
+                    spec[f"_s_{it.alias}"] = (col, "sum")
+                    spec[f"_c_{it.alias}"] = (col, "size")
+                    post_avg.append(it.alias)
+                else:
+                    spec[it.alias] = (col, a.fn)
+            decomposable = all(fn in ("sum", "min", "max", "size")
+                               for _, fn in spec.values())
+            out = grouped_agg(proj, gkeys, spec,
+                              combine=decomposable or None
+                              if decomposable else False)
+
+            def post(df: pd.DataFrame) -> pd.DataFrame:
+                for al in post_avg:
+                    df[al] = df[f"_s_{al}"] / df[f"_c_{al}"]
+                    df = df.drop(columns=[f"_s_{al}", f"_c_{al}"])
+                if dummy:
+                    df = df.drop(columns=["_g"])
+                cols = [it.alias for it in q.items]
+                return df[cols]
+
+            result = out.map_batches(post, batch_format="pandas")
+        else:
+            result = proj
+            if q.distinct:
+                result = dedup_first(result,
+                                     [it.alias for it in q.items])
+
+        # ---- ORDER BY / SKIP / LIMIT
+        if q.order:
+            cols, desc = [], []
+            extra = [0]
+
+            def order_col(e):
+                for it in q.items:
+                    if repr(it.expr) == repr(e) or (
+                            isinstance(e, Var) and it.alias == e.var):
+                        return it.alias, None
+                extra[0] += 1
+                return f"_o{extra[0]}", e
+
+            add_exprs = []
+            for e, asc in q.order:
+                name, expr = order_col(e)
+                cols.append(name)
+                desc.append(not asc)
+                if expr is not None:
+                    add_exprs.append((name, expr))
+            if add_exprs:
+                raise ValueError("cypher: ORDER BY must reference "
+                                 "RETURN items (use AS aliases)")
+            result = result.sort(cols, descending=desc)
+        if q.skip or q.limit is not None:
+            if q.skip and not q.order:
+                raise ValueError("cypher: SKIP requires ORDER BY")
+            if q.skip:
+                refs = result.materialize().to_arrow_refs()
+
+                @ray.remote
+                def _n(t: pa.Table) -> int:
+                    return t.num_rows
+
+                counts = ray.get([_n.remote(r) for r in refs])
+                offs = np.concatenate(([0], np.cumsum(counts)))
+
+                @ray.remote
+                def _slice(t: pa.Table, base: int, skip: int) -> pa.Table:
+                    lo = max(0, skip - base)
+                    return t.slice(min(lo, t.num_rows))
+
+                result = ray.data.from_arrow_refs(
+                    [_slice.remote(t, int(offs[i]), int(q.skip))
+                     for i, t in enumerate(refs)])
+            if q.limit is not None:
+                result = result.limit(q.limit)
+        return result

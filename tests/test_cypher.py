@@ -1,0 +1,141 @@
+"""Cypher-subset frontend: parser + planner vs pandas oracles on a
+small property graph."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.query import CypherGraph
+
+PERSONS = pd.DataFrame({
+    "vid": np.array([1, 2, 3, 4, 5], np.int64),
+    "name": ["ann", "bob", "cal", "dee", "eve"],
+    "age": np.array([30, 25, 35, 28, 40], np.int64),
+})
+KNOWS = pd.DataFrame({
+    "src": np.array([1, 1, 2, 3, 4, 5, 2], np.int64),
+    "dst": np.array([2, 3, 3, 4, 5, 1, 5], np.int64),
+    "since": np.array([2010, 2012, 2015, 2011, 2018, 2019, 2020],
+                      np.int64),
+})
+
+
+@pytest.fixture()
+def g():
+    return (CypherGraph()
+            .add_vertices("Person", ray.data.from_pandas(PERSONS))
+            .add_edges("KNOWS", ray.data.from_pandas(KNOWS)))
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df.itertuples(index=False)))
+
+
+def test_single_hop_projection(g):
+    out = g.query("MATCH (a:Person)-[e:KNOWS]->(b:Person) "
+                  "RETURN a.name AS an, b.name AS bn, e.since AS y")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid").merge(
+        PERSONS, left_on="dst", right_on="vid",
+        suffixes=("_a", "_b"))
+    want = sorted(zip(m["name_a"], m["name_b"], m["since"]))
+    assert _rows(out) == want
+
+
+def test_where_and_inline_props(g):
+    out = g.query("MATCH (a:Person {name: 'ann'})-[e:KNOWS]->(b) "
+                  "WHERE e.since < 2012 RETURN b.age AS age")
+    assert _rows(out) == [(25,)]
+    out2 = g.query("MATCH (a:Person)-[e:KNOWS]->(b:Person) "
+                   "WHERE a.age >= 30 AND (b.age < 30 OR b.name = 'eve')"
+                   " RETURN a.name AS an, b.name AS bn")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid").merge(
+        PERSONS, left_on="dst", right_on="vid", suffixes=("_a", "_b"))
+    m = m[(m["age_a"] >= 30) & ((m["age_b"] < 30) | (m["name_b"] == "eve"))]
+    assert _rows(out2) == sorted(zip(m["name_a"], m["name_b"]))
+
+
+def test_reverse_and_undirected(g):
+    fwd = _rows(g.query(
+        "MATCH (a)<-[e:KNOWS]-(b) RETURN a AS a, b AS b"))
+    want = sorted(zip(KNOWS["dst"], KNOWS["src"]))
+    assert fwd == want
+    both = _rows(g.query(
+        "MATCH (a)-[e:KNOWS]-(b) RETURN a AS a, b AS b"))
+    sym = sorted(list(zip(KNOWS["src"], KNOWS["dst"]))
+                 + list(zip(KNOWS["dst"], KNOWS["src"])))
+    assert both == sym
+
+
+def test_two_hops_and_cycle(g):
+    out = g.query("MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(c) "
+                  "RETURN a AS a, b AS b, c AS c")
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src",
+                    suffixes=("1", "2"))
+    want = sorted(zip(m["src1"], m["dst1"], m["dst2"]))
+    assert _rows(out) == want
+    # directed triangle via a second pattern sharing variables
+    tri = g.query("MATCH (a)-[:KNOWS]->(b)-[:KNOWS]->(c), "
+                  "(c)-[:KNOWS]->(a) RETURN a AS a, b AS b, c AS c")
+    arcs = set(zip(KNOWS["src"], KNOWS["dst"]))
+    want_tri = sorted((a, b, c) for a, b in arcs for c in range(1, 6)
+                      if (b, c) in arcs and (c, a) in arcs)
+    assert _rows(tri) == want_tri
+
+
+def test_aggregates_and_order(g):
+    out = g.query("MATCH (a:Person)-[e:KNOWS]->(b) "
+                  "RETURN a.name AS an, count(*) AS deg, "
+                  "sum(e.since) AS tot ORDER BY deg DESC, an ASC")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid")
+    w = (m.groupby("name").agg(deg=("since", "size"),
+                               tot=("since", "sum")).reset_index()
+         .sort_values(["deg", "name"], ascending=[False, True]))
+    got = out.to_pandas()
+    assert got["an"].tolist() == w["name"].tolist()
+    assert got["deg"].tolist() == w["deg"].tolist()
+    assert got["tot"].tolist() == w["tot"].tolist()
+
+
+def test_global_aggregate_avg_distinct(g):
+    out = g.query("MATCH (a)-[e:KNOWS]->(b) RETURN count(*) AS n, "
+                  "avg(e.since) AS mean, count(DISTINCT b) AS nb")
+    df = out.to_pandas()
+    assert df["n"].iloc[0] == len(KNOWS)
+    assert abs(df["mean"].iloc[0] - KNOWS["since"].mean()) < 1e-12
+    assert df["nb"].iloc[0] == KNOWS["dst"].nunique()
+
+
+def test_distinct_limit_skip(g):
+    out = g.query("MATCH (a)-[:KNOWS]->(b) RETURN DISTINCT a AS a")
+    assert _rows(out) == sorted((int(x),)
+                                for x in KNOWS["src"].unique())
+    top = g.query("MATCH (a:Person)-[e:KNOWS]->(b) "
+                  "RETURN a.age AS age, e.since AS y "
+                  "ORDER BY y DESC LIMIT 3")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid")
+    w = m.sort_values("since", ascending=False).head(3)
+    assert top.to_pandas()["y"].tolist() == w["since"].tolist()
+    mid = g.query("MATCH (a)-[e:KNOWS]->(b) RETURN e.since AS y "
+                  "ORDER BY y ASC SKIP 2 LIMIT 2")
+    assert mid.to_pandas()["y"].tolist() == sorted(
+        KNOWS["since"])[2:4]
+
+
+def test_variable_length(g):
+    out = g.query("MATCH (a {name: 'ann'})-[:KNOWS*1..2]->(b) "
+                  "RETURN DISTINCT b AS b")
+    arcs = set(zip(KNOWS["src"], KNOWS["dst"]))
+    one = {b for a, b in arcs if a == 1}
+    two = {c for b in one for (x, c) in arcs if x == b}
+    assert _rows(out) == sorted((int(x),) for x in one | two)
+
+
+def test_parse_errors(g):
+    with pytest.raises(ValueError, match="cypher"):
+        g.query("MATCH (a RETURN a")
+    with pytest.raises(ValueError, match="cypher"):
+        g.query("MATCH (a)-[:NOPE*1..99]->(b) RETURN a AS a")
+    with pytest.raises(KeyError):
+        g.query("MATCH (a:Ghost) RETURN a AS a")
