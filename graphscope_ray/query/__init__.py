@@ -11,3 +11,7 @@ execution machinery, every stage streams.
 """
 
 from graphscope_ray.query.cypher import CypherGraph  # noqa: F401
+from graphscope_ray.query.traversal import (  # noqa: F401
+    P,
+    traversal_source,
+)

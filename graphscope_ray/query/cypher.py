@@ -536,13 +536,14 @@ class CypherGraph:
 
     # -- execution
     def query(self, src: str) -> ray.data.Dataset:
+        return self._execute(parse_cypher(src))
+
+    def _execute(self, q: Query) -> ray.data.Dataset:
         from graphscope_ray.stages.relational import (
             cogroup_join,
             dedup_first,
             grouped_agg,
         )
-
-        q = parse_cypher(src)
 
         # referenced properties (pruned joins)
         need: set = set()

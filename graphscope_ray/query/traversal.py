@@ -1,0 +1,234 @@
+"""Gremlin-style fluent traversal surface over the Cypher executor.
+
+GIE's other query language (``interactive_engine/compiler`` accepts
+Gremlin; steps lower to the same relational algebra as Cypher). This
+module gives the fluent builder: each step appends to an immutable
+traversal, ``toDataset()/toList()`` compiles the step list into the
+SAME :class:`~graphscope_ray.query.cypher.Query` AST the Cypher parser
+produces and runs it through ``CypherGraph._execute`` — one executor,
+two language frontends, exactly the reference's compiler shape.
+
+Supported steps (tested in tests/test_traversal.py):
+``g.V(label)``, ``has(key, value_or_P)``, ``out/ in_/ both(type)``
+(optionally repeated via ``times``), ``values(prop)``, ``id_()``,
+``dedup()``, ``order().by(key, asc)``, ``limit(n)``, ``count()``,
+``sum_/ min_/ max_/ mean(prop)``, ``groupCount()`` (by the current
+element), predicates ``P.eq/neq/gt/gte/lt/lte/within``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from graphscope_ray.query.cypher import (
+    Agg,
+    BinOp,
+    CypherGraph,
+    InOp,
+    Lit,
+    NodePat,
+    PathPat,
+    Prop,
+    Query,
+    RelPat,
+    RetItem,
+    Var,
+)
+
+
+@dataclass(frozen=True)
+class P:
+    op: str
+    value: object
+
+    @staticmethod
+    def eq(v):
+        return P("=", v)
+
+    @staticmethod
+    def neq(v):
+        return P("<>", v)
+
+    @staticmethod
+    def gt(v):
+        return P(">", v)
+
+    @staticmethod
+    def gte(v):
+        return P(">=", v)
+
+    @staticmethod
+    def lt(v):
+        return P("<", v)
+
+    @staticmethod
+    def lte(v):
+        return P("<=", v)
+
+    @staticmethod
+    def within(*vs):
+        return P("in", list(vs))
+
+
+class Traversal:
+    """Immutable step chain; every fluent call returns a new one."""
+
+    def __init__(self, graph: CypherGraph, label: str | None):
+        self._g = graph
+        self._nodes = [NodePat("v0", label, {})]
+        self._rels: list = []
+        self._conjuncts: list = []
+        self._tail: dict = {"distinct": False, "order": [],
+                            "limit": None, "items": None}
+
+    def _clone(self) -> "Traversal":
+        t = Traversal.__new__(Traversal)
+        t._g = self._g
+        t._nodes = list(self._nodes)
+        t._rels = list(self._rels)
+        t._conjuncts = list(self._conjuncts)
+        t._tail = {**self._tail, "order": list(self._tail["order"])}
+        return t
+
+    @property
+    def _cur(self) -> str:
+        return self._nodes[-1].var
+
+    # ---- filters
+    def has(self, key: str, value) -> "Traversal":
+        t = self._clone()
+        if isinstance(value, P):
+            if value.op == "in":
+                t._conjuncts.append(InOp(Prop(t._cur, key), value.value))
+            else:
+                t._conjuncts.append(
+                    BinOp(value.op, Prop(t._cur, key), Lit(value.value)))
+        else:
+            t._conjuncts.append(BinOp("=", Prop(t._cur, key), Lit(value)))
+        return t
+
+    def hasLabel(self, label: str) -> "Traversal":
+        t = self._clone()
+        n = t._nodes[-1]
+        t._nodes[-1] = NodePat(n.var, label, n.props)
+        return t
+
+    # ---- hops
+    def _hop(self, rtype, direction, times) -> "Traversal":
+        t = self._clone()
+        for _ in range(times):
+            i = len(t._nodes)
+            t._rels.append(RelPat(f"e{i}", rtype, direction, {}))
+            t._nodes.append(NodePat(f"v{i}", None, {}))
+        return t
+
+    def out(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+        return self._hop(rtype, "out", times)
+
+    def in_(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+        return self._hop(rtype, "in", times)
+
+    def both(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+        return self._hop(rtype, "both", times)
+
+    # ---- terminal projections
+    def values(self, prop: str) -> "Traversal":
+        t = self._clone()
+        t._tail["items"] = [RetItem(Prop(t._cur, prop), prop)]
+        return t
+
+    def id_(self) -> "Traversal":
+        t = self._clone()
+        t._tail["items"] = [RetItem(Var(t._cur), "id")]
+        return t
+
+    def dedup(self) -> "Traversal":
+        t = self._clone()
+        t._tail["distinct"] = True
+        return t
+
+    def order(self) -> "Traversal":
+        return self._clone()
+
+    def by(self, key: str | None = None, asc: bool = True) -> "Traversal":
+        t = self._clone()
+        items = t._tail["items"] or [RetItem(Var(t._cur), "id")]
+        alias = items[0].alias if key is None else key
+        t._tail["order"].append((Var(alias), asc))
+        return t
+
+    def limit(self, n: int) -> "Traversal":
+        t = self._clone()
+        t._tail["limit"] = int(n)
+        return t
+
+    # ---- aggregates
+    def _agg(self, fn: str, prop: str | None) -> "Traversal":
+        t = self._clone()
+        arg = None if prop is None else Prop(t._cur, prop)
+        t._tail["items"] = [RetItem(Agg(fn, arg), fn)]
+        return t
+
+    def count(self) -> "Traversal":
+        return self._agg("count", None)
+
+    def sum_(self, prop: str) -> "Traversal":
+        return self._agg("sum", prop)
+
+    def min_(self, prop: str) -> "Traversal":
+        return self._agg("min", prop)
+
+    def max_(self, prop: str) -> "Traversal":
+        return self._agg("max", prop)
+
+    def mean(self, prop: str) -> "Traversal":
+        return self._agg("avg", prop)
+
+    def groupCount(self, prop: str | None = None) -> "Traversal":
+        """Histogram of the current element (or one of its
+        properties): RETURN key, count(*)."""
+        t = self._clone()
+        key = (RetItem(Var(t._cur), "key") if prop is None
+               else RetItem(Prop(t._cur, prop), "key"))
+        t._tail["items"] = [key, RetItem(Agg("count", None), "count")]
+        return t
+
+    # ---- execution
+    def _to_query(self) -> Query:
+        items = self._tail["items"] or [RetItem(Var(self._cur), "id")]
+        where = None
+        for c in self._conjuncts:
+            where = c if where is None else BinOp("and", where, c)
+        return Query(
+            patterns=[PathPat(self._nodes, self._rels)],
+            where=where,
+            distinct=self._tail["distinct"],
+            items=items,
+            order=self._tail["order"],
+            skip=None,
+            limit=self._tail["limit"],
+        )
+
+    def toDataset(self) -> ray.data.Dataset:
+        return self._g._execute(self._to_query())
+
+    def toList(self) -> list:
+        ds = self.toDataset()
+        rows = ds.take_all()
+        cols = ds.schema().names if rows else []
+        if len(cols) == 1:
+            return [r[cols[0]] for r in rows]
+        return [tuple(r[c] for c in cols) for r in rows]
+
+
+def traversal_source(graph: CypherGraph):
+    """``g = traversal_source(cg); g.V("Person")…`` — the Gremlin
+    ``GraphTraversalSource`` entry."""
+
+    class _Source:
+        def V(self, label: str | None = None) -> Traversal:
+            return Traversal(graph, label)
+
+    return _Source()

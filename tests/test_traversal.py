@@ -1,0 +1,69 @@
+"""Gremlin-style fluent traversal: same executor as Cypher, pandas
+oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.query import CypherGraph, P, traversal_source
+
+PERSONS = pd.DataFrame({
+    "vid": np.array([1, 2, 3, 4, 5], np.int64),
+    "name": ["ann", "bob", "cal", "dee", "eve"],
+    "age": np.array([30, 25, 35, 28, 40], np.int64),
+})
+KNOWS = pd.DataFrame({
+    "src": np.array([1, 1, 2, 3, 4, 5, 2], np.int64),
+    "dst": np.array([2, 3, 3, 4, 5, 1, 5], np.int64),
+    "since": np.array([2010, 2012, 2015, 2011, 2018, 2019, 2020],
+                      np.int64),
+})
+
+
+@pytest.fixture()
+def g():
+    cg = (CypherGraph()
+          .add_vertices("Person", ray.data.from_pandas(PERSONS))
+          .add_edges("KNOWS", ray.data.from_pandas(KNOWS)))
+    return traversal_source(cg)
+
+
+def test_v_has_values(g):
+    names = g.V("Person").has("age", P.gt(28)).values("name").toList()
+    assert sorted(names) == ["ann", "cal", "eve"]
+    ids = g.V("Person").has("name", "bob").id_().toList()
+    assert ids == [2]
+
+
+def test_out_in_both_counts(g):
+    assert g.V("Person").out("KNOWS").count().toList() == [len(KNOWS)]
+    assert g.V("Person").in_("KNOWS").count().toList() == [len(KNOWS)]
+    assert g.V("Person").both("KNOWS").count().toList() == [
+        2 * len(KNOWS)]
+    # two hops
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src")
+    assert g.V("Person").out("KNOWS", times=2).count().toList() == [
+        len(m)]
+
+
+def test_dedup_order_limit(g):
+    got = (g.V("Person").out("KNOWS").id_().dedup()
+           .order().by(asc=False).limit(3).toList())
+    want = sorted({int(x) for x in KNOWS["dst"]}, reverse=True)[:3]
+    assert got == want
+
+
+def test_aggregates_and_groupcount(g):
+    assert g.V("Person").sum_("age").toList() == [PERSONS["age"].sum()]
+    assert g.V("Person").max_("age").toList() == [40]
+    [mean] = g.V("Person").has("age", P.within(25, 35)).mean(
+        "age").toList()
+    assert abs(mean - 30.0) < 1e-12
+    gc = dict(g.V("Person").out("KNOWS").groupCount().toList())
+    want = KNOWS.groupby("dst").size().to_dict()
+    assert gc == {int(k): int(v) for k, v in want.items()}
+    # property histogram on the hop target
+    gc2 = dict(g.V("Person").out("KNOWS").groupCount("name").toList())
+    m = KNOWS.merge(PERSONS, left_on="dst", right_on="vid")
+    assert gc2 == m.groupby("name").size().to_dict()
