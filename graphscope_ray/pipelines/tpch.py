@@ -87,9 +87,12 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return pa.table({"o_orderkey": t.column("l_orderkey"), "revenue": rev})
 
+    # order keys are high-cardinality (~4 lineitem rows per order): the
+    # map-side combiner buys almost no shrink but costs a per-batch
+    # groupby — measured 2x slower than the plain shuffle here
     rev_per_order = grouped_agg(
         li.map_batches(revenue, batch_format="pyarrow"),
-        ["o_orderkey"], {"revenue": ("revenue", "sum")},
+        ["o_orderkey"], {"revenue": ("revenue", "sum")}, combine=False,
     )
 
     if cust.count() <= BROADCAST_LIMIT_ROWS:
@@ -156,7 +159,7 @@ def q5_nation_revenue(sf_dir: str,
     rev_per_order = grouped_agg(
         li.map_batches(revenue, batch_format="pyarrow"),
         ["o_orderkey"], {"revenue": ("revenue", "sum")},
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, combine=False,   # high-cardinality key
     )
     ol = cogroup_join(rev_per_order,
                       o_n.select_columns(["o_orderkey", "n_name"]),
