@@ -50,9 +50,9 @@ _TOKEN_RE = re.compile(r"""
     | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/])
     )""", re.VERBOSE)
 
-_KEYWORDS = {"MATCH", "WHERE", "RETURN", "ORDER", "BY", "LIMIT",
-             "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT", "ASC",
-             "DESC", "IN", "TRUE", "FALSE", "NULL"}
+_KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
+             "LIMIT", "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT",
+             "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL"}
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -159,6 +159,10 @@ class Query:
     order: list             # [(alias_or_expr, asc)]
     skip: int | None
     limit: int | None
+    #: chained WITH stages: [(items, distinct, where_after)] — each
+    #: projects/aggregates the stream, the optional WHERE filters the
+    #: aggregated rows (HAVING); later stages reference bare aliases
+    withs: list = field(default_factory=list)
 
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
@@ -199,6 +203,16 @@ class _Parser:
         where = None
         if self.accept("kw", "WHERE"):
             where = self.expr()
+        withs = []
+        while self.accept("kw", "WITH"):
+            wdistinct = self.accept("kw", "DISTINCT")
+            witems = [self.ret_item()]
+            while self.accept("punct", ","):
+                witems.append(self.ret_item())
+            wwhere = None
+            if self.accept("kw", "WHERE"):
+                wwhere = self.expr()
+            withs.append((witems, wdistinct, wwhere))
         self.expect("kw", "RETURN")
         distinct = self.accept("kw", "DISTINCT")
         items = [self.ret_item()]
@@ -216,7 +230,8 @@ class _Parser:
         if self.accept("kw", "LIMIT"):
             limit = int(self.expect("num")[1])
         self.expect("eof")
-        return Query(patterns, where, distinct, items, order, skip, limit)
+        return Query(patterns, where, distinct, items, order, skip,
+                     limit, withs=withs)
 
     # ---- patterns
     def pattern(self) -> PathPat:
@@ -545,14 +560,18 @@ class CypherGraph:
             grouped_agg,
         )
 
-        # referenced properties (pruned joins)
+        # referenced properties (pruned joins) — only the PATTERN
+        # stage touches graph properties; after a WITH, expressions
+        # reference the projected aliases
         need: set = set()
         if q.where is not None:
             _expr_props(q.where, need)
-        for it in q.items:
+        stage1_items = q.withs[0][0] if q.withs else q.items
+        for it in stage1_items:
             _expr_props(it.expr, need)
-        for e, _ in q.order:
-            _expr_props(e, need)
+        if not q.withs:
+            for e, _ in q.order:
+                _expr_props(e, need)
 
         # inline {k: v} maps become WHERE conjuncts
         conjuncts = [] if q.where is None else [q.where]
@@ -696,86 +715,96 @@ class CypherGraph:
             binding = cogroup_join(binding, side, on=v)
 
         # ---- WHERE (+ inline props)
-        if conjuncts:
-            pred = conjuncts[0]
-            for c in conjuncts[1:]:
-                pred = BinOp("and", pred, c)
-
+        def filter_ds(ds, pred):
             def filt(df: pd.DataFrame) -> pd.DataFrame:
                 if not len(df):
                     return df
                 m = _eval(pred, df)
                 return df[np.asarray(m, bool)]
+            return ds.map_batches(filt, batch_format="pandas")
 
-            binding = binding.map_batches(filt, batch_format="pandas")
+        if conjuncts:
+            pred = conjuncts[0]
+            for c in conjuncts[1:]:
+                pred = BinOp("and", pred, c)
+            binding = filter_ds(binding, pred)
 
-        # ---- RETURN
-        aggs = [it for it in q.items if isinstance(it.expr, Agg)]
-        keys = [it for it in q.items if not isinstance(it.expr, Agg)]
+        # ---- projection/aggregation stage (shared by WITH and RETURN)
+        def apply_stage(src, items, distinct):
+            aggs = [it for it in items if isinstance(it.expr, Agg)]
+            keys = [it for it in items if not isinstance(it.expr, Agg)]
 
-        def project_keys(df: pd.DataFrame) -> pd.DataFrame:
-            out = {}
-            for it in keys:
-                out[it.alias] = _eval(it.expr, df)
-            for it in aggs:       # pre-compute agg input columns
-                if it.expr.arg is not None:
-                    out[f"_in_{it.alias}"] = _eval(it.expr.arg, df)
-                else:
-                    out[f"_in_{it.alias}"] = np.ones(len(df), np.int64)
-            if not len(df):
-                return pd.DataFrame({k: pd.Series([], dtype=object)
-                                     for k in out} if not out else
-                                    {k: v[:0] if hasattr(v, "__len__")
-                                     else pd.Series([], dtype=np.float64)
-                                     for k, v in out.items()})
-            return pd.DataFrame(out)
+            def project_keys(df: pd.DataFrame) -> pd.DataFrame:
+                out = {}
+                for it in keys:
+                    out[it.alias] = _eval(it.expr, df)
+                for it in aggs:   # pre-compute agg input columns
+                    if it.expr.arg is not None:
+                        out[f"_in_{it.alias}"] = _eval(it.expr.arg, df)
+                    else:
+                        out[f"_in_{it.alias}"] = np.ones(len(df),
+                                                         np.int64)
+                if not len(df):
+                    return pd.DataFrame(
+                        {k: pd.Series([], dtype=object)
+                         for k in out} if not out else
+                        {k: v[:0] if hasattr(v, "__len__")
+                         else pd.Series([], dtype=np.float64)
+                         for k, v in out.items()})
+                return pd.DataFrame(out)
 
-        proj = binding.map_batches(project_keys, batch_format="pandas")
+            proj = src.map_batches(project_keys, batch_format="pandas")
 
-        if aggs:
-            gkeys = [it.alias for it in keys]
-            dummy = not gkeys
-            if dummy:
-                proj = proj.map_batches(
-                    lambda df: df.assign(_g=np.int64(0)),
-                    batch_format="pandas")
-                gkeys = ["_g"]
-            spec = {}
-            post_avg = []
-            for it in aggs:
-                a: Agg = it.expr
-                col = f"_in_{it.alias}"
-                if a.fn == "count" and a.distinct:
-                    spec[it.alias] = (col, "nunique")
-                elif a.fn == "count":
-                    spec[it.alias] = (col, "size")
-                elif a.fn == "avg":
-                    spec[f"_s_{it.alias}"] = (col, "sum")
-                    spec[f"_c_{it.alias}"] = (col, "size")
-                    post_avg.append(it.alias)
-                else:
-                    spec[it.alias] = (col, a.fn)
-            decomposable = all(fn in ("sum", "min", "max", "size")
-                               for _, fn in spec.values())
-            out = grouped_agg(proj, gkeys, spec,
-                              combine=decomposable or None
-                              if decomposable else False)
-
-            def post(df: pd.DataFrame) -> pd.DataFrame:
-                for al in post_avg:
-                    df[al] = df[f"_s_{al}"] / df[f"_c_{al}"]
-                    df = df.drop(columns=[f"_s_{al}", f"_c_{al}"])
+            if aggs:
+                gkeys = [it.alias for it in keys]
+                dummy = not gkeys
                 if dummy:
-                    df = df.drop(columns=["_g"])
-                cols = [it.alias for it in q.items]
-                return df[cols]
+                    proj = proj.map_batches(
+                        lambda df: df.assign(_g=np.int64(0)),
+                        batch_format="pandas")
+                    gkeys = ["_g"]
+                spec = {}
+                post_avg = []
+                for it in aggs:
+                    a: Agg = it.expr
+                    col = f"_in_{it.alias}"
+                    if a.fn == "count" and a.distinct:
+                        spec[it.alias] = (col, "nunique")
+                    elif a.fn == "count":
+                        spec[it.alias] = (col, "size")
+                    elif a.fn == "avg":
+                        spec[f"_s_{it.alias}"] = (col, "sum")
+                        spec[f"_c_{it.alias}"] = (col, "size")
+                        post_avg.append(it.alias)
+                    else:
+                        spec[it.alias] = (col, a.fn)
+                decomposable = all(fn in ("sum", "min", "max", "size")
+                                   for _, fn in spec.values())
+                out = grouped_agg(proj, gkeys, spec,
+                                  combine=decomposable or None
+                                  if decomposable else False)
 
-            result = out.map_batches(post, batch_format="pandas")
-        else:
-            result = proj
-            if q.distinct:
-                result = dedup_first(result,
-                                     [it.alias for it in q.items])
+                def post(df: pd.DataFrame) -> pd.DataFrame:
+                    for al in post_avg:
+                        df[al] = df[f"_s_{al}"] / df[f"_c_{al}"]
+                        df = df.drop(columns=[f"_s_{al}",
+                                              f"_c_{al}"])
+                    if dummy:
+                        df = df.drop(columns=["_g"])
+                    return df[[it.alias for it in items]]
+
+                return out.map_batches(post, batch_format="pandas")
+            if distinct:
+                return dedup_first(proj, [it.alias for it in items])
+            return proj
+
+        # ---- WITH chain, then RETURN
+        current = binding
+        for witems, wdistinct, wwhere in q.withs:
+            current = apply_stage(current, witems, wdistinct)
+            if wwhere is not None:
+                current = filter_ds(current, wwhere)
+        result = apply_stage(current, q.items, q.distinct)
 
         # ---- ORDER BY / SKIP / LIMIT
         if q.order:

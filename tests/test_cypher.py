@@ -139,3 +139,37 @@ def test_parse_errors(g):
         g.query("MATCH (a)-[:NOPE*1..99]->(b) RETURN a AS a")
     with pytest.raises(KeyError):
         g.query("MATCH (a:Ghost) RETURN a AS a")
+
+
+def test_with_having(g):
+    # WITH aggregate → WHERE on the aggregate (HAVING) → RETURN
+    out = g.query(
+        "MATCH (a:Person)-[e:KNOWS]->(b) "
+        "WITH a.name AS an, count(*) AS deg WHERE deg >= 2 "
+        "RETURN an AS an, deg AS deg ORDER BY an ASC")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid")
+    w = m.groupby("name").size()
+    w = w[w >= 2].sort_index()
+    got = out.to_pandas()
+    assert got["an"].tolist() == w.index.tolist()
+    assert got["deg"].tolist() == w.tolist()
+
+
+def test_with_two_level_aggregate(g):
+    # per-source degree, then the max degree over all sources
+    out = g.query(
+        "MATCH (a)-[:KNOWS]->(b) WITH a AS a, count(*) AS deg "
+        "RETURN max(deg) AS mx, count(*) AS nsrc")
+    df = out.to_pandas()
+    sizes = KNOWS.groupby("src").size()
+    assert df["mx"].iloc[0] == sizes.max()
+    assert df["nsrc"].iloc[0] == len(sizes)
+
+
+def test_with_projection_rename(g):
+    out = g.query(
+        "MATCH (a:Person) WITH a.age AS age WHERE age > 28 "
+        "RETURN count(*) AS n, sum(age) AS tot")
+    df = out.to_pandas()
+    w = PERSONS[PERSONS["age"] > 28]["age"]
+    assert df["n"].iloc[0] == len(w) and df["tot"].iloc[0] == w.sum()
