@@ -478,14 +478,42 @@ class CypherGraph:
     ``var__prop`` property columns (only properties the query actually
     references are ever joined — the GIE column-prune contract)."""
 
-    def __init__(self):
+    def __init__(self, num_buckets: int = 16):
+        """``num_buckets`` sizes every bucketed exchange (joins and
+        aggregates) a query plans — set ≳ cluster cores at scale; the
+        default favors low fixed overhead on small graphs."""
         self._v: dict[str, tuple] = {}
         self._e: dict[str, tuple] = {}
+        self.num_buckets = int(num_buckets)
 
     def add_vertices(self, label: str, ds: ray.data.Dataset,
                      vid_col: str = "vid") -> "CypherGraph":
         self._v[label] = (ds, vid_col)
+        self._vid_cache: dict = {}
         return self
+
+    def _label_vids(self, label: str):
+        """Label's vid set as a driver numpy array when it fits the
+        broadcast limit (cached), else None → co-group path."""
+        import numpy as _np
+
+        from graphscope_ray.pipelines.triangles import (
+            BROADCAST_LIMIT_ROWS,
+        )
+        cache = getattr(self, "_vid_cache", None)
+        if cache is None:
+            cache = self._vid_cache = {}
+        if label in cache:
+            return cache[label]
+        vds = self._vertex_ds(label)
+        n = vds.count()
+        out = None
+        if n <= BROADCAST_LIMIT_ROWS:
+            out = _np.concatenate([
+                b["vid"] for b in vds.iter_batches(batch_format="numpy")
+            ] or [_np.empty(0, _np.int64)]).astype(_np.int64)
+        cache[label] = out
+        return out
 
     def add_edges(self, rtype: str, ds: ray.data.Dataset,
                   src: str = "src", dst: str = "dst") -> "CypherGraph":
@@ -617,13 +645,23 @@ class CypherGraph:
         tmp = [0]
 
         def bind_node(b, node, col):
-            """Ensure `col` satisfies node's label (semi-join)."""
+            """Ensure `col` satisfies node's label: broadcast
+            semi-join when the label's vid set fits the broadcast
+            limit (one ray.put + per-batch isin — no shuffle), else a
+            bucketed co-group (the >10⁷-vertex path)."""
             if node.label is None:
                 return b
+            keys = self._label_vids(node.label)
+            if keys is not None:
+                from graphscope_ray.stages.relational import (
+                    broadcast_semi_join,
+                )
+                return broadcast_semi_join(b, keys, on=col)
             lab = self._vertex_ds(node.label).map_batches(
                 lambda t, col=col: pa.table(
                     {col: t.column("vid")}), batch_format="pyarrow")
-            return cogroup_join(b, lab, on=col)
+            return cogroup_join(b, lab, on=col,
+                                num_buckets=self.num_buckets)
 
         def hop(b, rel, lcol, rnode):
             """One relationship hop from bound column `lcol`."""
@@ -635,7 +673,8 @@ class CypherGraph:
             eprops = eprops_of.get(rel.var, [])
             if rel.max_hops == 1:
                 arcs = self._edge_arcs(rel, lcol, tgt, eprops)
-                b = cogroup_join(b, arcs, on=lcol)
+                b = cogroup_join(b, arcs, on=lcol,
+                                 num_buckets=self.num_buckets)
             else:
                 if eprops:
                     raise ValueError("cypher: variable-length "
@@ -648,7 +687,8 @@ class CypherGraph:
                     for j in range(k):
                         nxt = tgt if j == k - 1 else f"_h{tmp[0]}_{j}"
                         arcs = self._edge_arcs(rel, cur, nxt, [])
-                        bk = cogroup_join(bk, arcs, on=cur)
+                        bk = cogroup_join(bk, arcs, on=cur,
+                                          num_buckets=self.num_buckets)
                         cur = nxt
                     keep = [c for c in bk.schema().names
                             if not c.startswith("_h")]
@@ -712,7 +752,8 @@ class CypherGraph:
                     {v: t.column(vid).cast(pa.int64()),
                      **{f"{v}__{p}": t.column(p) for p in sorted(set(props))}}),
                 batch_format="pyarrow")
-            binding = cogroup_join(binding, side, on=v)
+            binding = cogroup_join(binding, side, on=v,
+                                   num_buckets=self.num_buckets)
 
         # ---- WHERE (+ inline props)
         def filter_ds(ds, pred):
@@ -781,6 +822,7 @@ class CypherGraph:
                 decomposable = all(fn in ("sum", "min", "max", "size")
                                    for _, fn in spec.values())
                 out = grouped_agg(proj, gkeys, spec,
+                                  num_buckets=self.num_buckets,
                                   combine=decomposable or None
                                   if decomposable else False)
 
@@ -795,7 +837,8 @@ class CypherGraph:
 
                 return out.map_batches(post, batch_format="pandas")
             if distinct:
-                return dedup_first(proj, [it.alias for it in items])
+                return dedup_first(proj, [it.alias for it in items],
+                                   num_buckets=self.num_buckets)
             return proj
 
         # ---- WITH chain, then RETURN
