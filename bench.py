@@ -211,6 +211,8 @@ def run_queries() -> dict:
     picks = {
         "q1": tpch.q1_pricing_summary,
         "q3": tpch.q3_top_orders,
+        "q5": tpch.q5_nation_revenue,
+        "cypher_parts": sf_graph.q_cypher_parts,
         "events_window": tpch.q_events_window,
         "part_pagerank": sf_graph.q_part_pagerank,
         "part_wcc": sf_graph.q_part_wcc,

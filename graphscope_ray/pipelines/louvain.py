@@ -204,6 +204,7 @@ def louvain_pool(
     max_levels: int = 5,
     max_rounds_per_level: int = 12,
     vertices: ray.data.Dataset | None = None,
+    cleanup: bool = True,
 ) -> ray.data.Dataset:
     """Louvain with the LEVEL-0 local move on the resident shard pool —
     the 100-TB path. Identical results to :func:`louvain` (same gain
@@ -352,6 +353,13 @@ def louvain_pool(
             batch_format="pyarrow")
         final = dedup_first(tagged.union(singles), ["vid"],
                             order_by=["pri"]).drop_columns(["pri"])
+    if cleanup:
+        # the pool was built for this call only: materialize the
+        # result (fully consuming the lv_table refs) and release the
+        # shard actors so repeated calls don't accumulate actor pools
+        final = final.materialize()
+        for s in g.shards:
+            ray.kill(s, no_restart=True)
     return final
 
 

@@ -24,6 +24,9 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   arithmetic expressions, and aggregates ``count(*) / count(x) /
   count(DISTINCT x) / sum / min / max / avg`` with ``AS`` aliases;
   non-aggregate items become the grouping keys (Cypher semantics).
+- ``WITH [DISTINCT] … [WHERE …]`` chains (projection/aggregation
+  stages with HAVING-style filters; later stages reference the
+  projected aliases).
 - ``ORDER BY … [ASC|DESC]``, ``SKIP n``, ``LIMIT n``.
 
 Pattern matching is homomorphic (variables may bind the same vertex
