@@ -253,7 +253,11 @@ def topk(ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(cols, ascending=asc, kind="mergesort").head(k)
 
-    return ds.map_batches(partial, batch_format="pandas").sort(
+    # batch_size coalesces runs of tiny upstream blocks so the sort
+    # shuffle sees few, full blocks (see COALESCE_ROWS) — and a bigger
+    # partial batch also cuts more rows before the shuffle.
+    return ds.map_batches(partial, batch_format="pandas",
+                          batch_size=COALESCE_ROWS).sort(
         cols, descending=[not a for a in asc]
     ).limit(k)
 
@@ -857,7 +861,12 @@ def global_ntile(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    sorted_ds = ds.sort(by).materialize()
+    # coalesce tiny upstream blocks before the range-partitioned sort
+    # (same per-block task-overhead tax as bucketed_group_apply)
+    coalesced = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=COALESCE_ROWS)
+    sorted_ds = coalesced.sort(by).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
