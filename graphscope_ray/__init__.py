@@ -35,13 +35,19 @@ class _EmptySchemaDivergenceFilter(_logging.Filter):
     every gather point in this package filters raw blocks through
     :func:`stages.relational.typed_blocks`, so the message is pure
     noise for this engine's bucketed operators. Only the exact
-    empty-new-schema variant is suppressed — real schema divergence
-    still warns."""
+    empty-new-schema variants are suppressed — the Arrow repr
+    ("new schema: .") and the pandas-block repr
+    ("PandasBlockSchema(names=[], types=[])", what the same empty sort
+    split prints when the stage ran on pandas blocks) — real schema
+    divergence still warns."""
+
+    _EMPTY_REPRS = ("new schema: .",
+                    "new schema: PandasBlockSchema(names=[], types=[])")
 
     def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
         msg = record.getMessage()
         return not ("a different schema" in msg
-                    and "new schema: ." in msg)
+                    and any(r in msg for r in self._EMPTY_REPRS))
 
 
 _logging.getLogger(

@@ -112,10 +112,24 @@ def test_log_filter_is_narrow():
     benign = ("Operator produced a RefBundle with a different schema "
               "than the previous one. Previous schema: vid: int64, "
               "new schema: . This may lead to unexpected behavior.")
+    benign_pandas = (
+        "Operator produced a RefBundle with a different schema than "
+        "the previous one. Previous schema: PandasBlockSchema("
+        "names=['h'], types=[dtype('int64')]), new schema: "
+        "PandasBlockSchema(names=[], types=[]). This may lead to "
+        "unexpected behavior.")
     real_divergence = (
         "Operator produced a RefBundle with a different schema than "
         "the previous one. Previous schema: vid: int64, new schema: "
         "vid: int32. This may lead to unexpected behavior.")
+    real_pandas_divergence = (
+        "Operator produced a RefBundle with a different schema than "
+        "the previous one. Previous schema: PandasBlockSchema("
+        "names=['h'], types=[dtype('int64')]), new schema: "
+        "PandasBlockSchema(names=['h'], types=[dtype('float64')]). "
+        "This may lead to unexpected behavior.")
     assert not f.filter(rec(benign))          # suppressed
+    assert not f.filter(rec(benign_pandas))   # suppressed
     assert f.filter(rec(real_divergence))     # kept
+    assert f.filter(rec(real_pandas_divergence))  # kept
     assert f.filter(rec("unrelated warning"))
