@@ -875,7 +875,8 @@ class CypherGraph:
             if add_exprs:
                 raise ValueError("cypher: ORDER BY must reference "
                                  "RETURN items (use AS aliases)")
-            result = result.sort(cols, descending=desc)
+            from graphscope_ray.stages.relational import coalesce_blocks
+            result = coalesce_blocks(result).sort(cols, descending=desc)
         if q.skip or q.limit is not None:
             if q.skip and not q.order:
                 raise ValueError("cypher: SKIP requires ORDER BY")

@@ -97,6 +97,19 @@ def typed_blocks(tables, required: str) -> list:
 COALESCE_ROWS = 32768
 
 
+def coalesce_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Re-bundle runs of tiny blocks before a sort/groupby shuffle.
+
+    Ray's sort pays ~10-30 ms of task overhead per input block; unions
+    of map outputs and wide read splits of small tables leave hundreds
+    of ~1k-row blocks, making that overhead 10× the useful work on
+    sub-100k-row inputs. One zero-copy identity pass with
+    ``batch_size=COALESCE_ROWS`` fixes it; map outputs re-bundle to the
+    target block size, so full-scale blocks pass through unfragmented."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=COALESCE_ROWS)
+
+
 def bucketed_group_apply(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -861,12 +874,7 @@ def global_ntile(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    # coalesce tiny upstream blocks before the range-partitioned sort
-    # (same per-block task-overhead tax as bucketed_group_apply)
-    coalesced = ds.map_batches(lambda t: t, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               batch_size=COALESCE_ROWS)
-    sorted_ds = coalesced.sort(by).materialize()
+    sorted_ds = coalesce_blocks(ds).sort(by).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote

@@ -232,7 +232,12 @@ def hash_order_sample(
     def drop_h(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop(columns=["_h"])
 
-    out = (ds.map_batches(partial, batch_format="pandas")
+    from graphscope_ray.stages.relational import COALESCE_ROWS
+
+    # batch_size coalesces tiny upstream blocks (and a fuller partial
+    # batch cuts more rows) before the top-k sort shuffle
+    out = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=COALESCE_ROWS)
              .sort(["_h", key_col])
              .limit(k)
              .map_batches(drop_h, batch_format="pandas"))

@@ -34,16 +34,9 @@ def _route_groups(ds: ray.data.Dataset, shards, fid_col: str,
         n = ray.get(send(shards[f], g.drop_columns([fid_col])))
         return pa.table({"routed": pa.array([n], pa.int64())})
 
-    # coalesce runs of tiny upstream blocks before the sort shuffle —
-    # Ray's sort pays ~10-30 ms task overhead per input block (see
-    # relational.COALESCE_ROWS); map outputs re-bundle to the target
-    # block size, so full-scale blocks pass through unfragmented
-    from graphscope_ray.stages.relational import COALESCE_ROWS
+    from graphscope_ray.stages.relational import coalesce_blocks
 
-    coalesced = ds.map_batches(lambda t: t, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               batch_size=COALESCE_ROWS)
-    routed = coalesced.groupby(fid_col).map_groups(
+    routed = coalesce_blocks(ds).groupby(fid_col).map_groups(
         deliver, batch_format="pyarrow")
     return int(sum(
         b["routed"].sum() or 0
