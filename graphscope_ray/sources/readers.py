@@ -16,16 +16,23 @@ import ray.data
 
 def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
                        weight: str | None = None,
-                       filter_expr=None) -> ray.data.Dataset:
+                       filter_expr=None,
+                       storage_options: dict | None = None) -> ray.data.Dataset:
     """Pruned parquet scan: only the named columns leave storage, and
     ``filter_expr`` (a ``pyarrow.dataset`` expression, e.g.
     ``pc.field("weight") > 2``) is pushed into the fragment scan so
     row groups whose statistics exclude the predicate are SKIPPED at
     the read — the GIE Scan predicate (algebra.proto:234) mapped onto
     ``read_parquet(filter=...)``; row-group skipping asserted in
-    tests/test_scan_pushdown.py."""
+    tests/test_scan_pushdown.py. ``path`` may be a loader-protocol URI
+    (``file:// s3:// oss:// hdfs://`` — loader.py:107-160) resolved by
+    :mod:`graphscope_ray.sources.location`."""
+    from graphscope_ray.sources.location import resolve_location
+
+    fs, path = resolve_location(path, **(storage_options or {}))
     cols = [src, dst] + ([weight] if weight else [])
-    ds = ray.data.read_parquet(path, columns=cols, filter=filter_expr)
+    ds = ray.data.read_parquet(path, columns=cols, filter=filter_expr,
+                               filesystem=fs)
     ren = {src: "src", dst: "dst"}
     if weight:
         ren[weight] = "weight"
@@ -33,16 +40,26 @@ def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
 
 
 def read_table_parquet(path: str, columns: list[str] | None = None,
-                       filter_expr=None) -> ray.data.Dataset:
+                       filter_expr=None,
+                       storage_options: dict | None = None) -> ray.data.Dataset:
     """Generic pruned + predicate-pushed parquet scan (GIE Scan with
-    column projection and predicate, algebra.proto:234)."""
+    column projection and predicate, algebra.proto:234); accepts
+    loader-protocol URIs like :func:`read_edges_parquet`."""
+    from graphscope_ray.sources.location import resolve_location
+
+    fs, path = resolve_location(path, **(storage_options or {}))
     return ray.data.read_parquet(path, columns=columns,
-                                 filter=filter_expr)
+                                 filter=filter_expr, filesystem=fs)
 
 
 def read_edges_csv(path: str, src: str = "src", dst: str = "dst",
-                   weight: str | None = None, **csv_kwargs) -> ray.data.Dataset:
-    ds = ray.data.read_csv(path, **csv_kwargs)
+                   weight: str | None = None,
+                   storage_options: dict | None = None,
+                   **csv_kwargs) -> ray.data.Dataset:
+    from graphscope_ray.sources.location import resolve_location
+
+    fs, path = resolve_location(path, **(storage_options or {}))
+    ds = ray.data.read_csv(path, filesystem=fs, **csv_kwargs)
     ren = {src: "src", dst: "dst"}
     if weight:
         ren[weight] = "weight"
