@@ -18,12 +18,26 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   shared variables join patterns. Directed ``-[e:T]->`` / ``<-[e:T]-``,
   undirected ``-[e:T]-``, variable-length ``-[:T*1..3]->`` (bounded),
   inline property maps ``{k: v}`` as equality filters.
+- ``OPTIONAL MATCH`` patterns after the mandatory MATCH (left-outer
+  expand — GIE's optional EdgeExpand). Each optional pattern must
+  START on an already-bound variable and bind only fresh variables
+  otherwise; the whole pattern matches or every variable it binds is
+  null (the sub-pattern inner-joins first, then one left join
+  attaches it). Properties of optional variables ride the
+  sub-pattern, so they are null exactly when the pattern missed.
+- ``UNWIND [literals] AS x`` — before MATCH (standalone row source)
+  or after it (per-binding replication). Literal lists only.
 - ``WHERE`` with comparisons (=, <>, <, <=, >, >=), arithmetic
-  (+ - * /), AND/OR/NOT, parentheses, ``x.p IN [lits]``.
+  (+ - * /), AND/OR/NOT, parentheses, ``x.p IN [lits]``,
+  ``x.p STARTS WITH / ENDS WITH / CONTAINS 'lit'``, and
+  ``x IS [NOT] NULL`` (null comparisons filter, as in Cypher).
 - ``RETURN [DISTINCT]`` of ``var`` (the vertex id), ``var.prop``,
   arithmetic expressions, and aggregates ``count(*) / count(x) /
-  count(DISTINCT x) / sum / min / max / avg`` with ``AS`` aliases;
-  non-aggregate items become the grouping keys (Cypher semantics).
+  count(DISTINCT x) / sum / min / max / avg / collect`` with ``AS``
+  aliases; ``count(x)``/``count(DISTINCT x)`` skip nulls (Cypher
+  semantics), ``count(*)`` does not; non-aggregate items become the
+  grouping keys (grouping by a nullable optional variable is
+  unsupported — filter ``IS NOT NULL`` first).
 - ``WITH [DISTINCT] … [WHERE …]`` chains (projection/aggregation
   stages with HAVING-style filters; later stages reference the
   projected aliases).
@@ -55,7 +69,8 @@ _TOKEN_RE = re.compile(r"""
 
 _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
              "LIMIT", "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT",
-             "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL"}
+             "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL",
+             "OPTIONAL", "UNWIND", "STARTS", "ENDS", "CONTAINS", "IS"}
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -141,6 +156,19 @@ class InOp:
 
 
 @dataclass
+class IsNull:
+    item: object
+    neg: bool               # True → IS NOT NULL
+
+
+@dataclass
+class StrPred:
+    op: str                 # "startswith" | "endswith" | "contains"
+    item: object
+    arg: object             # literal string expr
+
+
+@dataclass
 class Agg:
     fn: str                 # count/sum/min/max/avg
     arg: object             # expr or None for count(*)
@@ -166,9 +194,13 @@ class Query:
     #: projects/aggregates the stream, the optional WHERE filters the
     #: aggregated rows (HAVING); later stages reference bare aliases
     withs: list = field(default_factory=list)
+    #: OPTIONAL MATCH patterns (left-outer, applied after `patterns`)
+    optionals: list = field(default_factory=list)
+    #: UNWIND stages: [(name, [literal values])] — applied before WHERE
+    unwinds: list = field(default_factory=list)
 
 
-_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "collect"}
 
 
 class _Parser:
@@ -198,14 +230,45 @@ class _Parser:
         return False
 
     # ---- query
+    def unwind_clause(self) -> tuple:
+        self.expect("punct", "[")
+        vals: list = []
+        if not self.accept("punct", "]"):
+            vals = [self.literal()]
+            while self.accept("punct", ","):
+                vals.append(self.literal())
+            self.expect("punct", "]")
+        self.expect("kw", "AS")
+        return (self.expect("name")[1], vals)
+
     def parse(self) -> Query:
-        self.expect("kw", "MATCH")
-        patterns = [self.pattern()]
-        while self.accept("punct", ","):
-            patterns.append(self.pattern())
+        unwinds: list = []
+        while self.accept("kw", "UNWIND"):
+            unwinds.append(self.unwind_clause())
+        patterns: list = []
+        if self.accept("kw", "MATCH"):
+            patterns = [self.pattern()]
+            while self.accept("punct", ","):
+                patterns.append(self.pattern())
+        elif not unwinds:
+            self.expect("kw", "MATCH")   # raises the usual error
+        optionals: list = []
+        while self.accept("kw", "OPTIONAL"):
+            self.expect("kw", "MATCH")
+            if not patterns:
+                raise ValueError("cypher: OPTIONAL MATCH needs a "
+                                 "mandatory MATCH first")
+            optionals.append(self.pattern())
         where = None
         if self.accept("kw", "WHERE"):
             where = self.expr()
+        while self.accept("kw", "UNWIND"):
+            unwinds.append(self.unwind_clause())
+        # WHERE may also follow the UNWINDs (both filter the same
+        # stream — unwinds replicate before the filter runs)
+        if self.accept("kw", "WHERE"):
+            w2 = self.expr()
+            where = w2 if where is None else BinOp("and", where, w2)
         withs = []
         while self.accept("kw", "WITH"):
             wdistinct = self.accept("kw", "DISTINCT")
@@ -234,7 +297,8 @@ class _Parser:
             limit = int(self.expect("num")[1])
         self.expect("eof")
         return Query(patterns, where, distinct, items, order, skip,
-                     limit, withs=withs)
+                     limit, withs=withs, optionals=optionals,
+                     unwinds=unwinds)
 
     # ---- patterns
     def pattern(self) -> PathPat:
@@ -344,6 +408,18 @@ class _Parser:
                 vals.append(self.literal())
             self.expect("punct", "]")
             return InOp(e, vals)
+        if self.accept("kw", "IS"):
+            neg = self.accept("kw", "NOT")
+            self.expect("kw", "NULL")
+            return IsNull(e, neg)
+        if self.accept("kw", "STARTS"):
+            self.expect("kw", "WITH")
+            return StrPred("startswith", e, self.add_expr())
+        if self.accept("kw", "ENDS"):
+            self.expect("kw", "WITH")
+            return StrPred("endswith", e, self.add_expr())
+        if self.accept("kw", "CONTAINS"):
+            return StrPred("contains", e, self.add_expr())
         t = self.peek()
         if t[0] == "punct" and t[1] in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
@@ -435,6 +511,11 @@ def _expr_props(e, out: set):
         _expr_props(e.item, out)
     elif isinstance(e, InOp):
         _expr_props(e.item, out)
+    elif isinstance(e, IsNull):
+        _expr_props(e.item, out)
+    elif isinstance(e, StrPred):
+        _expr_props(e.item, out)
+        _expr_props(e.arg, out)
     elif isinstance(e, Agg) and e.arg is not None:
         _expr_props(e.arg, out)
 
@@ -454,6 +535,23 @@ def _eval(e, df: pd.DataFrame):
         if not hasattr(v, "isin"):
             v = pd.Series(v, index=df.index)
         return v.isin(e.values)
+    if isinstance(e, IsNull):
+        v = _eval(e.item, df)
+        if not hasattr(v, "isna"):
+            v = pd.Series(v, index=df.index)
+        m = v.isna()
+        return ~m if e.neg else m
+    if isinstance(e, StrPred):
+        v = _eval(e.item, df)
+        arg = _eval(e.arg, df)
+        if not isinstance(arg, str):
+            raise ValueError("cypher: STARTS WITH / ENDS WITH / "
+                             "CONTAINS needs a string literal")
+        if not hasattr(v, "str"):
+            v = pd.Series(v, index=df.index)
+        if e.op == "contains":
+            return v.str.contains(arg, regex=False)
+        return getattr(v.str, e.op)(arg)
     if isinstance(e, BinOp):
         a, b = _eval(e.left, df), _eval(e.right, df)
         return {
@@ -615,8 +713,7 @@ class CypherGraph:
                 return f"_anon{anon[0]}"
             return v
 
-        patterns = []
-        for pat in q.patterns:
+        def normalize(pat, conj_sink):
             nodes = []
             for n in pat.nodes:
                 v = nm(n.var)
@@ -626,7 +723,7 @@ class CypherGraph:
                 else:
                     var_labels.setdefault(v, None)
                 for k, val in n.props.items():
-                    conjuncts.append(BinOp("=", Prop(v, k), Lit(val)))
+                    conj_sink.append(BinOp("=", Prop(v, k), Lit(val)))
                     need.add((v, k))
             rels = []
             for r in pat.rels:
@@ -634,11 +731,20 @@ class CypherGraph:
                 rels.append(RelPat(rv, r.rtype, r.direction, r.props,
                                    r.min_hops, r.max_hops))
                 for k, val in r.props.items():
-                    conjuncts.append(BinOp("=", Prop(rv, k), Lit(val)))
+                    conj_sink.append(BinOp("=", Prop(rv, k), Lit(val)))
                     need.add((rv, k))
-            patterns.append(PathPat(nodes, rels))
+            return PathPat(nodes, rels)
+
+        patterns = [normalize(pat, conjuncts) for pat in q.patterns]
+        # optional patterns keep their inline-prop conjuncts LOCAL —
+        # they must filter the sub-pattern, not the outer binding
+        opt_patterns = []
+        for pat in q.optionals:
+            local: list = []
+            opt_patterns.append((normalize(pat, local), local))
 
         edge_vars = {r.var for pat in patterns for r in pat.rels}
+        edge_vars |= {r.var for pat, _ in opt_patterns for r in pat.rels}
         eprops_of = {v: sorted({p for (vv, p) in need if vv == v})
                      for v in edge_vars}
 
@@ -666,7 +772,7 @@ class CypherGraph:
             return cogroup_join(b, lab, on=col,
                                 num_buckets=self.num_buckets)
 
-        def hop(b, rel, lcol, rnode):
+        def hop(b, rel, lcol, rnode, bound):
             """One relationship hop from bound column `lcol`."""
             rcol = rnode.var
             fresh = rcol not in bound
@@ -730,15 +836,11 @@ class CypherGraph:
                 bound.add(first.var)
             lcol = first.var
             for rel, rnode in zip(pat.rels, pat.nodes[1:]):
-                binding = hop(binding, rel, lcol, rnode)
+                binding = hop(binding, rel, lcol, rnode, bound)
                 lcol = rnode.var
 
-        # ---- join needed node properties (pruned)
-        node_need: dict[str, list[str]] = {}
-        for v, p in need:
-            if v not in edge_vars:
-                node_need.setdefault(v, []).append(p)
-        for v, props in sorted(node_need.items()):
+        # ---- node-property join helper (pruned to `need`)
+        def join_node_props(b, v, props, how="inner"):
             label = var_labels.get(v)
             if label is None:
                 cands = [lb for lb, (ds, vid) in self._v.items()
@@ -753,19 +855,100 @@ class CypherGraph:
             side = ds.select_columns(cols).map_batches(
                 lambda t, v=v, vid=vid, props=props: pa.table(
                     {v: t.column(vid).cast(pa.int64()),
-                     **{f"{v}__{p}": t.column(p) for p in sorted(set(props))}}),
+                     **{f"{v}__{p}": t.column(p)
+                        for p in sorted(set(props))}}),
                 batch_format="pyarrow")
-            binding = cogroup_join(binding, side, on=v,
-                                   num_buckets=self.num_buckets)
+            return cogroup_join(b, side, on=v, how=how,
+                                num_buckets=self.num_buckets)
 
-        # ---- WHERE (+ inline props)
+        # ---- WHERE / local filters
         def filter_ds(ds, pred):
             def filt(df: pd.DataFrame) -> pd.DataFrame:
                 if not len(df):
                     return df
                 m = _eval(pred, df)
-                return df[np.asarray(m, bool)]
+                if not hasattr(m, "fillna"):
+                    m = pd.Series(m, index=df.index)
+                # null comparisons (optional-match misses) filter, per
+                # Cypher's ternary logic
+                return df[np.asarray(m.fillna(False), bool)]
             return ds.map_batches(filt, batch_format="pandas")
+
+        # ---- OPTIONAL MATCH: inner-join the whole sub-pattern from
+        # its start variable's scan, then ONE left join onto the
+        # binding — so a partial hop chain can never leave a half-bound
+        # row, and optional properties are null exactly on misses
+        opt_prop_joined: set = set()
+        opt_fresh_vars: set = set()
+        for pat, local_conj in opt_patterns:
+            first = pat.nodes[0]
+            if first.var not in bound:
+                raise ValueError("cypher: OPTIONAL MATCH must start "
+                                 "on an already-bound variable")
+            if first.var in opt_fresh_vars:
+                raise ValueError("cypher: OPTIONAL MATCH cannot start "
+                                 "on a variable another OPTIONAL MATCH "
+                                 "bound (it may be null)")
+            fresh = [n.var for n in pat.nodes[1:]]
+            if any(v in bound for v in fresh):
+                raise ValueError("cypher: OPTIONAL MATCH may bind only "
+                                 "fresh variables after the start")
+            sub = self._vertex_ds(first.label).map_batches(
+                lambda t, c=first.var: pa.table(
+                    {c: t.column("vid")}), batch_format="pyarrow")
+            subbound = {first.var}
+            lcol = first.var
+            for rel, rnode in zip(pat.rels, pat.nodes[1:]):
+                sub = hop(sub, rel, lcol, rnode, subbound)
+                lcol = rnode.var
+            for v in fresh:
+                props = sorted({p for (vv, p) in need if vv == v})
+                if props:
+                    sub = join_node_props(sub, v, props)
+                    opt_prop_joined.add(v)
+            if local_conj:
+                pred = local_conj[0]
+                for c in local_conj[1:]:
+                    pred = BinOp("and", pred, c)
+                sub = filter_ds(sub, pred)
+            binding = cogroup_join(binding, sub, on=first.var,
+                                   how="left",
+                                   num_buckets=self.num_buckets)
+            bound |= set(fresh)
+            opt_fresh_vars |= set(fresh)
+
+        # ---- UNWIND (literal lists): replicate each binding row
+        for name, vals in q.unwinds:
+            if name in bound:
+                raise ValueError(f"cypher: UNWIND alias {name!r} "
+                                 "is already bound")
+            series = pd.Series(vals)
+
+            def unwind(df: pd.DataFrame, name=name, series=series):
+                if not len(df):
+                    out = df.copy()
+                    out[name] = series[:0]
+                    return out
+                rep = df.loc[df.index.repeat(len(series))]
+                rep = rep.reset_index(drop=True)
+                rep[name] = np.tile(series.values, len(df))
+                return rep
+
+            if binding is None:
+                binding = ray.data.from_pandas(pd.DataFrame({name: vals}))
+            else:
+                binding = binding.map_batches(unwind,
+                                              batch_format="pandas")
+            bound.add(name)
+
+        # ---- join needed node properties (pruned; optional vars were
+        # handled inside their sub-pattern)
+        node_need: dict[str, list[str]] = {}
+        for v, p in need:
+            if v not in edge_vars and v not in opt_prop_joined:
+                node_need.setdefault(v, []).append(p)
+        for v, props in sorted(node_need.items()):
+            binding = join_node_props(binding, v, props)
 
         if conjuncts:
             pred = conjuncts[0]
@@ -815,7 +998,11 @@ class CypherGraph:
                     if a.fn == "count" and a.distinct:
                         spec[it.alias] = (col, "nunique")
                     elif a.fn == "count":
-                        spec[it.alias] = (col, "size")
+                        # count(*) counts rows; count(x) skips nulls
+                        spec[it.alias] = (
+                            col, "size" if a.arg is None else "count")
+                    elif a.fn == "collect":
+                        spec[it.alias] = (col, list)
                     elif a.fn == "avg":
                         spec[f"_s_{it.alias}"] = (col, "sum")
                         spec[f"_c_{it.alias}"] = (col, "size")

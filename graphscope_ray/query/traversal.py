@@ -9,11 +9,16 @@ produces and runs it through ``CypherGraph._execute`` — one executor,
 two language frontends, exactly the reference's compiler shape.
 
 Supported steps (tested in tests/test_traversal.py):
-``g.V(label)``, ``has(key, value_or_P)``, ``out/ in_/ both(type)``
-(optionally repeated via ``times``), ``values(prop)``, ``id_()``,
-``dedup()``, ``order().by(key, asc)``, ``limit(n)``, ``count()``,
+``g.V(label)``, ``has(key, value_or_P)``, ``hasId(value_or_P)``,
+``out/ in_/ both(type)`` (optionally repeated via ``times``),
+``optionalOut/ optionalIn/ optionalBoth(type)`` (left-outer single
+hop — must come after the mandatory hops; a missing neighbor leaves
+the new element null), ``as_(name)`` + ``select(*names)``,
+``path()``, ``values(prop)``, ``id_()``, ``dedup()``,
+``order().by(key, asc)``, ``limit(n)``, ``count()``,
 ``sum_/ min_/ max_/ mean(prop)``, ``groupCount()`` (by the current
-element), predicates ``P.eq/neq/gt/gte/lt/lte/within``.
+element), ``group(key_prop, fn, prop)`` (by-key aggregation),
+predicates ``P.eq/neq/gt/gte/lt/lte/within``.
 """
 
 from __future__ import annotations
@@ -80,6 +85,10 @@ class Traversal:
         self._nodes = [NodePat("v0", label, {})]
         self._rels: list = []
         self._conjuncts: list = []
+        self._optionals: list = []      # PathPat left-outer hops
+        self._aliases: dict = {}        # as_() name -> node var
+        self._current: str = "v0"       # var terminal steps project
+        self._path_vars: list = ["v0"]  # every element, in step order
         self._tail: dict = {"distinct": False, "order": [],
                             "limit": None, "items": None}
 
@@ -89,12 +98,16 @@ class Traversal:
         t._nodes = list(self._nodes)
         t._rels = list(self._rels)
         t._conjuncts = list(self._conjuncts)
+        t._optionals = list(self._optionals)
+        t._aliases = dict(self._aliases)
+        t._current = self._current
+        t._path_vars = list(self._path_vars)
         t._tail = {**self._tail, "order": list(self._tail["order"])}
         return t
 
     @property
     def _cur(self) -> str:
-        return self._nodes[-1].var
+        return self._current
 
     # ---- filters
     def has(self, key: str, value) -> "Traversal":
@@ -110,18 +123,62 @@ class Traversal:
         return t
 
     def hasLabel(self, label: str) -> "Traversal":
+        if self._current != self._nodes[-1].var:
+            raise ValueError("traversal: hasLabel cannot follow an "
+                             "optional hop")
         t = self._clone()
         n = t._nodes[-1]
         t._nodes[-1] = NodePat(n.var, label, n.props)
         return t
 
+    def hasId(self, value) -> "Traversal":
+        """Filter the current element's id (Gremlin hasId)."""
+        t = self._clone()
+        if isinstance(value, P):
+            if value.op == "in":
+                t._conjuncts.append(InOp(Var(t._cur), value.value))
+            else:
+                t._conjuncts.append(
+                    BinOp(value.op, Var(t._cur), Lit(value.value)))
+        else:
+            t._conjuncts.append(BinOp("=", Var(t._cur), Lit(value)))
+        return t
+
+    # ---- step labeling (as/select/path)
+    def as_(self, name: str) -> "Traversal":
+        t = self._clone()
+        t._aliases[name] = t._cur
+        return t
+
+    def select(self, *names: str) -> "Traversal":
+        t = self._clone()
+        items = []
+        for n in names:
+            if n not in t._aliases:
+                raise KeyError(f"traversal: no step labeled {n!r}")
+            items.append(RetItem(Var(t._aliases[n]), n))
+        t._tail["items"] = items
+        return t
+
+    def path(self) -> "Traversal":
+        """Project every element along the traversal, in step order."""
+        t = self._clone()
+        t._tail["items"] = [RetItem(Var(v), v) for v in t._path_vars]
+        return t
+
     # ---- hops
     def _hop(self, rtype, direction, times) -> "Traversal":
+        if self._current != self._nodes[-1].var:
+            raise ValueError("traversal: mandatory hops cannot follow "
+                             "an optional hop (null keys cannot drive "
+                             "an inner join)")
         t = self._clone()
         for _ in range(times):
             i = len(t._nodes)
             t._rels.append(RelPat(f"e{i}", rtype, direction, {}))
             t._nodes.append(NodePat(f"v{i}", None, {}))
+            t._current = f"v{i}"
+            t._path_vars.append(f"v{i}")
         return t
 
     def out(self, rtype: str | None = None, times: int = 1) -> "Traversal":
@@ -132,6 +189,32 @@ class Traversal:
 
     def both(self, rtype: str | None = None, times: int = 1) -> "Traversal":
         return self._hop(rtype, "both", times)
+
+    # ---- optional (left-outer) hops — Gremlin optional(out(...))
+    def _optional_hop(self, rtype, direction) -> "Traversal":
+        if self._current != self._nodes[-1].var:
+            raise ValueError("traversal: optional hops cannot chain "
+                             "off another optional hop")
+        t = self._clone()
+        i = len(t._nodes) + len(t._optionals)
+        new = NodePat(f"o{i}", None, {})
+        t._optionals.append(PathPat(
+            [NodePat(t._current, None, {}), new],
+            [RelPat(f"eo{i}", rtype, direction, {})]))
+        # the optional element becomes current for terminal
+        # projections; further mandatory hops from it are unsupported
+        t._current = new.var
+        t._path_vars.append(new.var)
+        return t
+
+    def optionalOut(self, rtype: str | None = None) -> "Traversal":
+        return self._optional_hop(rtype, "out")
+
+    def optionalIn(self, rtype: str | None = None) -> "Traversal":
+        return self._optional_hop(rtype, "in")
+
+    def optionalBoth(self, rtype: str | None = None) -> "Traversal":
+        return self._optional_hop(rtype, "both")
 
     # ---- terminal projections
     def values(self, prop: str) -> "Traversal":
@@ -186,6 +269,19 @@ class Traversal:
     def mean(self, prop: str) -> "Traversal":
         return self._agg("avg", prop)
 
+    def group(self, key_prop: str, fn: str,
+              prop: str | None = None) -> "Traversal":
+        """``group().by(key).by(agg)`` flattened: aggregate ``fn``
+        (count/sum/min/max/avg) of the current element's ``prop``
+        per distinct ``key_prop`` value."""
+        t = self._clone()
+        arg = None if prop is None else Prop(t._cur, prop)
+        t._tail["items"] = [
+            RetItem(Prop(t._cur, key_prop), "key"),
+            RetItem(Agg(fn, arg), fn),
+        ]
+        return t
+
     def groupCount(self, prop: str | None = None) -> "Traversal":
         """Histogram of the current element (or one of its
         properties): RETURN key, count(*)."""
@@ -209,6 +305,7 @@ class Traversal:
             order=self._tail["order"],
             skip=None,
             limit=self._tail["limit"],
+            optionals=list(self._optionals),
         )
 
     def toDataset(self) -> ray.data.Dataset:

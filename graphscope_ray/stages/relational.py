@@ -305,8 +305,10 @@ def cogroup_join(
     on: str,
     right_on: str | None = None,
     num_buckets: int = 16,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner equi-join on an int64 key via bucketed co-group.
+    """Inner (or left-outer) equi-join on an int64 key via bucketed
+    co-group.
 
     Ray 2.49's hash-shuffle ``Dataset.join`` crashes on the near-empty
     partitions a small input produces (pyarrow "no match for key field"
@@ -314,7 +316,14 @@ def cogroup_join(
     can shrink to a handful of rows join through the same
     ``bucketed_group_apply`` shuffle the aggregates use. Column sets
     must be disjoint apart from the keys; the right key column is
-    dropped from the output."""
+    dropped from the output.
+
+    ``how="left"`` keeps unmatched left rows with nulls on the right
+    payload (GIE's OPTIONAL-expand / Cypher OPTIONAL MATCH contract);
+    unmatched integer payload columns come back as pandas nullable
+    Int64 so values above 2^53 never round through float64."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"cogroup_join: unsupported how={how!r}")
     right_on = right_on or on
     ltypes = _arrow_fields(left)
     rtypes = _arrow_fields(right)
@@ -354,13 +363,19 @@ def cogroup_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][["_k"] + lpay]
         r = g[g["_side"] == 1][["_k"] + rpay]
-        m = l.merge(r, on="_k")
+        m = l.merge(r, on="_k", how=how)
         # the union frame null-pads each side's payload, which promotes
         # integer columns to float64 — cast back to the declared Arrow
         # type so downstream key hashing/joining sees stable dtypes
         for c, typ in payload.items():
             if pa.types.is_integer(typ) and c in m.columns:
-                m[c] = m[c].astype(np.int64)
+                col = m[c]
+                # left-outer: unmatched right payload is genuinely null
+                # — nullable Int64 keeps the matched values bit-exact
+                if col.isna().any():
+                    m[c] = col.astype("Int64")
+                else:
+                    m[c] = col.astype(np.int64)
         return m.rename(columns={"_k": on})
 
     return bucketed_group_apply(both, ["_k"], merge, num_buckets)

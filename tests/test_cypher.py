@@ -173,3 +173,98 @@ def test_with_projection_rename(g):
     df = out.to_pandas()
     w = PERSONS[PERSONS["age"] > 28]["age"]
     assert df["n"].iloc[0] == len(w) and df["tot"].iloc[0] == w.sum()
+
+
+def test_string_predicates(g):
+    out = g.query("MATCH (a:Person) WHERE a.name STARTS WITH 'a' "
+                  "RETURN a.name AS n")
+    assert _rows(out) == [("ann",)]
+    out = g.query("MATCH (a:Person) WHERE a.name ENDS WITH 'e' "
+                  "RETURN a.name AS n")
+    assert _rows(out) == [("dee",), ("eve",)]
+    out = g.query("MATCH (a:Person) WHERE a.name CONTAINS 'a' "
+                  "AND a.age < 33 RETURN a.name AS n")
+    assert _rows(out) == [("ann",)]
+
+
+def test_optional_match_single_hop(g):
+    # only the (2)-[since 2020]->(5) edge satisfies the inline map —
+    # every other person must come back with b null (a local filter,
+    # NOT a global one: the anchors survive)
+    out = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH "
+        "(a)-[e:KNOWS {since: 2020}]->(b) RETURN a AS a, b AS b")
+    got = [(a, None if pd.isna(b) else int(b)) for a, b in _rows(out)]
+    want = sorted([(2, 5)] + [(v, None) for v in PERSONS["vid"]
+                              if v != 2])
+    assert sorted(got) == want
+
+
+def test_optional_match_props_and_is_null(g):
+    # b.name must be null exactly where the optional missed
+    out = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+        "WHERE b.age > 100 RETURN a.name AS an, b.name AS bn")
+    df = out.to_pandas()
+    # nobody is older than 100 → WHERE filters every matched row;
+    # Cypher ternary logic keeps only rows where b is null… which the
+    # comparison also filters. So expect zero rows.
+    assert len(df) == 0
+    out2 = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->"
+        "(b:Person {age: 999}) WHERE b IS NULL RETURN a.name AS an")
+    assert _rows(out2) == sorted((n,) for n in PERSONS["name"])
+    out3 = g.query(
+        "MATCH (a:Person {name: 'dee'}) OPTIONAL MATCH "
+        "(a)-[:KNOWS]->(b:Person) "
+        "RETURN a.name AS an, b.name AS bn")
+    assert _rows(out3) == [("dee", "eve")]
+
+
+def test_optional_match_two_hop_all_or_nothing(g):
+    # the optional pattern matches as a WHOLE or binds nothing: a
+    # 2-hop chain through a filtered middle must not leave b bound
+    # with c null
+    out = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH "
+        "(a)-[:KNOWS]->(b:Person {age: 999})-[:KNOWS]->(c:Person) "
+        "RETURN a AS a, b AS b, c AS c")
+    df = out.to_pandas()
+    assert len(df) == len(PERSONS)
+    assert df["b"].isna().all() and df["c"].isna().all()
+
+
+def test_optional_count_skips_nulls(g):
+    out = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->"
+        "(b:Person {name: 'eve'}) "
+        "RETURN count(*) AS rows, count(b) AS nb")
+    df = out.to_pandas()
+    knows_eve = KNOWS[KNOWS["dst"] == 5]
+    assert df["rows"].iloc[0] == len(PERSONS)
+    assert df["nb"].iloc[0] == len(knows_eve)
+
+
+def test_unwind_standalone_and_joined(g):
+    out = g.query("UNWIND [10, 20, 30] AS x RETURN sum(x) AS s, "
+                  "count(*) AS n")
+    df = out.to_pandas()
+    assert df["s"].iloc[0] == 60 and df["n"].iloc[0] == 3
+    # post-MATCH unwind replicates each binding row
+    out2 = g.query(
+        "MATCH (a:Person {name: 'ann'}) UNWIND [1, 2] AS k "
+        "RETURN a.age AS age, k AS k ORDER BY k ASC")
+    assert _rows(out2) == [(30, 1), (30, 2)]
+    # UNWIND var usable in WHERE
+    out3 = g.query(
+        "MATCH (a:Person) UNWIND [30, 40] AS t WHERE a.age = t "
+        "RETURN a.name AS n ORDER BY n ASC")
+    assert out3.to_pandas()["n"].tolist() == ["ann", "eve"]
+
+
+def test_collect_aggregate(g):
+    out = g.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "WHERE a.name = 'ann' RETURN collect(b.name) AS friends")
+    vals = out.to_pandas()["friends"].iloc[0]
+    assert sorted(vals) == ["bob", "cal"]

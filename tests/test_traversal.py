@@ -54,6 +54,57 @@ def test_dedup_order_limit(g):
     assert got == want
 
 
+def test_as_select_and_path(g):
+    rows = (g.V("Person").as_("a").out("KNOWS").as_("b")
+            .select("a", "b").toList())
+    want = sorted(zip(KNOWS["src"], KNOWS["dst"]))
+    assert sorted(rows) == want
+    paths = g.V("Person").out("KNOWS").out("KNOWS").path().toList()
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src",
+                    suffixes=("1", "2"))
+    assert sorted(paths) == sorted(zip(m["src1"], m["dst1"], m["dst2"]))
+
+
+def test_has_id(g):
+    assert g.V("Person").hasId(3).values("name").toList() == ["cal"]
+    got = g.V("Person").hasId(P.within(1, 4)).out("KNOWS").id_().toList()
+    want = sorted(int(d) for s, d in zip(KNOWS["src"], KNOWS["dst"])
+                  if s in (1, 4))
+    assert sorted(got) == want
+
+
+def test_group_by_key(g):
+    rows = g.V("Person").out("KNOWS").group("name", "count").toList()
+    m = KNOWS.merge(PERSONS, left_on="dst", right_on="vid")
+    assert dict(rows) == m.groupby("name").size().to_dict()
+    rows2 = g.V("Person").as_("a").out("KNOWS").group(
+        "name", "min", "age").toList()
+    w = m.groupby("name")["age"].min().to_dict()
+    assert dict(rows2) == w
+
+
+def test_optional_hop(g):
+    # restrict the optional edge to one that only some sources have:
+    # optionalOut then has() filters like Gremlin's optional+has
+    rows = (g.V("Person").as_("a").optionalOut("KNOWS").toList())
+    # every person has an out-edge here, so pair count == |E|
+    assert len(rows) == len(KNOWS)
+    # a graph where misses exist: filter anchors via hasId first
+    cg2 = (CypherGraph()
+           .add_vertices("Person", ray.data.from_pandas(PERSONS))
+           .add_edges("KNOWS", ray.data.from_pandas(
+               KNOWS[KNOWS["src"] == 2])))
+    g2 = traversal_source(cg2)
+    rows2 = g2.V("Person").as_("a").optionalOut("KNOWS").path().toList()
+    matched = [(2, 3), (2, 5)]
+    missed = [(v, None) for v in PERSONS["vid"] if v != 2]
+    norm = [(a, None if pd.isna(b) else int(b)) for a, b in rows2]
+    assert sorted(norm, key=str) == sorted(matched + missed, key=str)
+    # mandatory hop after an optional hop must refuse
+    with pytest.raises(ValueError, match="optional"):
+        g.V("Person").optionalOut("KNOWS").out("KNOWS")
+
+
 def test_aggregates_and_groupcount(g):
     assert g.V("Person").sum_("age").toList() == [PERSONS["age"].sum()]
     assert g.V("Person").max_("age").toList() == [40]
