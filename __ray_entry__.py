@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": textproc.q_doc_sample,
         "doc_quota_cap": textproc.q_doc_quota_cap,
         "doc_span_dedup": textproc.q_doc_span_dedup,
+        "doc_substr_dedup": textproc.q_doc_substr_dedup,
         "doc_chunks": textproc.q_doc_chunks,
         "doc_pii": textproc.q_doc_pii,
         "doc_normalize": textproc.q_doc_normalize,
@@ -1224,6 +1225,35 @@ SELECT doc_id,
                 FILTER (WHERE NOT cut), '') AS text,
        count(*) FILTER (WHERE cut) AS removed_spans
 FROM marked GROUP BY doc_id""",
+        "doc_substr_dedup": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS i
+  FROM documents),
+win AS (
+  SELECT doc_id, i AS s,
+         string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM toks),
+v AS (SELECT doc_id, s, w FROM win WHERE s + 8 <= n),
+marked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn,
+         count(*) OVER (PARTITION BY w) AS cnt
+  FROM v),
+cuts AS (SELECT doc_id, s FROM marked WHERE cnt > 1 AND rn > 1),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok,
+         NOT EXISTS (SELECT 1 FROM cuts c WHERE c.doc_id = t.doc_id
+                     AND t.i >= c.s AND t.i < c.s + 8) AS keep
+  FROM toks t)
+SELECT d.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.i)
+                FILTER (WHERE k.keep), '') AS text,
+       coalesce(count(*) FILTER (WHERE NOT k.keep), 0) AS removed_tokens
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id""",
         "doc_chunks": r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,

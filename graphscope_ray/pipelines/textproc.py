@@ -277,6 +277,18 @@ def q_doc_span_dedup(sf_dir: str) -> ray.data.Dataset:
     return paragraph_dedup(_docs(sf_dir), sep=" table ")
 
 
+def q_doc_substr_dedup(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, text, removed_tokens) after exact substring dedup over
+    8-token windows (stages/dedup.substring_dedup — the Lee et al.
+    2022 duplicated-substring rule: later occurrences of any repeated
+    8-token window are cut, first occurrence corpus-wide wins).
+    Non-vacuous on the gate corpus (24 docs cut at sf0.01); exact vs
+    the windowed string_agg + row_number DuckDB twin."""
+    from graphscope_ray.stages.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir), k=8)
+
+
 def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, chunk_id, text, n_tokens) token-window chunking
     (stages/textprep.chunk_documents, max_tokens=40 overlap=8): every

@@ -693,3 +693,159 @@ def paragraph_dedup(
 
     return bucketed_group_apply(body.union(cuts), ["doc"], rebuild,
                                 num_buckets)
+
+
+# -------------------------------------------- exact substring dedup
+_POLY_A = np.uint64(0x9E3779B97F4A7C15)          # odd → invertible mod 2^64
+_POLY_A_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _window_hash_rows(texts: pd.Series, doc_ids: np.ndarray, k: int):
+    """Whitespace-tokenize a batch and emit one row per k-token window:
+    ``(h, doc, start)`` — h a rolling polynomial hash of the window's
+    token-hash sequence, O(total tokens) work independent of k.
+
+    The polynomial prefix P is computed once over the batch's
+    CONCATENATED token stream: ``w[s] = P[s+k] − P[s]·A^k`` depends
+    only on tokens ``s..s+k-1``, so doc boundaries need no per-doc
+    recompute — invalid (boundary-crossing) starts are simply never
+    emitted. uint64 arithmetic wraps ≡ mod 2^64; A odd keeps the map
+    injective per position."""
+    toks = texts.str.split()
+    lens = toks.str.len().fillna(0).to_numpy(np.int64)
+    total = int(lens.sum())
+    counts = np.maximum(lens - k + 1, 0)
+    empty = pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                          "doc": pd.Series([], dtype=np.int64),
+                          "start": pd.Series([], dtype=np.int64)})
+    if counts.sum() == 0:
+        return empty
+    flat = np.concatenate([t for t in toks if len(t)])
+    t = hash64_strings(flat)                      # uint64, length N
+    n = total
+    apow = np.empty(n + 1, np.uint64)
+    apow[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(n, _POLY_A, np.uint64), out=apow[1:])
+    ainv = np.empty(n, np.uint64)
+    ainv[0] = np.uint64(1)
+    if n > 1:
+        np.multiply.accumulate(
+            np.full(n - 1, _POLY_A_INV, np.uint64), out=ainv[1:])
+    c = np.cumsum(t * ainv)                       # Σ t_j·A^-j (mod 2^64)
+    prefix = np.empty(n + 1, np.uint64)
+    prefix[0] = np.uint64(0)
+    prefix[1:] = apow[:n] * c                     # P[i] = A^{i-1}·c[i-1]
+    off = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    doc = np.repeat(doc_ids, counts)
+    local = (np.arange(int(counts.sum()), dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1],
+                         counts))
+    s = np.repeat(off, counts) + local
+    w = prefix[s + k] - prefix[s] * apow[k]
+    h = splitmix64(w).view(np.int64)
+    return pd.DataFrame({"h": h, "doc": doc, "start": local})
+
+
+def substring_dedup(
+    docs: ray.data.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact substring deduplication over k-token windows (the
+    distributed counterpart of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": any substring of ≥ k
+    whitespace tokens that occurs twice anywhere in the corpus is a
+    duplicated window chain). Rule: every k-token window value keeps
+    only its FIRST occurrence corpus-wide (lexicographic (doc, start));
+    every token covered by a later occurrence of a duplicated window
+    is removed. Sliding windows make this self-extending — a repeated
+    run of m ≥ k tokens yields m−k+1 duplicated windows whose union
+    covers the whole run.
+
+    Same three-stage shape as :func:`paragraph_dedup` (hash-only
+    explode → O(duplicate windows) removal rows → vectorized co-group
+    rebuild); the window hash is a rolling polynomial over per-token
+    hashes, so the explode is O(total tokens), not O(tokens · k), and
+    no window text ever shuffles.
+
+    Output ``(id_col, text_col, removed_tokens)``; text is
+    whitespace-canonicalized (single-space joined) — documents shorter
+    than k tokens pass through canonicalized, never cut."""
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    if k < 2:
+        raise ValueError("substring_dedup: k must be ≥ 2")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        return _window_hash_rows(
+            b[text_col].astype(str), b[id_col].to_numpy(np.int64), k)
+
+    wins = docs.map_batches(explode, batch_format="pandas")
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc", "start"], kind="mergesort")
+        first = ~g.duplicated("h", keep="first")
+        dup_any = g.duplicated("h", keep=False)
+        out = g.loc[dup_any & ~first]
+        return pd.DataFrame({"doc": out["doc"].to_numpy(np.int64),
+                             "start": out["start"].to_numpy(np.int64)})
+
+    rem = bucketed_group_apply(wins, ["h"], removals, num_buckets)
+
+    body = docs.map_batches(
+        lambda b: pd.DataFrame({
+            "doc": b[id_col].to_numpy(np.int64),
+            "start": np.full(len(b), -1, np.int64),
+            text_col: b[text_col].astype(str),
+            "_side": np.zeros(len(b), np.int8),
+        }), batch_format="pandas")
+    cuts = rem.map_batches(
+        lambda b: pd.DataFrame({
+            "doc": b["doc"].to_numpy(np.int64),
+            "start": b["start"].to_numpy(np.int64),
+            text_col: np.full(len(b), "", object),
+            "_side": np.ones(len(b), np.int8),
+        }), batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["_side"] == 0].sort_values("doc", kind="mergesort")
+        cut = g.loc[g["_side"] == 1, ["doc", "start"]]
+        toks = b[text_col].str.split()
+        lens = toks.str.len().fillna(0).to_numpy(np.int64)
+        docv = b["doc"].to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame({
+                id_col: docv,
+                text_col: np.full(len(b), "", object),
+                "removed_tokens": np.zeros(len(b), np.int64)})
+        flat = np.concatenate([t for t in toks if len(t)])
+        off = np.concatenate(([0], np.cumsum(lens)))
+        # removal window [start, start+k) → flat index range via the
+        # owning doc's offset (docv is sorted; starts are in-range by
+        # construction)
+        diff = np.zeros(total + 1, np.int64)
+        if len(cut):
+            row = np.searchsorted(docv, cut["doc"].to_numpy(np.int64))
+            s = off[row] + cut["start"].to_numpy(np.int64)
+            np.add.at(diff, s, 1)
+            np.add.at(diff, s + k, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        keep = ~covered
+        doc_rep = np.repeat(docv, lens)
+        kept = pd.DataFrame({"doc": doc_rep[keep], "s": flat[keep]})
+        joined = kept.groupby("doc", sort=False)["s"].agg(" ".join)
+        n_kept = kept.groupby("doc", sort=False).size()
+        out = pd.DataFrame({"doc": docv}).join(joined, on="doc")
+        out = out.join(n_kept.rename("nk"), on="doc")
+        return pd.DataFrame({
+            id_col: docv,
+            text_col: out["s"].fillna("").to_numpy(object),
+            "removed_tokens":
+                lens - out["nk"].fillna(0).to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(body.union(cuts), ["doc"], rebuild,
+                                num_buckets)

@@ -100,6 +100,92 @@ def test_paragraph_dedup_all_removed_doc():
 
 
 # ------------------------------------------------------------------
+# exact substring (k-token window) dedup
+# ------------------------------------------------------------------
+
+PHRASE = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _substr_replica(docs: dict, k: int) -> dict:
+    """Sequential reference: first occurrence of each k-token window
+    (lexicographic (doc, start)) kept; tokens covered by any later
+    occurrence removed."""
+    toks = {d: t.split() for d, t in docs.items()}
+    occ: dict = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for s in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[s:s + k]), []).append((d, s))
+    cut = {d: set() for d in toks}
+    for places in occ.values():
+        if len(places) > 1:
+            for d, s in sorted(places)[1:]:
+                cut[d].update(range(s, s + k))
+    return {d: (" ".join(t for i, t in enumerate(ts)
+                         if i not in cut[d]),
+                sum(1 for i in range(len(ts)) if i in cut[d]))
+            for d, ts in toks.items()}
+
+
+def _substr_docs() -> dict:
+    return {
+        1: "alpha beta " + PHRASE + " gamma delta epsilon zeta",
+        2: "unrelated words entirely here nothing repeats in this one",
+        3: "prefix words " + PHRASE + " suffix tail words here",
+        4: "short doc",
+        5: "x y z " + PHRASE + " q r s",
+        6: "",
+        7: "aa bb cc dd aa bb cc dd aa bb cc dd ee",  # self-repeat
+    }
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_substring_dedup_matches_replica(P):
+    from graphscope_ray.stages.dedup import substring_dedup
+
+    docs, k = _substr_docs(), 8
+    want = _substr_replica(docs, k)
+    df = pd.DataFrame({
+        "doc_id": np.array(sorted(docs), np.int64),
+        "text": [docs[d] for d in sorted(docs)]})
+    got = (substring_dedup(ray.data.from_pandas(df).repartition(P), k=k)
+           .to_pandas().set_index("doc_id").sort_index())
+    for d in sorted(docs):
+        assert (got.loc[d, "text"],
+                int(got.loc[d, "removed_tokens"])) == want[d]
+
+
+def test_substring_dedup_self_repeat_and_short_docs():
+    from graphscope_ray.stages.dedup import substring_dedup
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], np.int64),
+        "text": ["p q r s p q r s p q r s",   # period-4 run, 12 toks
+                 "tiny"],
+    })
+    got = (substring_dedup(ray.data.from_pandas(df), k=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    # windows (p q r s)… first at 0 kept; occurrences at 4 and 8 cut
+    # tokens 4..11 → first 4 tokens survive
+    assert got.loc[1, "text"] == "p q r s"
+    assert got.loc[1, "removed_tokens"] == 8
+    assert got.loc[2, "text"] == "tiny"
+    assert got.loc[2, "removed_tokens"] == 0
+
+
+def test_substring_dedup_whole_doc_duplicate():
+    from graphscope_ray.stages.dedup import substring_dedup
+
+    text = "one two three four five six seven eight"
+    df = pd.DataFrame({"doc_id": np.array([3, 9], np.int64),
+                       "text": [text, text]})
+    got = (substring_dedup(ray.data.from_pandas(df), k=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got.loc[3, "text"] == text
+    assert got.loc[9, "text"] == "" and got.loc[9, "removed_tokens"] == 8
+
+
+# ------------------------------------------------------------------
 # logistic regression
 # ------------------------------------------------------------------
 
