@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quota_cap": textproc.q_doc_quota_cap,
         "doc_span_dedup": textproc.q_doc_span_dedup,
         "doc_substr_dedup": textproc.q_doc_substr_dedup,
+        "doc_packed": textproc.q_doc_packed,
         "doc_chunks": textproc.q_doc_chunks,
         "doc_pii": textproc.q_doc_pii,
         "doc_normalize": textproc.q_doc_normalize,
@@ -1254,6 +1255,25 @@ SELECT d.doc_id,
        coalesce(count(*) FILTER (WHERE NOT k.keep), 0) AS removed_tokens
 FROM documents d LEFT JOIN kept k USING (doc_id)
 GROUP BY d.doc_id""",
+        "doc_packed": r"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents),
+lens AS (SELECT doc_id, len(ts) AS n FROM toks0),
+base AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS g0
+  FROM lens),
+toks AS (
+  SELECT t.doc_id, unnest(t.ts) AS tok,
+         b.g0 + generate_subscripts(t.ts, 1) - 1 AS g
+  FROM toks0 t JOIN base b USING (doc_id))
+SELECT g // 128 AS seq_id,
+       string_agg(tok, ' ' ORDER BY g) AS text,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM toks GROUP BY g // 128""",
         "doc_chunks": r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,

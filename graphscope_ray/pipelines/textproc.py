@@ -289,6 +289,17 @@ def q_doc_substr_dedup(sf_dir: str) -> ray.data.Dataset:
     return substring_dedup(_docs(sf_dir), k=8)
 
 
+def q_doc_packed(sf_dir: str) -> ray.data.Dataset:
+    """(seq_id, text, n_tokens, n_docs) GPT-style contiguous sequence
+    packing (stages/textprep.concat_and_chunk, seq_len=128): documents
+    concatenated in doc_id order and split into fixed-length token
+    sequences, documents crossing boundaries. Exact vs the running-sum
+    window + g//L GROUP BY DuckDB twin."""
+    from graphscope_ray.stages.textprep import concat_and_chunk
+
+    return concat_and_chunk(_docs(sf_dir), seq_len=128)
+
+
 def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, chunk_id, text, n_tokens) token-window chunking
     (stages/textprep.chunk_documents, max_tokens=40 overlap=8): every

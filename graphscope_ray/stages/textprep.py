@@ -241,6 +241,104 @@ def pack_sequences(
     return ds.map_batches(f, batch_format="pandas")
 
 
+def concat_and_chunk(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    eos: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """GPT-style contiguous sequence packing: concatenate every
+    document's whitespace tokens in ``id_col`` order (appending
+    ``eos`` after each document if given) and split the stream into
+    fixed ``seq_len``-token sequences — documents CROSS sequence
+    boundaries (the pretraining-standard layout;
+    :func:`pack_sequences` is the whole-document bin-packing
+    alternative). Output: ``(seq_id, text, n_tokens, n_docs)`` —
+    ``n_docs`` counts documents contributing ≥1 token; the final
+    partial sequence is kept with ``n_tokens < seq_len``.
+
+    Globally deterministic at any partitioning: one range sort on
+    ``id_col``, then each sorted block learns its global TOKEN offset
+    from per-block token counts (driver holds O(#blocks) ints, the
+    ``global_ntile`` recipe) and emits per-(block, sequence) fragment
+    partials — O(corpus) text moves once through the final fragment
+    co-group, nothing ever lands on the driver."""
+    from graphscope_ray.stages.relational import (
+        bucketed_group_apply,
+        coalesce_blocks,
+    )
+
+    if seq_len < 1:
+        raise ValueError("concat_and_chunk: seq_len must be >= 1")
+    sorted_ds = (coalesce_blocks(ds.select_columns([id_col, text_col]))
+                 .sort([id_col]).materialize())
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _ntokens(t: pa.Table) -> int:
+        s = t.column(text_col).to_pandas().astype(str).str.split()
+        n = int(s.str.len().fillna(0).sum())
+        if eos is not None:
+            n += t.num_rows
+        return n
+
+    counts = ray.get([_ntokens.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+
+    @ray.remote
+    def _fragments(t: pa.Table, off: int) -> pa.Table:
+        toks = t.column(text_col).to_pandas().astype(str).str.split()
+        if eos is not None:
+            toks = toks.apply(lambda ts: ts + [eos])
+        lens = toks.str.len().fillna(0).to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "_start": pa.array([], pa.int64()),
+                "_text": pa.array([], pa.string()),
+                "_ntok": pa.array([], pa.int64()),
+                "_ndoc": pa.array([], pa.int64()),
+            })
+        flat = np.concatenate([x for x in toks if x])
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        g = off + np.arange(total, dtype=np.int64)
+        seq = g // seq_len
+        df = pd.DataFrame({"seq": seq, "g": g, "tok": flat,
+                           "doc": doc_idx})
+        grp = df.groupby("seq", sort=True)
+        text = grp["tok"].agg(" ".join)
+        gmin = grp["g"].min()
+        ntok = grp.size()
+        ndoc = grp["doc"].nunique()
+        return pa.table({
+            "seq_id": pa.array(text.index.to_numpy(np.int64)),
+            "_start": pa.array(gmin.to_numpy(np.int64)),
+            "_text": pa.array(text.to_numpy(object), pa.string()),
+            "_ntok": pa.array(ntok.to_numpy(np.int64)),
+            "_ndoc": pa.array(ndoc.to_numpy(np.int64)),
+        })
+
+    frags = ray.data.from_arrow_refs(
+        [_fragments.remote(t, int(offsets[i]))
+         for i, t in enumerate(refs)])
+
+    def finish(gd: pd.DataFrame) -> pd.DataFrame:
+        gd = gd.sort_values(["seq_id", "_start"], kind="mergesort")
+        grp = gd.groupby("seq_id", sort=False)
+        return pd.DataFrame({
+            "seq_id": grp.size().index.to_numpy(np.int64),
+            "text": grp["_text"].agg(" ".join).to_numpy(object),
+            "n_tokens": grp["_ntok"].sum().to_numpy(np.int64),
+            "n_docs": grp["_ndoc"].sum().to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(frags, ["seq_id"], finish, num_buckets)
+
+
 # ------------------------------------------------------------------
 # Bigram language-model quality scoring (perplexity proxy)
 # ------------------------------------------------------------------

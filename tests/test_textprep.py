@@ -122,6 +122,57 @@ def test_pack_sequences_greedy_bins():
         out2.sort_values("doc_id")["pack_id"].tolist()
 
 
+def _concat_chunk_oracle(docs: dict, L: int, eos=None) -> dict:
+    stream, dstream = [], []
+    for d in sorted(docs):
+        ts = docs[d].split()
+        if eos is not None:
+            ts = ts + [eos]
+        stream += ts
+        dstream += [d] * len(ts)
+    return {s // L: (" ".join(stream[s:s + L]),
+                     len(stream[s:s + L]),
+                     len(set(dstream[s:s + L])))
+            for s in range(0, len(stream), L)}
+
+
+@pytest.mark.parametrize("L,eos,P", [(16, None, 1), (16, "</s>", 4),
+                                     (7, None, 3)])
+def test_concat_and_chunk_matches_replica(L, eos, P):
+    from graphscope_ray.stages.textprep import concat_and_chunk
+
+    rng = np.random.default_rng(7)
+    docs = {int(i): " ".join(f"w{rng.integers(0, 50)}"
+                             for _ in range(int(rng.integers(0, 40))))
+            for i in range(60)}
+    df = pd.DataFrame({"doc_id": np.array(sorted(docs), np.int64),
+                       "text": [docs[d] for d in sorted(docs)]})
+    want = _concat_chunk_oracle(docs, L, eos)
+    got = (concat_and_chunk(_ds(df).repartition(P), seq_len=L, eos=eos)
+           .to_pandas().set_index("seq_id").sort_index())
+    assert len(got) == len(want)
+    for s, w in want.items():
+        row = got.loc[s]
+        assert (row["text"], int(row["n_tokens"]),
+                int(row["n_docs"])) == w
+
+
+def test_concat_and_chunk_doc_crossing_and_tail():
+    from graphscope_ray.stages.textprep import concat_and_chunk
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], np.int64),
+        "text": ["a b c d e", "f g h", "i"],   # 9 tokens, L=4
+    })
+    got = (concat_and_chunk(_ds(df), seq_len=4)
+           .to_pandas().set_index("seq_id").sort_index())
+    assert got.loc[0, "text"] == "a b c d" and got.loc[0, "n_docs"] == 1
+    # doc 1 crosses into seq 1 alongside doc 2
+    assert got.loc[1, "text"] == "e f g h" and got.loc[1, "n_docs"] == 2
+    # kept partial tail
+    assert (got.loc[2, "text"], int(got.loc[2, "n_tokens"])) == ("i", 1)
+
+
 def test_bigram_lm_train_score_vs_pure_python():
     docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
         "the cat sat on the mat",
