@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": sf_graph.q_part_kcore,
         # Cypher query-language frontend over the part graph (r4)
         "cypher_parts": sf_graph.q_cypher_parts,
+        "cypher_shortest": sf_graph.q_cypher_shortest,
         "part_sssp_path": sf_graph.q_part_sssp_path,
         "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_closeness": sf_graph.q_part_closeness,
@@ -918,6 +919,15 @@ FROM reach r JOIN hvi h ON h.hvid = r.vid GROUP BY h.node""",
         "SELECT src AS part, count(*) AS partners,\n"
         "       CAST(sum(weight) AS BIGINT) AS wsum\n"
         "FROM arcs WHERE weight >= 2 GROUP BY src",
+        "cypher_shortest": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "anchors AS (SELECT vid FROM verts WHERE vid % 97 = 0),\n"
+        "walk(src, vid, d) AS (\n"
+        "  SELECT vid, vid, 0 FROM anchors\n"
+        "  UNION\n"
+        "  SELECT w.src, a.dst, w.d + 1 FROM walk w\n"
+        "  JOIN arcs a ON a.src = w.vid WHERE w.d < 3)\n"
+        "SELECT src, vid AS dst, CAST(min(d) AS BIGINT) AS hops\n"
+        "FROM walk GROUP BY src, vid HAVING min(d) >= 1",
         "part_cdlp": _cdlp_sql(),
         "part_triangles": f"WITH {_GRAPH_CTES.strip()},\n"
         "e AS (SELECT src AS u, dst AS v FROM edges),\n"

@@ -513,6 +513,23 @@ def q_cypher_parts(sf_dir: str) -> ray.data.Dataset:
         "sum(e.weight) AS wsum")
 
 
+def q_cypher_shortest(sf_dir: str) -> ray.data.Dataset:
+    """Cypher shortestPath end-to-end over the part graph (GIE
+    ShortestPathExpand surface): min-hop distances 1..3 from the
+    anchored parts (vid % 97 = 0) — the anchor predicate pushes down
+    before the BFS, so expansion runs only from ~20 starts. Exact
+    recursive-CTE DuckDB twin in oracle_sql."""
+    from graphscope_ray.query import CypherGraph
+
+    g = (CypherGraph()
+         .add_vertices("Part", part_vertices(sf_dir))
+         .add_edges("COOCCUR", part_cooccurrence_edges(sf_dir)))
+    return g.query(
+        "MATCH (a:Part), p = shortestPath((a)-[:COOCCUR*1..3]-(b:Part)) "
+        "WHERE a % 97 = 0 "
+        "RETURN a AS src, b AS dst, length(p) AS hops")
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph — level-0 local move on
     the resident shard pool (O(1) driver state; exact-equal to the

@@ -18,6 +18,12 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   shared variables join patterns. Directed ``-[e:T]->`` / ``<-[e:T]-``,
   undirected ``-[e:T]-``, variable-length ``-[:T*1..3]->`` (bounded),
   inline property maps ``{k: v}`` as equality filters.
+- ``MATCH p = shortestPath((a)-[:T*lo..hi]->(b))`` — min-hop-per-pair
+  BFS (GIE ShortestPathExpand via ``relational.path_expand``):
+  binds every (a, b) pair whose shortest T-distance falls in
+  [lo, hi]; ``length(p)`` returns the hop count; a == b never binds
+  (distance 0). Either the first pattern, or starts on a bound
+  variable with a fresh end.
 - ``OPTIONAL MATCH`` patterns after the mandatory MATCH (left-outer
   expand — GIE's optional EdgeExpand). Each optional pattern must
   START on an already-bound variable and bind only fresh variables
@@ -64,7 +70,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<num>\d+\.\d+|\d+)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/])
+    | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/%])
     )""", re.VERBOSE)
 
 _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
@@ -119,6 +125,8 @@ class RelPat:
 class PathPat:
     nodes: list
     rels: list
+    name: str | None = None        # `p = …` path variable
+    shortest: bool = False         # `shortestPath(…)` wrapper
 
 
 @dataclass
@@ -302,6 +310,33 @@ class _Parser:
 
     # ---- patterns
     def pattern(self) -> PathPat:
+        name = None
+        shortest = False
+        if self.peek()[0] == "name":
+            nm = self.next()[1]
+            if (nm.lower() == "shortestpath"
+                    and self.peek() == ("punct", "(")):
+                shortest = True
+            else:
+                name = nm
+                self.expect("punct", "=")
+                t = self.peek()
+                if t[0] == "name" and t[1].lower() == "shortestpath":
+                    self.next()
+                    shortest = True
+        if shortest:
+            self.expect("punct", "(")
+        pat = self.pattern_body()
+        if shortest:
+            self.expect("punct", ")")
+            if len(pat.rels) != 1:
+                raise ValueError("cypher: shortestPath needs exactly "
+                                 "one relationship")
+        pat.name = name
+        pat.shortest = shortest
+        return pat
+
+    def pattern_body(self) -> PathPat:
         nodes = [self.node()]
         rels = []
         while self.peek() == ("punct", "-") or self.peek() == ("punct", "<-"):
@@ -435,7 +470,8 @@ class _Parser:
 
     def mul_expr(self):
         e = self.atom()
-        while self.peek()[0] == "punct" and self.peek()[1] in ("*", "/"):
+        while (self.peek()[0] == "punct"
+               and self.peek()[1] in ("*", "/", "%")):
             op = self.next()[1]
             e = BinOp(op, e, self.atom())
         return e
@@ -454,6 +490,13 @@ class _Parser:
             return Lit(self.literal())
         if t[0] == "name":
             name = self.next()[1]
+            if name.lower() == "length" and self.peek() == ("punct", "("):
+                self.next()
+                p = self.expect("name")[1]
+                self.expect("punct", ")")
+                # hop count of a named path: the planner materializes
+                # it as the `<p>__len` column
+                return Prop(p, "len")
             if name.lower() in _AGG_FNS and self.peek() == ("punct", "("):
                 self.next()
                 distinct = self.accept("kw", "DISTINCT")
@@ -500,6 +543,27 @@ def parse_cypher(src: str) -> Query:
 
 
 # ----------------------------------------------------------- planner
+def _expr_vars(e, out: set, props: list):
+    """Collect referenced variable names; append Prop nodes to props."""
+    if isinstance(e, Var):
+        out.add(e.var)
+    elif isinstance(e, Prop):
+        out.add(e.var)
+        props.append(e)
+    elif isinstance(e, BinOp):
+        _expr_vars(e.left, out, props)
+        _expr_vars(e.right, out, props)
+    elif isinstance(e, NotOp):
+        _expr_vars(e.item, out, props)
+    elif isinstance(e, (InOp, IsNull)):
+        _expr_vars(e.item, out, props)
+    elif isinstance(e, StrPred):
+        _expr_vars(e.item, out, props)
+        _expr_vars(e.arg, out, props)
+    elif isinstance(e, Agg) and e.arg is not None:
+        _expr_vars(e.arg, out, props)
+
+
 def _expr_props(e, out: set):
     """Collect referenced (var, prop) pairs."""
     if isinstance(e, Prop):
@@ -560,6 +624,7 @@ def _eval(e, df: pd.DataFrame):
             ">": lambda: a > b, ">=": lambda: a >= b,
             "+": lambda: a + b, "-": lambda: a - b,
             "*": lambda: a * b, "/": lambda: a / b,
+            "%": lambda: a % b,
             "and": lambda: a.astype(bool) & b.astype(bool)
             if hasattr(a, "astype") else (bool(a) & b.astype(bool)),
             "or": lambda: a.astype(bool) | b.astype(bool)
@@ -733,9 +798,12 @@ class CypherGraph:
                 for k, val in r.props.items():
                     conj_sink.append(BinOp("=", Prop(rv, k), Lit(val)))
                     need.add((rv, k))
-            return PathPat(nodes, rels)
+            out = PathPat(nodes, rels)
+            out.name, out.shortest = pat.name, pat.shortest
+            return out
 
         patterns = [normalize(pat, conjuncts) for pat in q.patterns]
+        path_names = {p.name for p in patterns if p.name}
         # optional patterns keep their inline-prop conjuncts LOCAL —
         # they must filter the sub-pattern, not the outer binding
         opt_patterns = []
@@ -747,6 +815,19 @@ class CypherGraph:
         edge_vars |= {r.var for pat, _ in opt_patterns for r in pat.rels}
         eprops_of = {v: sorted({p for (vv, p) in need if vv == v})
                      for v in edge_vars}
+
+        # ---- WHERE / local filters
+        def filter_ds(ds, pred):
+            def filt(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                m = _eval(pred, df)
+                if not hasattr(m, "fillna"):
+                    m = pd.Series(m, index=df.index)
+                # null comparisons (optional-match misses) filter, per
+                # Cypher's ternary logic
+                return df[np.asarray(m.fillna(False), bool)]
+            return ds.map_batches(filt, batch_format="pandas")
 
         # ---- build the binding table pattern by pattern
         binding: ray.data.Dataset | None = None
@@ -817,7 +898,83 @@ class CypherGraph:
                 b = bind_node(b, rnode, rcol)
             return b
 
+        def shortest_pattern(pat, binding):
+            """`shortestPath((a)-[:T*lo..hi]->(b))` — min-hop-per-pair
+            BFS via relational.path_expand (GIE ShortestPathExpand):
+            pairs whose shortest distance falls in [lo, hi]; a == b
+            pairs are never emitted (dist 0). The hop count
+            materializes as `<pathname>__len` for `length(p)`."""
+            from graphscope_ray.stages.relational import path_expand
+
+            a, bnode = pat.nodes
+            rel = pat.rels[0]
+            if eprops_of.get(rel.var):
+                raise ValueError("cypher: shortestPath cannot bind "
+                                 "edge properties")
+            if binding is not None and a.var in bound:
+                # expand only from the anchored start set (pushed-down
+                # WHERE filters have already pruned the binding)
+                starts = dedup_first(
+                    binding.map_batches(
+                        lambda t, av=a.var: pa.table(
+                            {"vid": t.column(av).cast(pa.int64())}),
+                        batch_format="pyarrow"),
+                    ["vid"], num_buckets=self.num_buckets)
+            else:
+                starts = self._vertex_ds(a.label).map_batches(
+                    lambda t: pa.table({"vid": t.column("vid")}),
+                    batch_format="pyarrow")
+            one_hop = RelPat(rel.var, rel.rtype, rel.direction, {}, 1, 1)
+            arcs = self._edge_arcs(one_hop, "src", "dst", [])
+            sp = path_expand(arcs, starts, rel.min_hops, rel.max_hops,
+                             num_buckets=self.num_buckets)
+            lencol = f"{pat.name}__len" if pat.name else f"_plen{tmp[0]}"
+            tmp[0] += 1
+            sub = sp.map_batches(
+                lambda t, av=a.var, bv=bnode.var, lc=lencol: pa.table(
+                    {av: t.column("start"), bv: t.column("end"),
+                     lc: t.column("hops")}), batch_format="pyarrow")
+            sub = bind_node(sub, bnode, bnode.var)
+            if binding is None:
+                bound.add(a.var)
+                bound.add(bnode.var)
+                return sub
+            if a.var in bound and bnode.var not in bound:
+                bound.add(bnode.var)
+                return cogroup_join(binding, sub, on=a.var,
+                                    num_buckets=self.num_buckets)
+            raise ValueError(
+                "cypher: shortestPath must either be the first pattern "
+                "or start on a bound variable and end on a fresh one")
+
+        # WHERE pushdown: a conjunct whose variables are all bound and
+        # that touches no property can filter the binding as soon as
+        # those variables exist (conjunction commutes; left-side
+        # predicates commute with the optional left joins) — this is
+        # what keeps an anchored shortestPath from BFS-ing every vertex
+        pending = list(conjuncts)
+
+        def flush_filters(b):
+            nonlocal pending
+            ready, rest = [], []
+            for c in pending:
+                vs: set = set()
+                ps: list = []
+                _expr_vars(c, vs, ps)
+                (ready if not ps and vs <= bound else rest).append(c)
+            pending = rest
+            if ready and b is not None:
+                pred = ready[0]
+                for c in ready[1:]:
+                    pred = BinOp("and", pred, c)
+                b = filter_ds(b, pred)
+            return b
+
         for pat in patterns:
+            if pat.shortest:
+                binding = flush_filters(binding)
+                binding = shortest_pattern(pat, binding)
+                continue
             first = pat.nodes[0]
             if binding is None or first.var not in bound:
                 start = self._vertex_ds(first.label).map_batches(
@@ -860,19 +1017,6 @@ class CypherGraph:
                 batch_format="pyarrow")
             return cogroup_join(b, side, on=v, how=how,
                                 num_buckets=self.num_buckets)
-
-        # ---- WHERE / local filters
-        def filter_ds(ds, pred):
-            def filt(df: pd.DataFrame) -> pd.DataFrame:
-                if not len(df):
-                    return df
-                m = _eval(pred, df)
-                if not hasattr(m, "fillna"):
-                    m = pd.Series(m, index=df.index)
-                # null comparisons (optional-match misses) filter, per
-                # Cypher's ternary logic
-                return df[np.asarray(m.fillna(False), bool)]
-            return ds.map_batches(filt, batch_format="pandas")
 
         # ---- OPTIONAL MATCH: inner-join the whole sub-pattern from
         # its start variable's scan, then ONE left join onto the
@@ -945,14 +1089,15 @@ class CypherGraph:
         # handled inside their sub-pattern)
         node_need: dict[str, list[str]] = {}
         for v, p in need:
-            if v not in edge_vars and v not in opt_prop_joined:
+            if (v not in edge_vars and v not in opt_prop_joined
+                    and v not in path_names):
                 node_need.setdefault(v, []).append(p)
         for v, props in sorted(node_need.items()):
             binding = join_node_props(binding, v, props)
 
-        if conjuncts:
-            pred = conjuncts[0]
-            for c in conjuncts[1:]:
+        if pending:
+            pred = pending[0]
+            for c in pending[1:]:
                 pred = BinOp("and", pred, c)
             binding = filter_ds(binding, pred)
 

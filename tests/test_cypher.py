@@ -262,6 +262,33 @@ def test_unwind_standalone_and_joined(g):
     assert out3.to_pandas()["n"].tolist() == ["ann", "eve"]
 
 
+def test_shortest_path_lengths(g):
+    import networkx as nx
+
+    out = g.query(
+        "MATCH p = shortestPath((a:Person)-[:KNOWS*1..4]->(b:Person)) "
+        "RETURN a AS a, b AS b, length(p) AS hops")
+    got = {(a, b): h for a, b, h in
+           map(tuple, out.to_pandas().itertuples(index=False))}
+    dg = nx.DiGraph(list(zip(KNOWS["src"], KNOWS["dst"])))
+    want = {}
+    for a in PERSONS["vid"]:
+        for b, d in nx.single_source_shortest_path_length(
+                dg, a, cutoff=4).items():
+            if 1 <= d <= 4:
+                want[(a, b)] = d
+    assert got == want
+    # anchored on a bound variable; hop-count filter in WHERE
+    out2 = g.query(
+        "MATCH (a:Person {name: 'ann'}), "
+        "p = shortestPath((a)-[:KNOWS*1..3]->(b)) "
+        "WHERE length(p) >= 2 RETURN b AS b, length(p) AS hops")
+    got2 = sorted(map(tuple, out2.to_pandas().itertuples(index=False)))
+    want2 = sorted((b, d) for (a, b), d in want.items()
+                   if a == 1 and 2 <= d <= 3)
+    assert got2 == want2
+
+
 def test_collect_aggregate(g):
     out = g.query(
         "MATCH (a:Person)-[:KNOWS]->(b:Person) "
