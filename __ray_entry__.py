@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
+        "ann_pq_topk": textproc.q_ann_pq_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
         "multimodal_meta": textproc.q_multimodal_meta,
         # round-4 rotation: the corpus-prep exact twins (all verified

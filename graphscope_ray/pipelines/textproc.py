@@ -140,6 +140,36 @@ def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:
     return simhash_table(_docs(sf_dir), concurrency=4, hash_fn="md5")
 
 
+def q_ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10
+                  ) -> ray.data.Dataset:
+    """IVF-PQ's compression half over the embeddings table: train
+    product-quantization codebooks on the deterministic hash sample,
+    encode every vector to m uint8 codes, ADC top-k for the first
+    ``n_queries`` vec_ids. Rows-only gate (quantized scores have no
+    SQL twin); ADC-vs-decoded-dot exactness and partition invariance
+    are pinned in tests/test_stages.py."""
+    from graphscope_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    qdf = (
+        emb.map_batches(lambda b: b.nsmallest(n_queries, "vec_id"),
+                        batch_format="pandas")
+        .to_pandas().nsmallest(n_queries, "vec_id").sort_values("vec_id")
+    )
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    books = pq_train(emb, m=4, nbits=6)
+    enc = pq_encode(emb, books)
+    out = pq_topk(enc, books, Q, k=k)
+    out["query_idx"] = qdf["vec_id"].to_numpy()[out["query_idx"].to_numpy()]
+    out["score"] = _fx(out["score"].to_numpy(), 5)
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset:
     """Exact cosine top-k of the first ``n_queries`` embedding rows vs
     the whole table — (query_idx=vec_id of the query, vec_id, cosine

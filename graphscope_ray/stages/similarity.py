@@ -482,3 +482,126 @@ def semdedup_reference(ids, vectors, centroids, assignments,
             dup = any(float(V[i] @ V[j]) >= tau for j in order[:pos])
             keep[int(ids[i])] = not dup
     return keep
+
+
+# ------------------------------------------------ product quantization
+def pq_train(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011 — the
+    compression layer under billion-scale ANN; composes with
+    :func:`ivf_build` as IVF-PQ): the vector space splits into ``m``
+    subspaces and each learns a 2^``nbits``-entry codebook by Lloyd
+    k-means over a deterministic hash sample (the :func:`ivf_build`
+    sampling contract: sample-sized driver work, partition-invariant
+    by sorting on ``id_col``; the full table never leaves the
+    cluster). Returns ``(m, 2^nbits, d/m)`` float64 codebooks —
+    ``m·2^nbits·(d/m) = 2^nbits·d`` floats, a broadcast-sized object
+    at any corpus size."""
+    K = 1 << nbits
+    n = ds.count()
+    rate = max(1, n // max(1, sample_size))
+    sample = _hash_sample(ds, id_col, rate, seed).to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(sample_size).to_pandas()
+    sample = sample.sort_values(id_col, kind="mergesort")
+    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    d = V.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(K, len(V)), dsub), np.float64)
+    for j in range(m):
+        X = V[:, j * dsub:(j + 1) * dsub]
+        C = X[rng.choice(len(X), size=books.shape[1], replace=False)]
+        for _ in range(iters):
+            # L2 assignment: argmin ||x - c||² = argmax (x·c − ||c||²/2)
+            a = (X @ C.T - 0.5 * (C * C).sum(axis=1)).argmax(axis=1)
+            for c in range(len(C)):   # K is small (≤256); X is a sample
+                mask = a == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: "np.ndarray | ray.ObjectRef",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> ray.data.Dataset:
+    """Quantize every vector to ``m`` uint8 code indices (nearest
+    subspace codeword by L2) — one broadcast of the codebooks, one
+    streaming pass; output ``(id_col, out_col list<uint8>)`` shrinks
+    a d-float vector to m bytes (d/m · 32× compression)."""
+    cref = (codebooks if isinstance(codebooks, ray.ObjectRef)
+            else ray.put(np.asarray(codebooks, np.float64)))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        B = _resolve(cref)
+        m, K, dsub = B.shape
+        V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        codes = np.empty((len(V), m), np.uint8)
+        for j in range(m):
+            X = V[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = (X @ B[j].T
+                           - 0.5 * (B[j] * B[j]).sum(axis=1)
+                           ).argmax(axis=1).astype(np.uint8)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             out_col: list(codes)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def pq_topk(
+    encoded: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> pd.DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    an (m, K) inner-product lookup table against the codebooks, a
+    batch's score is the LUT gather-sum over its codes (no float
+    vectors move — the scan reads m bytes/row), per-block partial
+    top-k then one tiny driver merge (the :func:`brute_force_topk`
+    shape). Scores equal ``cosine(query, decode(code))`` exactly (same
+    sum, different association order). Deterministic ties: lower id."""
+    B = np.asarray(codebooks, np.float64)
+    m, K, dsub = B.shape
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    # LUT[qi, j, c] = Q_sub(qi, j) · B[j, c]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+    lref = ray.put(lut)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        L = _resolve(lref)
+        codes = np.stack(batch[code_col].to_numpy()).astype(np.int64)
+        ids = batch[id_col].to_numpy()
+        # S[qi, row] = Σ_j L[qi, j, codes[row, j]]
+        S = L[:, np.arange(m), codes].sum(axis=2)
+        out = []
+        kk = min(k, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.lexsort((ids, -S[qi]))[:kk]
+            out.append(pd.DataFrame(
+                {"query_idx": qi, id_col: ids[idx],
+                 "score": S[qi, idx]}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = encoded.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    return parts.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
