@@ -104,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
-        "ann_pq_topk": textproc.q_ann_pq_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
         "multimodal_meta": textproc.q_multimodal_meta,
         # round-4 rotation: the corpus-prep exact twins (all verified
@@ -157,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_betweenness": sf_graph.q_part_betweenness,
         "part_louvain": sf_graph.q_part_louvain,
         "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
+        # IVF-PQ compression half — rows-only (ADC parity + partition
+        # invariance pinned in tests/test_stages.py)
+        "ann_pq_topk": textproc.q_ann_pq_topk,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
         "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
         "emb_kmeans": textproc.q_emb_kmeans,

@@ -332,6 +332,10 @@ class _Parser:
             if len(pat.rels) != 1:
                 raise ValueError("cypher: shortestPath needs exactly "
                                  "one relationship")
+        elif name is not None:
+            raise ValueError("cypher: named paths are only supported "
+                             "with shortestPath(...) — length(p) of a "
+                             "plain pattern is not implemented")
         pat.name = name
         pat.shortest = shortest
         return pat
@@ -584,8 +588,39 @@ def _expr_props(e, out: set):
         _expr_props(e.arg, out)
 
 
+def _local_props(e) -> list:
+    """All Prop nodes referenced by an expression."""
+    out: set = set()
+    props: list = []
+    _expr_vars(e, out, props)
+    return props
+
+
+def _null_mask(v, df):
+    """Null positions of an operand (False scalar when not a Series)."""
+    return v.isna() if hasattr(v, "isna") else False
+
+
+def _kleene(r, na, df):
+    """Boolean result with pd.NA where an input was null — pandas'
+    nullable ``boolean`` dtype implements Kleene and/or/not, giving
+    Cypher's ternary logic for free once comparisons propagate NA."""
+    if not hasattr(r, "astype"):
+        return r
+    out = pd.Series(r, index=df.index).astype("boolean")
+    if np.any(na):
+        out[na] = pd.NA
+    return out
+
+
 def _eval(e, df: pd.DataFrame):
-    """Vectorized expression evaluation over the binding frame."""
+    """Vectorized expression evaluation over the binding frame.
+
+    Predicates return the nullable ``boolean`` dtype with pd.NA where
+    an operand was null (an OPTIONAL MATCH miss): comparisons, IN and
+    string predicates against null are null; AND/OR/NOT follow Kleene
+    logic; the WHERE filter then drops non-True rows — Cypher's
+    ternary-null contract."""
     if isinstance(e, Lit):
         return e.value
     if isinstance(e, Var):
@@ -593,12 +628,15 @@ def _eval(e, df: pd.DataFrame):
     if isinstance(e, Prop):
         return df[f"{e.var}__{e.name}"]
     if isinstance(e, NotOp):
-        return ~_eval(e.item, df).astype(bool)
+        v = _eval(e.item, df)
+        if not hasattr(v, "astype"):
+            return not v
+        return ~v.astype("boolean")
     if isinstance(e, InOp):
         v = _eval(e.item, df)
         if not hasattr(v, "isin"):
             v = pd.Series(v, index=df.index)
-        return v.isin(e.values)
+        return _kleene(v.isin(e.values), _null_mask(v, df), df)
     if isinstance(e, IsNull):
         v = _eval(e.item, df)
         if not hasattr(v, "isna"):
@@ -614,21 +652,31 @@ def _eval(e, df: pd.DataFrame):
         if not hasattr(v, "str"):
             v = pd.Series(v, index=df.index)
         if e.op == "contains":
-            return v.str.contains(arg, regex=False)
-        return getattr(v.str, e.op)(arg)
+            r = v.str.contains(arg, regex=False)
+        else:
+            r = getattr(v.str, e.op)(arg)
+        # .str methods yield NaN on nulls already — normalize to NA
+        return pd.Series(r, index=df.index).astype("boolean")
     if isinstance(e, BinOp):
         a, b = _eval(e.left, df), _eval(e.right, df)
+        if e.op in ("=", "<>", "<", "<=", ">", ">="):
+            na = _null_mask(a, df) | _null_mask(b, df)
+            r = {
+                "=": lambda: a == b, "<>": lambda: a != b,
+                "<": lambda: a < b, "<=": lambda: a <= b,
+                ">": lambda: a > b, ">=": lambda: a >= b,
+            }[e.op]()
+            return _kleene(r, na, df)
+        if e.op in ("and", "or"):
+            if hasattr(a, "astype"):
+                a = a.astype("boolean")
+            if hasattr(b, "astype"):
+                b = b.astype("boolean")
+            return (a & b) if e.op == "and" else (a | b)
         return {
-            "=": lambda: a == b, "<>": lambda: a != b,
-            "<": lambda: a < b, "<=": lambda: a <= b,
-            ">": lambda: a > b, ">=": lambda: a >= b,
             "+": lambda: a + b, "-": lambda: a - b,
             "*": lambda: a * b, "/": lambda: a / b,
             "%": lambda: a % b,
-            "and": lambda: a.astype(bool) & b.astype(bool)
-            if hasattr(a, "astype") else (bool(a) & b.astype(bool)),
-            "or": lambda: a.astype(bool) | b.astype(bool)
-            if hasattr(a, "astype") else (bool(a) | b.astype(bool)),
         }[e.op]()
     raise ValueError(f"cypher: cannot evaluate {e!r}")
 
@@ -956,6 +1004,8 @@ class CypherGraph:
 
         def flush_filters(b):
             nonlocal pending
+            if b is None:
+                return b          # nothing to filter yet — keep all
             ready, rest = [], []
             for c in pending:
                 vs: set = set()
@@ -963,7 +1013,7 @@ class CypherGraph:
                 _expr_vars(c, vs, ps)
                 (ready if not ps and vs <= bound else rest).append(c)
             pending = rest
-            if ready and b is not None:
+            if ready:
                 pred = ready[0]
                 for c in ready[1:]:
                     pred = BinOp("and", pred, c)
@@ -1025,6 +1075,9 @@ class CypherGraph:
         opt_prop_joined: set = set()
         opt_fresh_vars: set = set()
         for pat, local_conj in opt_patterns:
+            if pat.shortest:
+                raise ValueError("cypher: shortestPath inside "
+                                 "OPTIONAL MATCH is not supported")
             first = pat.nodes[0]
             if first.var not in bound:
                 raise ValueError("cypher: OPTIONAL MATCH must start "
@@ -1050,11 +1103,27 @@ class CypherGraph:
                 if props:
                     sub = join_node_props(sub, v, props)
                     opt_prop_joined.add(v)
+            # an inline prop map on the START node filters the
+            # sub-pattern locally (real Cypher semantics: a non-match
+            # yields nulls, not a dropped anchor row) — join those
+            # props into the sub for the filter, then DROP them so the
+            # left join can't null them on rows where the anchor
+            # itself still exists (the global prop join covers reads)
+            start_props = sorted({p.name for c in local_conj
+                                  for p in _local_props(c)
+                                  if p.var == first.var})
+            if start_props:
+                sub = join_node_props(sub, first.var, start_props)
             if local_conj:
                 pred = local_conj[0]
                 for c in local_conj[1:]:
                     pred = BinOp("and", pred, c)
                 sub = filter_ds(sub, pred)
+            if start_props:
+                drop = [f"{first.var}__{p}" for p in start_props]
+                sub = sub.map_batches(
+                    lambda df, d=drop: df.drop(columns=d),
+                    batch_format="pandas")
             binding = cogroup_join(binding, sub, on=first.var,
                                    how="left",
                                    num_buckets=self.num_buckets)
@@ -1147,15 +1216,21 @@ class CypherGraph:
                         spec[it.alias] = (
                             col, "size" if a.arg is None else "count")
                     elif a.fn == "collect":
-                        spec[it.alias] = (col, list)
+                        # Cypher collect() skips nulls (optional-match
+                        # misses)
+                        spec[it.alias] = (
+                            col, lambda s: s.dropna().tolist())
                     elif a.fn == "avg":
+                        # Cypher avg() skips nulls: sum / non-null
+                        # count, not / row count
                         spec[f"_s_{it.alias}"] = (col, "sum")
-                        spec[f"_c_{it.alias}"] = (col, "size")
+                        spec[f"_c_{it.alias}"] = (col, "count")
                         post_avg.append(it.alias)
                     else:
                         spec[it.alias] = (col, a.fn)
-                decomposable = all(fn in ("sum", "min", "max", "size")
-                                   for _, fn in spec.values())
+                decomposable = all(
+                    fn in ("sum", "min", "max", "size", "count")
+                    for _, fn in spec.values())
                 out = grouped_agg(proj, gkeys, spec,
                                   num_buckets=self.num_buckets,
                                   combine=decomposable or None

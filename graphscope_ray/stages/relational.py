@@ -320,8 +320,13 @@ def cogroup_join(
 
     ``how="left"`` keeps unmatched left rows with nulls on the right
     payload (GIE's OPTIONAL-expand / Cypher OPTIONAL MATCH contract);
-    unmatched integer payload columns come back as pandas nullable
-    Int64 so values above 2^53 never round through float64."""
+    integer payload columns are cast to pandas nullable Int64 BEFORE
+    the merge so matched values above 2^53 never round through
+    float64. Caveat: a DOWNSTREAM stage that re-reads the resulting
+    null-carrying int64 Arrow column with ``batch_format="pandas"``
+    gets float64 again (Arrow's default null-int conversion) — keep
+    |id| < 2^53 or filter the nulls out before further joins on such
+    columns."""
     if how not in ("inner", "left"):
         raise ValueError(f"cogroup_join: unsupported how={how!r}")
     right_on = right_on or on
@@ -363,6 +368,15 @@ def cogroup_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][["_k"] + lpay]
         r = g[g["_side"] == 1][["_k"] + rpay]
+        if how == "left":
+            # cast the RIGHT side's integer payload to nullable Int64
+            # BEFORE the merge: merge's own NaN-padding would promote
+            # the column to float64 first, rounding matched values
+            # above 2^53 (hashed string-oid vids)
+            r = r.copy()
+            for c in rpay:
+                if pa.types.is_integer(payload[c]):
+                    r[c] = r[c].astype("Int64")
         m = l.merge(r, on="_k", how=how)
         # the union frame null-pads each side's payload, which promotes
         # integer columns to float64 — cast back to the declared Arrow
@@ -370,8 +384,6 @@ def cogroup_join(
         for c, typ in payload.items():
             if pa.types.is_integer(typ) and c in m.columns:
                 col = m[c]
-                # left-outer: unmatched right payload is genuinely null
-                # — nullable Int64 keeps the matched values bit-exact
                 if col.isna().any():
                     m[c] = col.astype("Int64")
                 else:

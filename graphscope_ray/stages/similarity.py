@@ -505,6 +505,9 @@ def pq_train(
     cluster). Returns ``(m, 2^nbits, d/m)`` float64 codebooks —
     ``m·2^nbits·(d/m) = 2^nbits·d`` floats, a broadcast-sized object
     at any corpus size."""
+    if not 1 <= nbits <= 8:
+        raise ValueError("pq_train: nbits must be in [1, 8] — codes "
+                         "are uint8")
     K = 1 << nbits
     n = ds.count()
     rate = max(1, n // max(1, sample_size))

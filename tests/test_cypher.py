@@ -262,6 +262,65 @@ def test_unwind_standalone_and_joined(g):
     assert out3.to_pandas()["n"].tolist() == ["ann", "eve"]
 
 
+def test_ternary_null_semantics(g):
+    # KNOWS restricted so persons 1,3,4,5 have no outgoing edge
+    cg = (CypherGraph()
+          .add_vertices("Person", ray.data.from_pandas(PERSONS))
+          .add_edges("KNOWS", ray.data.from_pandas(
+              KNOWS[KNOWS["src"] == 2])))
+    # null <> x is null → filtered (not kept)
+    out = cg.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+        "WHERE b.age <> 5 RETURN a AS a, b AS b")
+    assert sorted(r[0] for r in _rows(out)) == [2, 2]
+    # NOT (null > 100) is null → filtered
+    out2 = cg.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+        "WHERE NOT b.age > 100 RETURN a AS a, b AS b")
+    assert sorted(r[0] for r in _rows(out2)) == [2, 2]
+    # IS NULL still selects exactly the misses
+    out3 = cg.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+        "WHERE b IS NULL RETURN a AS a")
+    assert sorted(r[0] for r in _rows(out3)) == [1, 3, 4, 5]
+    # avg/collect skip nulls (Cypher aggregate contract)
+    df = cg.query(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN avg(b.age) AS m, collect(b.name) AS ns").to_pandas()
+    # matches: 2->3 (35), 2->5 (40)
+    assert abs(df["m"].iloc[0] - 37.5) < 1e-12
+    assert sorted(df["ns"].iloc[0]) == ["cal", "eve"]
+
+
+def test_optional_start_node_inline_props(g):
+    # inline map on the BOUND start node filters the sub-pattern
+    # locally: non-matching anchors keep their row with b null
+    out = g.query(
+        "MATCH (a:Person) OPTIONAL MATCH "
+        "(a {name: 'ann'})-[:KNOWS]->(b:Person) "
+        "RETURN a AS a, b AS b")
+    rows = [(a, None if pd.isna(b) else int(b)) for a, b in _rows(out)]
+    want = sorted([(1, 2), (1, 3)]
+                  + [(v, None) for v in PERSONS["vid"] if v != 1])
+    assert sorted(rows) == want
+
+
+def test_named_plain_path_rejected(g):
+    with pytest.raises(ValueError, match="named paths"):
+        g.query("MATCH p = (a)-[:KNOWS]->(b) RETURN length(p) AS n")
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        g.query("MATCH (a:Person) OPTIONAL MATCH "
+                "p = shortestPath((a)-[:KNOWS*1..2]->(b)) "
+                "RETURN a AS a")
+
+
+def test_constant_false_filter_on_shortest_first(g):
+    out = g.query(
+        "MATCH p = shortestPath((a:Person)-[:KNOWS*1..2]->(b)) "
+        "WHERE 1 = 0 RETURN a AS a")
+    assert len(out.to_pandas()) == 0
+
+
 def test_shortest_path_lengths(g):
     import networkx as nx
 

@@ -44,6 +44,29 @@ def test_cogroup_join_tiny_left(ggraph):
     assert (out["tagv"] == "x").all()
 
 
+def test_cogroup_join_left_outer_preserves_big_ints():
+    # left-outer: unmatched left rows survive with nulls; matched
+    # int64 payloads above 2^53 must stay bit-exact (no float64 hop)
+    big = (1 << 60) + 12345
+    left = _arrow(pd.DataFrame({"k": np.array([1, 2, 3], np.int64),
+                                "lv": np.array([10, 20, 30], np.int64)}))
+    right = _arrow(pd.DataFrame({"k": np.array([1, 3], np.int64),
+                                 "rv": np.array([big, big + 7],
+                                                np.int64)}))
+    ds = cogroup_join(left, right, on="k", how="left")
+    # read ARROW-side (the engine's native format): int64-with-nulls
+    # is exact there; a pandas read of a null-carrying int column is
+    # the documented float64 caveat
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    got = {}
+    for t in tables:
+        for k, rv, lv in zip(t.column("k").to_pylist(),
+                             t.column("rv").to_pylist(),
+                             t.column("lv").to_pylist()):
+            got[k] = (rv, lv)
+    assert got == {1: (big, 10), 2: (None, 20), 3: (big + 7, 30)}
+
+
 def test_intersect_lists():
     ds = _arrow(pd.DataFrame({
         "id": [1, 2],
