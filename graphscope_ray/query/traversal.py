@@ -217,9 +217,18 @@ class Traversal:
         return self._optional_hop(rtype, "both")
 
     # ---- terminal projections
-    def values(self, prop: str) -> "Traversal":
+    def values(self, *props: str) -> "Traversal":
         t = self._clone()
-        t._tail["items"] = [RetItem(Prop(t._cur, prop), prop)]
+        t._tail["items"] = [RetItem(Prop(t._cur, p), p) for p in props]
+        return t
+
+    def valueMap(self, *props: str) -> "Traversal":
+        """Gremlin valueMap: the element id plus the named properties
+        (columns, not a nested dict — the tabular GIE sink shape)."""
+        t = self._clone()
+        t._tail["items"] = ([RetItem(Var(t._cur), "id")]
+                            + [RetItem(Prop(t._cur, p), p)
+                               for p in props])
         return t
 
     def id_(self) -> "Traversal":

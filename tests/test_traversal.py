@@ -105,6 +105,15 @@ def test_optional_hop(g):
         g.V("Person").optionalOut("KNOWS").out("KNOWS")
 
 
+def test_values_multi_and_value_map(g):
+    rows = g.V("Person").has("age", P.lt(30)).values(
+        "name", "age").toList()
+    w = PERSONS[PERSONS["age"] < 30]
+    assert sorted(rows) == sorted(zip(w["name"], w["age"]))
+    vm = g.V("Person").hasId(2).valueMap("name", "age").toList()
+    assert vm == [(2, "bob", 25)]
+
+
 def test_aggregates_and_groupcount(g):
     assert g.V("Person").sum_("age").toList() == [PERSONS["age"].sum()]
     assert g.V("Person").max_("age").toList() == [40]
