@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_orders": tpch.q_dedup_orders,
         "events_window": tpch.q_events_window,
         "events_sessions": tpch.q_events_sessions,
+        "events_funnel": tpch.q_events_funnel,
         # text / dedup / similarity / multimodal
         "doc_dedup": textproc.q_doc_dedup,
         "doc_stats": textproc.q_doc_stats,
@@ -1058,6 +1059,25 @@ WITH x AS (
         FROM events))
 SELECT user_id, CAST(sum(new) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM x GROUP BY user_id""",
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+c3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN c2 ON c2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c2.t2 GROUP BY e.user_id)
+SELECT s1.user_id, s1.t1, c2.t2, c3.t3,
+       CAST(1 + (CASE WHEN c2.t2 IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN c3.t3 IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS steps_completed,
+       coalesce(c3.t3 - s1.t1 <= INTERVAL 86400 SECOND, false)
+         AS completed
+FROM s1 LEFT JOIN c2 USING (user_id) LEFT JOIN c3 USING (user_id)""",
         "doc_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_stats": rf"""
 SELECT doc_id,

@@ -202,6 +202,20 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
     return _fixed_cols(out, {"sum_value": 4})
 
 
+def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
+    """First-touch view→click→purchase funnel per user within 24 h
+    (stages/relational.event_funnel): (user_id, t1, t2, t3,
+    steps_completed, completed). Exact chained-min-subquery DuckDB
+    twin."""
+    from graphscope_ray.stages.relational import event_funnel
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return event_funnel(ev, ["view", "click", "purchase"],
+                        within_seconds=86400)
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session counts per user (new session when the gap to the previous
     event exceeds ``gap_minutes``) — ordered-log windowing inside

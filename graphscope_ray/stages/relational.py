@@ -927,3 +927,58 @@ def global_ntile(
 
     out = [_assign.remote(t, int(offsets[i])) for i, t in enumerate(refs)]
     return ray.data.from_arrow_refs(out)
+
+
+def event_funnel(
+    events: ray.data.Dataset,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """First-touch funnel over an event log (the CEP / product-funnel
+    sequenced-pattern op; GIE expresses it as a chained PathExpand
+    over the temporal order): per user, the GREEDY-EARLIEST chain
+    ``t1 < t2 < … < tk`` where ``t1`` is the user's first
+    ``steps[0]`` event and each ``t_i`` is the first ``steps[i-1]``
+    event strictly after ``t_{i-1}``. One row per user that reached
+    step 1: ``(user_col, t1..tk, steps_completed, completed)`` —
+    ``completed`` iff every step matched and ``tk − t1 ≤
+    within_seconds``. Deterministic (min timestamps; strictly-greater
+    chaining means equal-timestamp events never chain).
+
+    One bucketed co-group on the user key; inside a bucket each step
+    is a vectorized filter + merge + groupby-min (k tiny passes, no
+    per-user loop). First-touch greedy is the product-analytics
+    convention — it can miss a later chain that would fit the window
+    when the first one does not."""
+    if len(steps) < 2:
+        raise ValueError("event_funnel: need at least 2 steps")
+    within = np.timedelta64(int(within_seconds), "s")
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        res = (g[g[type_col] == steps[0]]
+               .groupby(user_col, sort=False)[ts_col].min()
+               .rename("t1").reset_index())
+        prev = "t1"
+        for i, st in enumerate(steps[1:], start=2):
+            cand = g.loc[g[type_col] == st, [user_col, ts_col]].merge(
+                res[[user_col, prev]], on=user_col)
+            cand = cand[cand[ts_col] > cand[prev]]
+            ti = (cand.groupby(user_col, sort=False)[ts_col].min()
+                  .rename(f"t{i}").reset_index())
+            res = res.merge(ti, on=user_col, how="left")
+            prev = f"t{i}"
+        tcols = [f"t{i}" for i in range(1, len(steps) + 1)]
+        res["steps_completed"] = res[tcols].notna().sum(axis=1).astype(
+            np.int64)
+        last = res[tcols[-1]]
+        res["completed"] = ((last - res["t1"]) <= within).fillna(
+            False).astype(bool)
+        return res.sort_values(user_col, kind="mergesort")
+
+    return bucketed_group_apply(
+        events.select_columns([user_col, ts_col, type_col]),
+        [user_col], funnel, num_buckets)

@@ -242,3 +242,50 @@ def test_get_v_attaches_props_and_semijoins():
     got = sorted(zip(out["end"], out["end_name"], out["end_age"], out["k"]))
     # vid 99 has no vertex row -> dropped (label-filter semantics)
     assert got == [(2, "b", 20, 7), (3, "c", 30, 8)]
+
+
+def test_event_funnel_edge_cases():
+    from graphscope_ray.stages.relational import event_funnel
+
+    T = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: full funnel inside the window
+        (1, T + 0 * h, "view"), (1, T + 1 * h, "click"),
+        (1, T + 2 * h, "purchase"),
+        # user 2: completes but outside the 24h window (first-touch)
+        (2, T + 0 * h, "view"), (2, T + 1 * h, "click"),
+        (2, T + 30 * h, "purchase"),
+        # user 3: steps out of order — purchase BEFORE click never chains
+        (3, T + 0 * h, "view"), (3, T + 1 * h, "purchase"),
+        (3, T + 2 * h, "click"),
+        # user 4: reaches step 2 only
+        (4, T + 0 * h, "view"), (4, T + 1 * h, "click"),
+        # user 5: never starts (no view)
+        (5, T + 0 * h, "click"), (5, T + 1 * h, "purchase"),
+        # user 6: equal timestamps never chain (strict >)
+        (6, T, "view"), (6, T, "click"),
+        # user 7: first-touch greedy — earliest view is used even though
+        # a later view would complete inside the window
+        (7, T + 0 * h, "view"), (7, T + 40 * h, "view"),
+        (7, T + 41 * h, "click"), (7, T + 42 * h, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    for P in (1, 3):
+        out = (event_funnel(ray.data.from_pandas(df).repartition(P),
+                            ["view", "click", "purchase"],
+                            within_seconds=86400)
+               .to_pandas().set_index("user_id").sort_index())
+        assert set(out.index) == {1, 2, 3, 4, 6, 7}
+        assert out.loc[1, "steps_completed"] == 3 and out.loc[1, "completed"]
+        # user 2 completes the chain but outside the window
+        assert out.loc[2, "steps_completed"] == 3
+        assert not out.loc[2, "completed"]
+        assert out.loc[3, "steps_completed"] == 2   # view -> click only
+        assert pd.isna(out.loc[3, "t3"])
+        assert out.loc[4, "steps_completed"] == 2
+        assert out.loc[6, "steps_completed"] == 1   # ties never chain
+        # first-touch: t1 pins to the earliest view; chain completes via
+        # the later click/purchase but exceeds the 24h window from t1
+        assert out.loc[7, "steps_completed"] == 3
+        assert not out.loc[7, "completed"]
