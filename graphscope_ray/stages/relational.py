@@ -318,16 +318,19 @@ def cogroup_join(
     must be disjoint apart from the keys; the right key column is
     dropped from the output.
 
-    ``how="left"`` keeps unmatched left rows with nulls on the right
-    payload (GIE's OPTIONAL-expand / Cypher OPTIONAL MATCH contract);
-    integer payload columns are cast to pandas nullable Int64 BEFORE
-    the merge so matched values above 2^53 never round through
-    float64. Caveat: a DOWNSTREAM stage that re-reads the resulting
-    null-carrying int64 Arrow column with ``batch_format="pandas"``
-    gets float64 again (Arrow's default null-int conversion) — keep
-    |id| < 2^53 or filter the nulls out before further joins on such
-    columns."""
-    if how not in ("inner", "left"):
+    ``how`` covers the GIE join-kind vocabulary (algebra.proto Join
+    kinds): ``"inner"``, ``"left"``, ``"right"``, ``"outer"`` (full) —
+    SEMI/ANTI live in :func:`broadcast_semi_join`. Outer variants keep
+    unmatched rows with nulls on the other side's payload (GIE's
+    OPTIONAL-expand / Cypher OPTIONAL MATCH contract); the side that
+    can be null-padded has its integer payload cast to pandas nullable
+    Int64 BEFORE the merge so matched values above 2^53 never round
+    through float64. Caveat: a DOWNSTREAM stage that re-reads the
+    resulting null-carrying int64 Arrow column with
+    ``batch_format="pandas"`` gets float64 again (Arrow's default
+    null-int conversion) — keep |id| < 2^53 or filter the nulls out
+    before further joins on such columns."""
+    if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"cogroup_join: unsupported how={how!r}")
     right_on = right_on or on
     ltypes = _arrow_fields(left)
@@ -368,15 +371,20 @@ def cogroup_join(
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0][["_k"] + lpay]
         r = g[g["_side"] == 1][["_k"] + rpay]
-        if how == "left":
-            # cast the RIGHT side's integer payload to nullable Int64
-            # BEFORE the merge: merge's own NaN-padding would promote
-            # the column to float64 first, rounding matched values
-            # above 2^53 (hashed string-oid vids)
+        # cast the null-paddable side's integer payload to nullable
+        # Int64 BEFORE the merge: merge's own NaN-padding would promote
+        # the column to float64 first, rounding matched values above
+        # 2^53 (hashed string-oid vids)
+        if how in ("left", "outer"):
             r = r.copy()
             for c in rpay:
                 if pa.types.is_integer(payload[c]):
                     r[c] = r[c].astype("Int64")
+        if how in ("right", "outer"):
+            l = l.copy()
+            for c in lpay:
+                if pa.types.is_integer(payload[c]):
+                    l[c] = l[c].astype("Int64")
         m = l.merge(r, on="_k", how=how)
         # the union frame null-pads each side's payload, which promotes
         # integer columns to float64 — cast back to the declared Arrow

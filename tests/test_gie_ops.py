@@ -67,6 +67,31 @@ def test_cogroup_join_left_outer_preserves_big_ints():
     assert got == {1: (big, 10), 2: (None, 20), 3: (big + 7, 30)}
 
 
+def test_cogroup_join_right_and_full_outer():
+    big = (1 << 59) + 99
+    left = _arrow(pd.DataFrame({"k": np.array([1, 2], np.int64),
+                                "lv": np.array([big, big + 1],
+                                               np.int64)}))
+    right = _arrow(pd.DataFrame({"k": np.array([2, 3], np.int64),
+                                 "rv": np.array([7, 8], np.int64)}))
+
+    def rows(ds):
+        got = {}
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            for k, lv, rv in zip(t.column("k").to_pylist(),
+                                 t.column("lv").to_pylist(),
+                                 t.column("rv").to_pylist()):
+                got[k] = (lv, rv)
+        return got
+
+    r = rows(cogroup_join(left, right, on="k", how="right"))
+    assert r == {2: (big + 1, 7), 3: (None, 8)}
+    o = rows(cogroup_join(left, right, on="k", how="outer"))
+    assert o == {1: (big, None), 2: (big + 1, 7), 3: (None, 8)}
+    with pytest.raises(ValueError, match="unsupported how"):
+        cogroup_join(left, right, on="k", how="cross")
+
+
 def test_intersect_lists():
     ds = _arrow(pd.DataFrame({
         "id": [1, 2],
