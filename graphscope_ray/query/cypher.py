@@ -178,9 +178,10 @@ class StrPred:
 
 @dataclass
 class Agg:
-    fn: str                 # count/sum/min/max/avg
+    fn: str                 # count/sum/min/max/avg/collect/percentile…
     arg: object             # expr or None for count(*)
     distinct: bool = False
+    param: object = None    # percentile fraction for percentileCont/Disc
 
 
 @dataclass
@@ -208,7 +209,8 @@ class Query:
     unwinds: list = field(default_factory=list)
 
 
-_AGG_FNS = {"count", "sum", "min", "max", "avg", "collect"}
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "collect",
+            "percentilecont", "percentiledisc", "stdev", "stdevp"}
 
 
 class _Parser:
@@ -508,8 +510,17 @@ class _Parser:
                     arg = None
                 else:
                     arg = self.expr()
+                param = None
+                if self.accept("punct", ","):
+                    param = self.literal()
                 self.expect("punct", ")")
-                return Agg(name.lower(), arg, distinct)
+                fn = name.lower()
+                if fn in ("percentilecont", "percentiledisc"):
+                    if not isinstance(param, (int, float)) \
+                            or not 0 <= param <= 1:
+                        raise ValueError(f"cypher: {name} needs a "
+                                         "percentile in [0, 1]")
+                return Agg(fn, arg, distinct, param)
             if self.accept("punct", "."):
                 prop = self.expect("name")[1]
                 return Prop(name, prop)
@@ -1220,6 +1231,27 @@ class CypherGraph:
                         # misses)
                         spec[it.alias] = (
                             col, lambda s: s.dropna().tolist())
+                    elif a.fn == "percentilecont":
+                        spec[it.alias] = (
+                            col, lambda s, p=a.param:
+                            s.dropna().quantile(p))
+                    elif a.fn == "percentiledisc":
+                        def pdisc(s, p=a.param):
+                            import math
+                            s = (s.dropna().sort_values()
+                                 .reset_index(drop=True))
+                            if not len(s):
+                                return None
+                            # nearest-rank: the ceil(p·n)-th smallest
+                            return s.iloc[max(0,
+                                              math.ceil(p * len(s)) - 1)]
+                        spec[it.alias] = (col, pdisc)
+                    elif a.fn == "stdev":
+                        spec[it.alias] = (
+                            col, lambda s: s.dropna().std(ddof=1))
+                    elif a.fn == "stdevp":
+                        spec[it.alias] = (
+                            col, lambda s: s.dropna().std(ddof=0))
                     elif a.fn == "avg":
                         # Cypher avg() skips nulls: sum / non-null
                         # count, not / row count

@@ -321,6 +321,30 @@ def test_constant_false_filter_on_shortest_first(g):
     assert len(out.to_pandas()) == 0
 
 
+def test_statistical_aggregates(g):
+    df = g.query(
+        "MATCH (a:Person) RETURN percentileCont(a.age, 0.5) AS med, "
+        "percentileDisc(a.age, 0.5) AS medd, stDev(a.age) AS sd, "
+        "stDevP(a.age) AS sdp").to_pandas()
+    ages = PERSONS["age"]
+    assert abs(df["med"].iloc[0] - ages.quantile(0.5)) < 1e-12
+    # nearest-rank at p=0.5 over 5 sorted values -> the 3rd smallest
+    assert df["medd"].iloc[0] == sorted(ages)[2]
+    assert abs(df["sd"].iloc[0] - ages.std(ddof=1)) < 1e-12
+    assert abs(df["sdp"].iloc[0] - ages.std(ddof=0)) < 1e-12
+    # grouped percentile over hop targets
+    out = g.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "RETURN a AS a, percentileCont(b.age, 1.0) AS mx")
+    m = KNOWS.merge(PERSONS, left_on="dst", right_on="vid")
+    want = m.groupby("src")["age"].max()
+    got = out.to_pandas().set_index("a")["mx"]
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+    with pytest.raises(ValueError, match="percentile"):
+        g.query("MATCH (a:Person) RETURN percentileCont(a.age, 2) AS x")
+
+
 def test_shortest_path_lengths(g):
     import networkx as nx
 
