@@ -76,7 +76,8 @@ _TOKEN_RE = re.compile(r"""
 _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
              "LIMIT", "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT",
              "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL",
-             "OPTIONAL", "UNWIND", "STARTS", "ENDS", "CONTAINS", "IS"}
+             "OPTIONAL", "UNWIND", "STARTS", "ENDS", "CONTAINS", "IS",
+             "CASE", "WHEN", "THEN", "ELSE", "END"}
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -182,6 +183,12 @@ class Agg:
     arg: object             # expr or None for count(*)
     distinct: bool = False
     param: object = None    # percentile fraction for percentileCont/Disc
+
+
+@dataclass
+class CaseExpr:
+    whens: list             # [(cond_expr, value_expr)]
+    default: object         # ELSE expr (Lit(None) when omitted)
 
 
 @dataclass
@@ -484,6 +491,20 @@ class _Parser:
 
     def atom(self):
         t = self.peek()
+        if t == ("kw", "CASE"):
+            self.next()
+            whens = []
+            while self.accept("kw", "WHEN"):
+                cond = self.expr()
+                self.expect("kw", "THEN")
+                whens.append((cond, self.expr()))
+            if not whens:
+                raise ValueError("cypher: CASE needs at least one WHEN")
+            default = Lit(None)
+            if self.accept("kw", "ELSE"):
+                default = self.expr()
+            self.expect("kw", "END")
+            return CaseExpr(whens, default)
         if t == ("punct", "-"):
             self.next()
             return BinOp("-", Lit(0), self.atom())
@@ -575,6 +596,11 @@ def _expr_vars(e, out: set, props: list):
     elif isinstance(e, StrPred):
         _expr_vars(e.item, out, props)
         _expr_vars(e.arg, out, props)
+    elif isinstance(e, CaseExpr):
+        for c, v in e.whens:
+            _expr_vars(c, out, props)
+            _expr_vars(v, out, props)
+        _expr_vars(e.default, out, props)
     elif isinstance(e, Agg) and e.arg is not None:
         _expr_vars(e.arg, out, props)
 
@@ -595,6 +621,11 @@ def _expr_props(e, out: set):
     elif isinstance(e, StrPred):
         _expr_props(e.item, out)
         _expr_props(e.arg, out)
+    elif isinstance(e, CaseExpr):
+        for c, v in e.whens:
+            _expr_props(c, out)
+            _expr_props(v, out)
+        _expr_props(e.default, out)
     elif isinstance(e, Agg) and e.arg is not None:
         _expr_props(e.arg, out)
 
@@ -668,6 +699,20 @@ def _eval(e, df: pd.DataFrame):
             r = getattr(v.str, e.op)(arg)
         # .str methods yield NaN on nulls already — normalize to NA
         return pd.Series(r, index=df.index).astype("boolean")
+    if isinstance(e, CaseExpr):
+        dv = _eval(e.default, df)
+        if not isinstance(dv, pd.Series):
+            dv = pd.Series([dv] * len(df), index=df.index)
+        res = dv.copy()
+        # apply WHENs in reverse so the FIRST matching branch wins
+        for cond, val in reversed(e.whens):
+            m = _eval(cond, df)
+            if not hasattr(m, "fillna"):
+                m = pd.Series(m, index=df.index)
+            m = np.asarray(m.fillna(False), bool)
+            v = _eval(val, df)
+            res = res.mask(m, v)
+        return res
     if isinstance(e, BinOp):
         a, b = _eval(e.left, df), _eval(e.right, df)
         if e.op in ("=", "<>", "<", "<=", ">", ">="):

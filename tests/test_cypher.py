@@ -321,6 +321,24 @@ def test_constant_false_filter_on_shortest_first(g):
     assert len(out.to_pandas()) == 0
 
 
+def test_case_when(g):
+    out = g.query(
+        "MATCH (a:Person) RETURN a.name AS n, "
+        "CASE WHEN a.age < 28 THEN 'young' WHEN a.age < 36 THEN 'mid' "
+        "ELSE 'senior' END AS band ORDER BY n ASC")
+    got = dict(zip(out.to_pandas()["n"], out.to_pandas()["band"]))
+    want = {n: ("young" if a < 28 else "mid" if a < 36 else "senior")
+            for n, a in zip(PERSONS["name"], PERSONS["age"])}
+    assert got == want
+    # CASE without ELSE yields null; aggregable; first-match wins
+    df = g.query(
+        "MATCH (a:Person) RETURN "
+        "sum(CASE WHEN a.age >= 30 THEN 1 ELSE 0 END) AS older, "
+        "count(CASE WHEN a.age < 30 THEN a END) AS younger").to_pandas()
+    assert df["older"].iloc[0] == (PERSONS["age"] >= 30).sum()
+    assert df["younger"].iloc[0] == (PERSONS["age"] < 30).sum()
+
+
 def test_statistical_aggregates(g):
     df = g.query(
         "MATCH (a:Person) RETURN percentileCont(a.age, 0.5) AS med, "
