@@ -38,10 +38,12 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   ``x.p STARTS WITH / ENDS WITH / CONTAINS 'lit'``, and
   ``x IS [NOT] NULL`` (null comparisons filter, as in Cypher).
 - ``RETURN [DISTINCT]`` of ``var`` (the vertex id), ``var.prop``,
-  arithmetic expressions, and aggregates ``count(*) / count(x) /
-  count(DISTINCT x) / sum / min / max / avg / collect`` with ``AS``
-  aliases; ``count(x)``/``count(DISTINCT x)`` skip nulls (Cypher
-  semantics), ``count(*)`` does not; non-aggregate items become the
+  arithmetic expressions (+ - * / %), ``CASE WHEN … THEN … [ELSE …]
+  END`` (first-match; omitted ELSE is null), and aggregates
+  ``count(*) / count(x) / count(DISTINCT x) / sum / min / max / avg /
+  collect / percentileCont(x, p) / percentileDisc(x, p) / stDev /
+  stDevP`` with ``AS`` aliases; every aggregate but ``count(*)``
+  skips nulls (Cypher semantics); non-aggregate items become the
   grouping keys (grouping by a nullable optional variable is
   unsupported — filter ``IS NOT NULL`` first).
 - ``WITH [DISTINCT] … [WHERE …]`` chains (projection/aggregation
