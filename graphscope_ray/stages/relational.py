@@ -105,8 +105,12 @@ def coalesce_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     of ~1k-row blocks, making that overhead 10× the useful work on
     sub-100k-row inputs. One zero-copy identity pass with
     ``batch_size=COALESCE_ROWS`` fixes it; map outputs re-bundle to the
-    target block size, so full-scale blocks pass through unfragmented."""
-    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+    target block size, so full-scale blocks pass through unfragmented.
+    The pandas metadata blob parquet scans attach is stripped
+    (metadata-only op): it defeats Ray's schema-dedup hash ("Failed to
+    hash the schemas" log spam) and bloats every shuffle message."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=COALESCE_ROWS)
 
 
