@@ -224,6 +224,9 @@ def run_queries() -> dict:
         "doc_repetition": textproc.q_doc_repetition,
         "ann_topk": textproc.q_ann_topk,
         "doc_span_dedup": _q_span_dedup,
+        "doc_substr_dedup": textproc.q_doc_substr_dedup,
+        "doc_packed": textproc.q_doc_packed,
+        "events_funnel": tpch.q_events_funnel,
         "doc_decontam": _q_decontam,
         "emb_kmeans": _q_kmeans,
         "node2vec": _q_node2vec,
