@@ -278,6 +278,19 @@ class Traversal:
     def mean(self, prop: str) -> "Traversal":
         return self._agg("avg", prop)
 
+    def std(self, prop: str) -> "Traversal":
+        """Sample standard deviation (Cypher stDev)."""
+        return self._agg("stdev", prop)
+
+    def percentile(self, prop: str, p: float) -> "Traversal":
+        """Interpolated percentile of the current element's property
+        (Cypher percentileCont)."""
+        t = self._clone()
+        t._tail["items"] = [RetItem(
+            Agg("percentilecont", Prop(t._cur, prop), param=p),
+            "percentile")]
+        return t
+
     def group(self, key_prop: str, fn: str,
               prop: str | None = None) -> "Traversal":
         """``group().by(key).by(agg)`` flattened: aggregate ``fn``

@@ -127,3 +127,10 @@ def test_aggregates_and_groupcount(g):
     gc2 = dict(g.V("Person").out("KNOWS").groupCount("name").toList())
     m = KNOWS.merge(PERSONS, left_on="dst", right_on="vid")
     assert gc2 == m.groupby("name").size().to_dict()
+
+
+def test_std_and_percentile(g):
+    [sd] = g.V("Person").std("age").toList()
+    assert abs(sd - PERSONS["age"].std(ddof=1)) < 1e-12
+    [p50] = g.V("Person").percentile("age", 0.5).toList()
+    assert abs(p50 - PERSONS["age"].quantile(0.5)) < 1e-12
