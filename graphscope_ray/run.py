@@ -32,7 +32,8 @@ import time
 
 
 ALGOS = ("pagerank", "wcc", "cdlp", "bfs", "sssp", "triangles",
-         "degree_centrality", "node2vec_walks")
+         "degree_centrality", "node2vec_walks", "louvain", "kcore",
+         "ppr", "scc", "hits")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -62,7 +63,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--max-iter", type=int, default=100)
     p.add_argument("--tol", type=float, default=1e-6)
-    p.add_argument("--source", type=int, default=0, help="bfs/sssp root")
+    p.add_argument("--source", type=int, default=0,
+                   help="bfs/sssp root; ppr seed")
+    p.add_argument("--k", type=int, default=3, help="kcore k")
     # node2vec_walks knobs
     p.add_argument("--walk-length", type=int, default=10)
     p.add_argument("--num-walks", type=int, default=4)
@@ -121,6 +124,18 @@ def main(argv=None) -> dict:
     if args.algo == "triangles":
         from graphscope_ray.pipelines.triangles import triangle_counts
         result = triangle_counts(edges)
+    elif args.algo == "louvain":
+        from graphscope_ray.pipelines.louvain import louvain_pool
+        result = louvain_pool(edges, num_partitions=args.partitions,
+                              vertices=verts)
+    elif args.algo == "scc":
+        # SCC is inherently directed and needs both arc directions
+        # resident (forward color sweep + backward confirm)
+        g = build_graph(edges, num_partitions=args.partitions,
+                        directed=True, with_reverse=True,
+                        extra_vertices=verts)
+        metrics.update(vertices=g.n_vertices, arcs=g.n_edges)
+        result = algorithms.scc(g)
     elif args.algo == "degree_centrality":
         from graphscope_ray.pipelines.degree import degree_centrality
         g = build_graph(edges, num_partitions=args.partitions,
@@ -156,6 +171,27 @@ def main(argv=None) -> dict:
             result, _ = algorithms.bfs(g, source=args.source)
         elif args.algo == "sssp":
             result, _ = algorithms.sssp(g, source=args.source)
+        elif args.algo == "kcore":
+            result = algorithms.kcore_pool(g, k=args.k)
+        elif args.algo == "ppr":
+            result, _ = algorithms.personalized_pagerank(
+                g, [args.source], alpha=args.alpha,
+                max_iter=args.max_iter, tol=args.tol)
+        elif args.algo == "hits":
+            if args.directed:
+                import pyarrow as pa
+                grev = build_graph(
+                    edges.map_batches(
+                        lambda t: pa.table({"src": t.column("dst"),
+                                            "dst": t.column("src")}),
+                        batch_format="pyarrow"),
+                    num_partitions=args.partitions, directed=True,
+                    extra_vertices=verts)
+            else:
+                grev = g        # undirected: A == Aᵀ, one pool serves
+            result, _, _ = algorithms.hits(g, grev,
+                                           max_iter=args.max_iter,
+                                           tol=args.tol)
         elif args.algo == "node2vec_walks":
             from graphscope_ray.pipelines.walks import random_walks_pool
             result = random_walks_pool(

@@ -1243,21 +1243,24 @@ class GraphShard:
             dst, val = _concat_msgs(inbox, (np.int64, np.int64))
             self._frontier = np.zeros(self.n_local, dtype=bool)
             if len(dst):
-                u, m = _group_reduce(dst, val, np.maximum)
-                pos = np.searchsorted(self.local, u)
+                pos = np.searchsorted(self.local, dst)
+                # a receiver joins iff ANY received color equals its own
+                # — messages must stay RAW: a per-destination combine
+                # (e.g. max) would swallow the matching color whenever
+                # a root of a LARGER color also reaches the vertex in
+                # the same wave (roots of every surviving color sweep
+                # simultaneously)
                 ok = ((self._scc[pos] < 0) & (~self._inscc[pos])
-                      & (self._color[pos] == m))
-                pos = pos[ok]
+                      & (self._color[pos] == val))
+                pos = np.unique(pos[ok])
                 self._inscc[pos] = True
                 self._frontier[pos] = True
-                changed = int(ok.sum())
+                changed = int(len(pos))
         mask = self._frontier[self.e_src_pos]
         if self.e_dir is not None:
             mask = mask & (self.e_dir == 1)
-        # send my color along REVERSE arcs; a receiver joins iff its
-        # color matches (max-combine is safe: acceptance needs equality)
-        msgs = self._emit_per_part(mask, self._color[self.e_src_pos],
-                                   np.maximum)
+        # send my color along REVERSE arcs, uncombined
+        msgs = self._emit_per_part_raw(mask, self._color[self.e_src_pos])
         return self._msgs_tuple(msgs) + (changed,)
 
     def scc_commit(self) -> int:

@@ -181,6 +181,37 @@ def test_scc_vs_networkx(P):
     assert gm == want
 
 
+@pytest.mark.parametrize("P", [1, 3])
+def test_scc_simultaneous_color_collision(P):
+    """Regression: the micro-graph topology where the cycle
+    {0..4}'s root (color 4) and a LARGER color root (10) both reach
+    vertex 3 in the same backward wave. A per-destination max-combine
+    of the sweep messages swallows the matching color and the whole
+    cycle degrades to singletons — messages must stay raw and the
+    receiver must match ANY incoming color."""
+    src = [0, 1, 0, 2, 1, 3, 4, 5, 5, 6, 5, 5, 8, 4, 3, 7]
+    dst = [1, 2, 2, 3, 3, 4, 0, 6, 7, 7, 8, 9, 9, 5, 10, 10]
+    G = nx.DiGraph(list(zip(src, dst)))
+    ds = ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    sg = build_graph(ds, num_partitions=P, directed=True,
+                     with_reverse=True)
+    got = algorithms.scc(sg).to_pandas()
+    want = {v: max(c) for c in nx.strongly_connected_components(G)
+            for v in c}
+    assert dict(zip(got["vid"], got["scc"])) == want
+    # nested cycles sharing a vertex, plus a chain of 2-cycles
+    src2 = [0, 1, 2, 1, 3, 4, 5, 6, 5, 7]
+    dst2 = [1, 2, 0, 3, 1, 5, 4, 5, 6, 4]
+    G2 = nx.DiGraph(list(zip(src2, dst2)))
+    ds2 = ray.data.from_pandas(pd.DataFrame({"src": src2, "dst": dst2}))
+    sg2 = build_graph(ds2, num_partitions=P, directed=True,
+                      with_reverse=True)
+    got2 = algorithms.scc(sg2).to_pandas()
+    want2 = {v: max(c) for c in nx.strongly_connected_components(G2)
+             for v in c}
+    assert dict(zip(got2["vid"], got2["scc"])) == want2
+
+
 @pytest.mark.parametrize("P,directed", [(1, False), (3, False), (3, True)])
 def test_personalized_pagerank(wgraph, P, directed):
     g, ds, vds, verts = wgraph

@@ -86,3 +86,39 @@ def test_cli_node2vec_walks(tmp_path):
     want = reference_random_walks(pairs, 4, num_walks=2, p=0.5, q=2.0,
                                   seed=7, directed=False)
     assert got == want
+
+
+def test_run_louvain_scc_kcore_hits_ppr(tmp_path):
+    ein, vin, edges = _write_inputs(tmp_path)
+    # louvain matches the library surface exactly
+    out = str(tmp_path / "lv")
+    m = main(["--algo", "louvain", "--input", ein, "--vertices", vin,
+              "--output", out])
+    got = read_partitioned_parquet(out).to_pandas()
+    import ray.data
+
+    from graphscope_ray.pipelines.louvain import louvain_pool
+    want = louvain_pool(
+        ray.data.from_pandas(pd.DataFrame(edges)),
+        vertices=ray.data.from_pandas(
+            pd.DataFrame({"vid": list(MICRO_VERTICES)}))).to_pandas()
+    assert (dict(zip(got["vid"], got["community"]))
+            == dict(zip(want["vid"], want["community"])))
+    # scc on the directed micro graph vs networkx
+    out2 = str(tmp_path / "scc")
+    main(["--algo", "scc", "--input", ein, "--output", out2])
+    got2 = read_partitioned_parquet(out2).to_pandas()
+    import networkx as nx
+    G = nx.DiGraph(list(zip(edges["src"], edges["dst"])))
+    comp = {v: max(c) for c in nx.strongly_connected_components(G)
+            for v in c}
+    assert dict(zip(got2["vid"], got2["scc"])) == comp
+    # kcore / hits / ppr smoke: rows land, schema stable
+    for algo, extra in (("kcore", ["--k", "2"]),
+                        ("hits", []),
+                        ("ppr", ["--source",
+                                 str(int(edges["src"][0]))])):
+        o = str(tmp_path / algo)
+        mm = main(["--algo", algo, "--input", ein, "--output", o]
+                  + extra)
+        assert mm["rows_written"] >= 1, algo
