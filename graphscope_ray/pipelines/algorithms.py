@@ -1098,6 +1098,12 @@ def bridges(graph: ShardedGraph, max_iter: int = 10**6):
     """All bridge edges (FLASH apps/flash/connectivity/bridge.h:44-150
     semantics, scalable restatement): (u, v) Dataset, u < v.
 
+    Requires a SIMPLE graph (``build_graph(..., dedup_arcs=True)`` when
+    the input may repeat an edge or carry both orientations): a
+    parallel edge is never a bridge and breaks the BFS-forest tree /
+    non-tree classification. Same contract for
+    :func:`biconnected_components` and :func:`articulation_points`.
+
     The reference replicates O(V) parent/depth arrays on every worker
     and walks tree paths with random access; here: (1) hash-min WCC
     picks per-component min-vid roots, (2) a deterministic BFS forest
