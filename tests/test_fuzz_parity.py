@@ -126,3 +126,59 @@ def test_matching_mis_random(seed):
     for v in range(n):
         assert v in s or any((x == v and y in s) or (y == v and x in s)
                              for x, y in edges), (seed, v)  # maximal
+
+
+@pytest.mark.parametrize("seed", SEEDS[:3])
+def test_pagerank_core_clustering_random(seed):
+    n, m = 26, 50
+    edges = _rand_edges(seed, n, m)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    sg = build_graph(_ds(edges), num_partitions=2, directed=False,
+                     dedup_arcs=True, extra_vertices=_vds(n))
+    from tests.oracles import oracle_pagerank
+    pr = algorithms.pagerank(sg, tol=1e-12)[0].to_pandas()
+    want = oracle_pagerank(edges, range(n), directed=False, tol=1e-12)
+    gm = dict(zip(pr["vid"], pr["pagerank"]))
+    for v, w in want.items():
+        assert abs(gm[v] - w) < 1e-8, (seed, v)
+
+    cores = algorithms.core_decomposition(sg).to_pandas()
+    assert dict(zip(cores["vid"], cores["core"])) \
+        == nx.core_number(G), seed
+
+    from graphscope_ray.pipelines.structure import clustering_coefficient
+    # engine input: canonicalize both orientations to one edge
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    cds = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in canon], "dst": [b for _, b in canon]}))
+    cc = clustering_coefficient(cds).to_pandas()
+    want_cc = nx.clustering(G)
+    gm = {v: float(c) for v, c in zip(cc["vid"], cc["clustering"])}
+    for v in gm:
+        assert abs(gm[v] - want_cc[v]) < 5e-6, (seed, v)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:3])
+def test_apsp_closeness_random(seed):
+    n, m = 18, 30
+    edges = _rand_edges(seed, n, m)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    sg = build_graph(_ds(edges), num_partitions=2, directed=False,
+                     dedup_arcs=True, extra_vertices=_vds(n))
+    ap = algorithms.all_pairs_shortest_path_length(sg).to_pandas()
+    got = {(s, v): int(d) for s, v, d in zip(ap["src"], ap["dst"],
+                                             ap["length"])}
+    want = {(s, v): d for s in G
+            for v, d in nx.single_source_shortest_path_length(G, s).items()}
+    assert got == want, seed
+
+    res = algorithms.closeness_centrality(sg)
+    cl = res.to_pandas() if hasattr(res, "to_pandas") else res
+    want_cl = nx.closeness_centrality(G)
+    gm = dict(zip(cl["vid"], cl["closeness"]))
+    for v, w in want_cl.items():
+        assert abs(gm[v] - w) < 1e-9, (seed, v)
