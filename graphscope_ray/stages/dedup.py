@@ -772,7 +772,16 @@ def substring_dedup(
 
     Output ``(id_col, text_col, removed_tokens)``; text is
     whitespace-canonicalized (single-space joined) — documents shorter
-    than k tokens pass through canonicalized, never cut."""
+    than k tokens pass through canonicalized, never cut.
+
+    Scale note: the window-hash shuffle moves one 24-byte row per
+    corpus TOKEN (≈5× the text bytes) — the price of EXACT substring
+    dedup without a distributed suffix array; the text itself moves
+    only once (the rebuild co-group), and the removal table between
+    the two stages is O(duplicate windows). Budget this op like a
+    full-corpus groupby; for cheap approximate passes run
+    :func:`paragraph_dedup` (span-level) or MinHash first and reserve
+    this for the survivor set."""
     from graphscope_ray.stages.relational import bucketed_group_apply
 
     if k < 2:
