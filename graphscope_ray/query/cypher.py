@@ -1053,14 +1053,44 @@ class CypherGraph:
                 "cypher: shortestPath must either be the first pattern "
                 "or start on a bound variable and end on a fresh one")
 
+        # ---- node-property join helper (pruned to `need`)
+        def join_node_props(b, v, props, how="inner"):
+            label = var_labels.get(v)
+            if label is None:
+                cands = [lb for lb, (ds, vid) in self._v.items()
+                         if all(p in ds.schema().names for p in props)]
+                if len(cands) != 1:
+                    raise ValueError(
+                        f"cypher: property access on unlabeled {v!r} is "
+                        f"ambiguous across vertex tables {cands}")
+                label = cands[0]
+            ds, vid = self._v[label]
+            cols = [vid] + sorted(set(props))
+            side = ds.select_columns(cols).map_batches(
+                lambda t, v=v, vid=vid, props=props: pa.table(
+                    {v: t.column(vid).cast(pa.int64()),
+                     **{f"{v}__{p}": t.column(p)
+                        for p in sorted(set(props))}}),
+                batch_format="pyarrow")
+            return cogroup_join(b, side, on=v, how=how,
+                                num_buckets=self.num_buckets)
+
         # WHERE pushdown: a conjunct whose variables are all bound and
         # that touches no property can filter the binding as soon as
         # those variables exist (conjunction commutes; left-side
         # predicates commute with the optional left joins) — this is
         # what keeps an anchored shortestPath from BFS-ing every vertex
         pending = list(conjuncts)
+        joined_props: set = set()   # (var, prop) already on the binding
+        opt_fresh_vars: set = set()  # variables an OPTIONAL MATCH bound
 
         def flush_filters(b):
+            """Apply every pending conjunct whose variables are all
+            bound, joining any vertex properties it needs first (the
+            reference compiler's predicate pushdown) — so a
+            property-anchored pattern prunes before the next
+            expansion. Edge-property conjuncts wait for the final
+            filter (their columns appear with their hop)."""
             nonlocal pending
             if b is None:
                 return b          # nothing to filter yet — keep all
@@ -1069,9 +1099,23 @@ class CypherGraph:
                 vs: set = set()
                 ps: list = []
                 _expr_vars(c, vs, ps)
-                (ready if not ps and vs <= bound else rest).append(c)
+                ok = vs <= bound and all(
+                    (p.var, p.name) in joined_props
+                    or (p.var not in edge_vars
+                        and p.var not in path_names
+                        and p.var not in opt_fresh_vars)
+                    for p in ps)
+                (ready if ok else rest).append(c)
             pending = rest
             if ready:
+                by_var: dict = {}
+                for c in ready:
+                    for p in _local_props(c):
+                        if (p.var, p.name) not in joined_props:
+                            by_var.setdefault(p.var, set()).add(p.name)
+                for v, props in sorted(by_var.items()):
+                    b = join_node_props(b, v, sorted(props))
+                    joined_props.update((v, p) for p in props)
                 pred = ready[0]
                 for c in ready[1:]:
                     pred = BinOp("and", pred, c)
@@ -1103,35 +1147,13 @@ class CypherGraph:
             for rel, rnode in zip(pat.rels, pat.nodes[1:]):
                 binding = hop(binding, rel, lcol, rnode, bound)
                 lcol = rnode.var
-
-        # ---- node-property join helper (pruned to `need`)
-        def join_node_props(b, v, props, how="inner"):
-            label = var_labels.get(v)
-            if label is None:
-                cands = [lb for lb, (ds, vid) in self._v.items()
-                         if all(p in ds.schema().names for p in props)]
-                if len(cands) != 1:
-                    raise ValueError(
-                        f"cypher: property access on unlabeled {v!r} is "
-                        f"ambiguous across vertex tables {cands}")
-                label = cands[0]
-            ds, vid = self._v[label]
-            cols = [vid] + sorted(set(props))
-            side = ds.select_columns(cols).map_batches(
-                lambda t, v=v, vid=vid, props=props: pa.table(
-                    {v: t.column(vid).cast(pa.int64()),
-                     **{f"{v}__{p}": t.column(p)
-                        for p in sorted(set(props))}}),
-                batch_format="pyarrow")
-            return cogroup_join(b, side, on=v, how=how,
-                                num_buckets=self.num_buckets)
+            binding = flush_filters(binding)
 
         # ---- OPTIONAL MATCH: inner-join the whole sub-pattern from
         # its start variable's scan, then ONE left join onto the
         # binding — so a partial hop chain can never leave a half-bound
         # row, and optional properties are null exactly on misses
         opt_prop_joined: set = set()
-        opt_fresh_vars: set = set()
         for pat, local_conj in opt_patterns:
             if pat.shortest:
                 raise ValueError("cypher: shortestPath inside "
@@ -1187,6 +1209,10 @@ class CypherGraph:
                                    num_buckets=self.num_buckets)
             bound |= set(fresh)
             opt_fresh_vars |= set(fresh)
+            for v in fresh:
+                joined_props.update(
+                    (v, p) for (vv, p) in need if vv == v)
+            binding = flush_filters(binding)
 
         # ---- UNWIND (literal lists): replicate each binding row
         for name, vals in q.unwinds:
@@ -1211,13 +1237,16 @@ class CypherGraph:
                 binding = binding.map_batches(unwind,
                                               batch_format="pandas")
             bound.add(name)
+        if q.unwinds:
+            binding = flush_filters(binding)
 
         # ---- join needed node properties (pruned; optional vars were
         # handled inside their sub-pattern)
         node_need: dict[str, list[str]] = {}
         for v, p in need:
             if (v not in edge_vars and v not in opt_prop_joined
-                    and v not in path_names):
+                    and v not in path_names
+                    and (v, p) not in joined_props):
                 node_need.setdefault(v, []).append(p)
         for v, props in sorted(node_need.items()):
             binding = join_node_props(binding, v, props)

@@ -390,6 +390,30 @@ def test_shortest_path_lengths(g):
     assert got2 == want2
 
 
+def test_property_anchored_pushdown(g):
+    # the name anchor now joins a.name early and prunes BEFORE the
+    # shortestPath expansion; result must match the unanchored query
+    # filtered after the fact
+    out = g.query(
+        "MATCH (a:Person) , p = shortestPath((a)-[:KNOWS*1..3]->(b)) "
+        "WHERE a.name = 'ann' RETURN b AS b, length(p) AS hops")
+    import networkx as nx
+    dg = nx.DiGraph(list(zip(KNOWS["src"], KNOWS["dst"])))
+    want = sorted((b, d) for b, d in
+                  nx.single_source_shortest_path_length(
+                      dg, 1, cutoff=3).items() if 1 <= d <= 3)
+    assert sorted(map(tuple, out.to_pandas().itertuples(index=False))) \
+        == want
+    # pushdown composes with a later prop read of the same variable
+    out2 = g.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.age > 28 "
+        "RETURN a.age AS age, b.name AS bn")
+    m = KNOWS.merge(PERSONS, left_on="src", right_on="vid").merge(
+        PERSONS, left_on="dst", right_on="vid", suffixes=("_a", "_b"))
+    m = m[m["age_a"] > 28]
+    assert _rows(out2) == sorted(zip(m["age_a"], m["name_b"]))
+
+
 def test_collect_aggregate(g):
     out = g.query(
         "MATCH (a:Person)-[:KNOWS]->(b:Person) "
