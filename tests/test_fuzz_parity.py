@@ -182,3 +182,55 @@ def test_apsp_closeness_random(seed):
     gm = dict(zip(cl["vid"], cl["closeness"]))
     for v, w in want_cl.items():
         assert abs(gm[v] - w) < 1e-9, (seed, v)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:3])
+def test_directed_kernels_random(seed):
+    from tests.oracles import (
+        oracle_cdlp,
+        oracle_hits,
+        oracle_pagerank,
+        oracle_sssp,
+    )
+
+    n, m = 20, 42
+    edges = _rand_edges(seed, n, m)
+    rng = np.random.default_rng(seed + 1)
+    w = {e: float(rng.integers(1, 9)) for e in edges}
+    wds = ray.data.from_pandas(pd.DataFrame({
+        "src": [a for a, _ in edges], "dst": [b for _, b in edges],
+        "weight": [w[e] for e in edges]}))
+    sg = build_graph(wds, num_partitions=2, directed=True,
+                     extra_vertices=_vds(n))
+    pr = algorithms.pagerank(sg, tol=1e-12)[0].to_pandas()
+    want = oracle_pagerank(edges, range(n), directed=True, tol=1e-12)
+    gm = dict(zip(pr["vid"], pr["pagerank"]))
+    for v, x in want.items():
+        assert abs(gm[v] - x) < 1e-8, (seed, v)
+
+    src = min(a for a, _ in edges)
+    ss = algorithms.sssp(sg, source=src)[0].to_pandas()
+    wel = [(a, b, w[(a, b)]) for a, b in edges]
+    want_d = oracle_sssp(wel, range(n), src, directed=True)
+    gm = {v: d for v, d in zip(ss["vid"], ss["distance"])
+          if np.isfinite(d)}
+    assert gm == pytest.approx(want_d), seed
+
+    cd = algorithms.cdlp(sg, max_round=10)[0].to_pandas()
+    want_c = oracle_cdlp(edges, range(n), directed=True, max_round=10)
+    assert dict(zip(cd["vid"], cd["label"])) == want_c, seed
+
+    grev = build_graph(
+        wds.map_batches(lambda df: df.rename(
+            columns={"src": "dst", "dst": "src"}),
+            batch_format="pandas"),
+        num_partitions=2, directed=True, extra_vertices=_vds(n))
+    hub_ds, auth_ds, _ = algorithms.hits(sg, grev, max_iter=40,
+                                         tol=0.0)
+    hdf, adf = hub_ds.to_pandas(), auth_ds.to_pandas()
+    wh, wa = oracle_hits(edges, range(n), max_iter=40, tol=0.0)
+    gh = dict(zip(hdf["vid"], hdf["hub"]))
+    ga = dict(zip(adf["vid"], adf["authority"]))
+    for v in range(n):
+        assert abs(gh[v] - wh[v]) < 1e-9, (seed, v)
+        assert abs(ga[v] - wa[v]) < 1e-9, (seed, v)
