@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # node2vec walks on the resident shard pool — rows-only
         # (seeded hash picks), replica-exact kernel in pytest.
         "part_walks": sf_graph.q_part_walks,
+        "part_gcn": sf_graph.q_part_gcn,
     }
 
 

@@ -867,3 +867,58 @@ def q_part_walks(sf_dir: str) -> ray.data.Dataset:
     g = build_part_graph(sf_dir)
     return random_walks_pool(g, walk_length=4, num_walks=1,
                              p=0.5, q=2.0, seed=42)
+
+
+def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
+    """Distributed full-batch GNN node classification over the part
+    graph (pipelines/gnn_train — the learning-engine full-graph mode):
+    features from the part table's numeric columns, labels = size
+    tercile on a deterministic quarter of the vertices, 2-layer
+    GraphSAGE-mean classifier trained 40 full-batch GD iterations on
+    the resident shard pool. Rows-only (an iterative trained model has no SQL twin); the
+    training dataflow is pinned replica-exact vs a sequential dense
+    oracle in tests/test_gnn_train.py. Returns (vid, pred) sorted."""
+    from graphscope_ray.functions.hashing import splitmix64
+    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
+                                                    train_gnn)
+
+    g = build_part_graph(sf_dir)
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice", "p_brand"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        vid = t.column("p_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        size = t.column("p_size").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        price = t.column("p_retailprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        brand = np.array(
+            [int("".join(ch for ch in b if ch.isdigit()) or 0)
+             for b in t.column("p_brand").to_pylist()], np.int64)
+        X = np.stack([size / 50.0, np.log1p(price) / 10.0,
+                      (brand % 5) / 5.0], axis=1)
+        # label = size tercile (learnable from the size feature, so the
+        # gate output is demonstrably non-degenerate), supervised on a
+        # deterministic quarter of the vertices
+        lab = (size >= 17).astype(np.int64) + (size >= 34).astype(
+            np.int64)
+        mask = (splitmix64(vid.astype(np.uint64))
+                % np.uint64(4)) == 0
+        return pa.table({
+            "vid": pa.array(vid, pa.int64()),
+            "feat": pa.array(list(X), pa.list_(pa.float64())),
+            "label": pa.array(np.where(mask, lab, -1), pa.int64()),
+        })
+
+    # SAGE-mean: the concat aggregator keeps self features unsmoothed
+    # (pure-GCN Â weights self by 1/(deg+1) — on this dense
+    # co-occurrence graph that washes out the node-level signal)
+    train_gnn(g, part.map_batches(feats, batch_format="pyarrow"),
+              hidden=8, num_classes=3, conv="sage", iters=40, lr=0.5,
+              seed=5, feat_dim=3)
+    preds = gnn_predictions(g).select_columns(["vid", "pred"]).sort("vid")
+    out = preds.materialize()
+    g.call_all("gnn_free")
+    return out

@@ -3038,3 +3038,202 @@ class GraphShard:
         m = within < fanout
         return pa.table({"src": pa.array(src[m], pa.int64()),
                          "dst": pa.array(dst[m], pa.int64())})
+
+    # ---------------- GNN full-batch training (GCN / GraphSAGE-mean)
+    # The distributed half of the learning engine's full-graph mode:
+    # per-shard dense layer math over resident feature matrices, with
+    # every sparse aggregate (ÂM or D⁻¹AM) expressed as ONE
+    # add-combined message wave on the same CSR every other kernel
+    # uses. The reference trains GNNs through learning_engine/
+    # graph-learn (GLE); here the model math is the shared numpy
+    # kernels in functions/gnn.py so the sequential oracle and the
+    # pool are bit-for-bit the same arithmetic per row.
+    def gnn_ingest(self, table: pa.Table) -> int:
+        """Buffer routed (vid, feat list<float>[, label]) rows."""
+        if not hasattr(self, "_gnn_buf"):
+            self._gnn_buf = []
+        vids = table.column("vid").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        feats = table.column("feat").to_numpy(zero_copy_only=False)
+        X = (np.vstack([np.asarray(r, np.float64) for r in feats])
+             if len(feats) else np.empty((0, 0), np.float64))
+        y = None
+        if "label" in table.column_names:
+            lab = table.column("label")
+            y = np.asarray(lab.fill_null(-1).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+        self._gnn_buf.append((vids, X, y))
+        return table.num_rows
+
+    def gnn_seal(self, f_dim: int) -> tuple[int, int]:
+        """Assemble the resident feature matrix X (n_local × f, zeros
+        where no row arrived), labels y (−1 = unlabeled) and the two
+        normalization scales. Returns (rows_placed, n_labeled)."""
+        from graphscope_ray.functions.gnn import (inv_deg_scale,
+                                                  sym_norm_scale)
+        X = np.zeros((self.n_local, f_dim), np.float64)
+        y = np.full(self.n_local, -1, np.int64)
+        placed = 0
+        for vids, feats, labs in getattr(self, "_gnn_buf", []):
+            pos = np.searchsorted(self.local, vids)
+            ok = pos < self.n_local
+            hit = np.zeros(len(vids), bool)
+            hit[ok] = self.local[pos[ok]] == vids[ok]
+            p = pos[hit]
+            if feats.size:
+                X[p] = feats[hit]
+            if labs is not None:
+                y[p] = labs[hit]
+            placed += int(hit.sum())
+        self._gnn_buf = []
+        self._gnn = {"X": X}
+        self._gnn_y = y
+        self._gnn_s = sym_norm_scale(self.out_deg)
+        self._gnn_id = inv_deg_scale(self.out_deg)
+        return placed, int((y >= 0).sum())
+
+    def _gnn_pre(self, name: str, pre: str) -> np.ndarray:
+        M = self._gnn[name]
+        if pre == "sym":
+            return self._gnn_s[:, None] * M
+        if pre == "invdeg":
+            return self._gnn_id[:, None] * M
+        return M
+
+    def gnn_spmm_scatter(self, name: str, pre: str):
+        """Wave half 1: push (optionally pre-scaled) rows of resident
+        matrix ``name`` along ALL arcs, add-combined per destination.
+        pre ∈ {sym: D̃^{-1/2}, invdeg: D^{-1}, none}."""
+        rows = self._gnn_pre(name, pre)
+        if self.n_local == 0:
+            return [None] * self.P if self.P > 1 else None
+        return self._matrix_scatter(
+            np.ones(self.n_local, bool), rows, np.add)
+
+    def gnn_spmm_apply(self, out: str, name: str, post: str,
+                       self_coef: str, *inbox) -> int:
+        """Wave half 2: out = post · (Σ inbox + self term).
+
+        GCN (Â = D̃^{-1/2}(A+I)D̃^{-1/2}): pre=sym, post=sym,
+        self_coef=sym → out = s·(agg + s·M).
+        GraphSAGE mean (D⁻¹A): pre=none, post=invdeg, self_coef=none.
+        Mean transpose ((D⁻¹A)ᵀ = A D⁻¹ on the undirected CSR):
+        pre=invdeg, post=none, self_coef=none.
+        """
+        width = self._gnn[name].shape[1]
+        agg = np.zeros((self.n_local, width), np.float64)
+        dst, packed = self._concat_matrix_msgs(inbox)
+        if dst is not None:
+            starts, mat = packed
+            pos = np.searchsorted(self.local, dst)
+            agg[pos] = np.add.reduceat(mat, starts, axis=0)
+        if self_coef == "sym":
+            agg += self._gnn_s[:, None] * self._gnn[name]
+        if post == "sym":
+            agg *= self._gnn_s[:, None]
+        elif post == "invdeg":
+            agg *= self._gnn_id[:, None]
+        self._gnn[out] = agg
+        return self.n_local
+
+    def gnn_concat(self, out: str, a: str, b: str) -> int:
+        """out = [a ‖ b] (the GraphSAGE concat aggregator input)."""
+        self._gnn[out] = np.concatenate(
+            [self._gnn[a], self._gnn[b]], axis=1)
+        return self.n_local
+
+    def gnn_hidden(self, wref) -> int:
+        """Z1 = F1 @ W1 + b1 ; H1 = relu(Z1) (F1 is the sealed layer-1
+        input — ÂX for GCN, [X ‖ mean-nbr X] for SAGE)."""
+        from graphscope_ray.functions.gnn import relu
+        params = self._resolve_ref(wref)
+        Z1 = self._gnn["F1"] @ params["W1"] + params["b1"]
+        self._gnn["Z1"] = Z1
+        self._gnn["H1"] = relu(Z1)
+        return self.n_local
+
+    def gnn_output(self, wref):
+        """Z2 = G1 @ W2 + b2 ; probs = softmax. Returns the per-shard
+        loss partials (Σ CE over labeled, n_labeled, n_correct)."""
+        from graphscope_ray.functions.gnn import ce_loss_rows, softmax_rows
+        params = self._resolve_ref(wref)
+        Z2 = self._gnn["G1"] @ params["W2"] + params["b2"]
+        P = softmax_rows(Z2) if Z2.size else Z2
+        self._gnn["probs"] = P
+        y = self._gnn_y
+        lab = y >= 0
+        if not lab.any():
+            return 0.0, 0, 0
+        loss = float(ce_loss_rows(P[lab], y[lab]).sum())
+        correct = int((P[lab].argmax(axis=1) == y[lab]).sum())
+        return loss, int(lab.sum()), correct
+
+    def gnn_grad_out(self, wref, n_labeled_total: int, h_dim: int,
+                     conv: str):
+        """dZ2 = (softmax − onehot)/N masked; returns (dW2 = G1ᵀ dZ2,
+        db2) partials and stashes the hidden-layer backprop inputs
+        (Gs = self part, Gn = neighbor part to be aggregated)."""
+        from graphscope_ray.functions.gnn import masked_output_grad
+        params = self._resolve_ref(wref)
+        dZ2 = masked_output_grad(self._gnn["probs"], self._gnn_y,
+                                 n_labeled_total)
+        dW2 = self._gnn["G1"].T @ dZ2
+        db2 = dZ2.sum(axis=0)
+        dH1 = dZ2 @ params["W2"].T
+        if conv == "sage":
+            self._gnn["Gs"] = dH1[:, :h_dim]
+            self._gnn["Gn"] = dH1[:, h_dim:]
+        else:
+            self._gnn["Gn"] = dH1
+        return dW2, db2
+
+    def gnn_grad_hidden(self, conv: str):
+        """dZ1 = (Gs + AGn) ⊙ relu′(Z1); returns (dW1 = F1ᵀ dZ1, db1)
+        partials (AGn is the aggregated neighbor-gradient wave)."""
+        dH1 = self._gnn["AGn"]
+        if conv == "sage":
+            dH1 = dH1 + self._gnn["Gs"]
+        dZ1 = dH1 * (self._gnn["Z1"] > 0)
+        return self._gnn["F1"].T @ dZ1, dZ1.sum(axis=0)
+
+    def gnn_predict_table(self) -> pa.Table:
+        """(vid, pred, maxprob) from the last forward pass."""
+        P = self._gnn["probs"]
+        pred = (P.argmax(axis=1).astype(np.int64) if P.size
+                else np.empty(0, np.int64))
+        mp = P.max(axis=1) if P.size else np.empty(0, np.float64)
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "pred": pa.array(pred, pa.int64()),
+            "prob": pa.array(mp, pa.float64()),
+        })
+
+    def gnn_embed_table(self, name: str = "H1") -> pa.Table:
+        """(vid, emb list<double>) export of a resident matrix — the
+        trained-representation product (node embeddings)."""
+        M = self._gnn[name]
+        return pa.table({
+            "vid": pa.array(self.local, pa.int64()),
+            "emb": pa.array(list(M), pa.list_(pa.float64())),
+        })
+
+    def gnn_label_max(self) -> int:
+        """Largest local label (−1 when none) — num_classes inference."""
+        y = self._gnn_y
+        return int(y.max()) if y is not None and len(y) else -1
+
+    def gnn_free(self) -> int:
+        """Release the resident matrices (pools may be cached)."""
+        self._gnn = {}
+        self._gnn_y = None
+        return 0
+
+    @staticmethod
+    def _resolve_ref(ref):
+        """Accept a plain object or an ObjectRef wrapped in a 1-list
+        (the broadcast idiom: ray.put once, resolve per wave without
+        the actor call deserializing it P times eagerly)."""
+        if isinstance(ref, list) and len(ref) == 1 \
+                and isinstance(ref[0], ray.ObjectRef):
+            return ray.get(ref[0])
+        return ref

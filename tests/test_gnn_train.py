@@ -1,0 +1,186 @@
+"""Distributed full-batch GNN training (GCN / GraphSAGE-mean) vs a
+sequential dense-numpy oracle sharing the same scalar kernels: final
+parameters, loss trajectory and predictions must agree at P∈{1,3};
+training must actually learn a planted 2-community labeling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.functions.gnn import (
+    dense_ahat,
+    dense_mean_nbr,
+    init_params,
+    masked_output_grad,
+    relu,
+    softmax_rows,
+)
+from graphscope_ray.pipelines.gnn_train import (
+    gnn_embeddings,
+    gnn_predictions,
+    train_gnn,
+)
+from graphscope_ray.state.graph import build_graph
+
+PAIRS = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+         (6, 7), (7, 8), (8, 6), (8, 9), (9, 10), (10, 8), (5, 6)]
+N = 11
+
+
+def _features(n, f, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randn(n, f).round(3)  # rounded → exactly representable
+
+
+def _labels(n):
+    y = np.full(n, -1, np.int64)
+    # planted: vertices 0..5 class 0, 6..10 class 1; hold out a few
+    y[[0, 1, 3, 6, 8, 9]] = [0, 0, 0, 1, 1, 1]
+    return y
+
+
+def _seq_train(edges, n, X, y, conv, hidden, classes, iters, lr, wd,
+               seed):
+    """Sequential oracle: dense aggregation, same kernels, same
+    update rule, same deterministic init."""
+    pos_edges = np.array(edges + [(b, a) for a, b in edges], np.int64)
+    if conv == "gcn":
+        A = dense_ahat(pos_edges, n)
+        F1 = A @ X
+    else:
+        M = dense_mean_nbr(pos_edges, n)
+        F1 = np.concatenate([X, M @ X], axis=1)
+    in1 = X.shape[1] * (2 if conv == "sage" else 1)
+    in2 = hidden * (2 if conv == "sage" else 1)
+    params = init_params(seed, [in1, hidden])
+    p2 = init_params(seed + 1, [in2, classes])
+    params["W2"], params["b2"] = p2["W1"], p2["b1"]
+    n_lab = int((y >= 0).sum())
+    losses = []
+    for _ in range(iters):
+        Z1 = F1 @ params["W1"] + params["b1"]
+        H1 = relu(Z1)
+        G1 = (A @ H1 if conv == "gcn"
+              else np.concatenate([H1, M @ H1], axis=1))
+        Z2 = G1 @ params["W2"] + params["b2"]
+        P = softmax_rows(Z2)
+        lab = y >= 0
+        losses.append(float(
+            -np.log(P[lab, y[lab]]).sum() / n_lab))
+        dZ2 = masked_output_grad(P, y, n_lab)
+        dW2 = G1.T @ dZ2
+        db2 = dZ2.sum(axis=0)
+        dH1 = dZ2 @ params["W2"].T
+        if conv == "gcn":
+            dH1 = A @ dH1  # Âᵀ = Â
+        else:
+            dH1 = dH1[:, :hidden] + M.T @ dH1[:, hidden:]
+        dZ1 = dH1 * (Z1 > 0)
+        dW1 = F1.T @ dZ1
+        db1 = dZ1.sum(axis=0)
+        params = {
+            "W1": params["W1"] - lr * (dW1 + wd * params["W1"]),
+            "b1": params["b1"] - lr * db1,
+            "W2": params["W2"] - lr * (dW2 + wd * params["W2"]),
+            "b2": params["b2"] - lr * db2,
+        }
+    Z1 = F1 @ params["W1"] + params["b1"]
+    H1 = relu(Z1)
+    G1 = (A @ H1 if conv == "gcn"
+          else np.concatenate([H1, M @ H1], axis=1))
+    P = softmax_rows(G1 @ params["W2"] + params["b2"])
+    return params, losses, P.argmax(axis=1)
+
+
+def _pool(P):
+    df = pd.DataFrame(PAIRS, columns=["src", "dst"]).astype(np.int64)
+    return build_graph(ray.data.from_pandas(df), num_partitions=P,
+                       directed=False)
+
+
+def _feature_ds(X, y):
+    return ray.data.from_pandas(pd.DataFrame({
+        "vid": np.arange(len(X), dtype=np.int64),
+        "feat": [row.tolist() for row in X],
+        "label": y,
+    }))
+
+
+@pytest.mark.parametrize("conv", ["gcn", "sage"])
+@pytest.mark.parametrize("P", [1, 3])
+def test_parity_vs_sequential_oracle(conv, P):
+    X, y = _features(N, 5), _labels(N)
+    g = _pool(P)
+    params, metrics = train_gnn(
+        g, _feature_ds(X, y), hidden=8, num_classes=2, conv=conv,
+        iters=12, lr=0.3, weight_decay=1e-3, seed=11)
+    ref_params, ref_losses, ref_pred = _seq_train(
+        PAIRS, N, X, y, conv, 8, 2, 12, 0.3, 1e-3, 11)
+    for k in ("W1", "b1", "W2", "b2"):
+        np.testing.assert_allclose(params[k], ref_params[k],
+                                   rtol=1e-9, atol=1e-11)
+    got_losses = [m["loss"] for m in metrics["iters"][:-1]]
+    np.testing.assert_allclose(got_losses, ref_losses,
+                               rtol=1e-9, atol=1e-12)
+    pred = gnn_predictions(g).to_pandas().sort_values("vid")
+    assert np.array_equal(pred["pred"].to_numpy(), ref_pred)
+    g.call_all("gnn_free")
+
+
+def test_learns_planted_communities_and_is_deterministic():
+    X0, y = _features(N, 4, seed=5), _labels(N)
+    # make features informative: shift by community
+    X = X0 + np.where(np.arange(N) < 6, -1.0, 1.0)[:, None]
+    g = _pool(3)
+    params1, metrics = train_gnn(
+        g, _feature_ds(X, y), hidden=8, num_classes=2, conv="gcn",
+        iters=40, lr=0.5, seed=2)
+    pred = gnn_predictions(g).to_pandas().sort_values("vid")
+    truth = (np.arange(N) >= 6).astype(np.int64)
+    assert (pred["pred"].to_numpy() == truth).mean() >= 0.9
+    assert metrics["iters"][-1]["loss"] < metrics["iters"][0]["loss"]
+    emb = gnn_embeddings(g).to_pandas()
+    assert len(emb) == N and len(emb["emb"].iloc[0]) == 8
+    g.call_all("gnn_free")
+    # bit-identical rerun
+    g2 = _pool(3)
+    params2, _ = train_gnn(
+        g2, _feature_ds(X, y), hidden=8, num_classes=2, conv="gcn",
+        iters=40, lr=0.5, seed=2)
+    for k in params1:
+        assert np.array_equal(params1[k], params2[k])
+    g2.call_all("gnn_free")
+
+
+def test_missing_features_and_unlabeled_default():
+    """Vertices without a feature row train as zero rows; num_classes
+    inferred from the label max; directed pool rejected for GCN."""
+    X, y = _features(N, 3), _labels(N)
+    keep = np.arange(N) != 4  # drop vertex 4's row entirely
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vid": np.arange(N, dtype=np.int64)[keep],
+        "feat": [row.tolist() for row in X[keep]],
+        "label": y[keep],
+    }))
+    g = _pool(3)
+    params, metrics = train_gnn(g, ds, hidden=4, conv="gcn",
+                                iters=3, lr=0.1, seed=1)
+    assert metrics["num_classes"] == 2
+    assert metrics["rows_placed"] == N - 1
+    # oracle with vertex 4 zeroed
+    X2 = X.copy()
+    X2[4] = 0.0
+    y2 = y.copy()
+    y2[4] = -1
+    ref_params, _, _ = _seq_train(PAIRS, N, X2, y2, "gcn", 4, 2, 3,
+                                  0.1, 5e-4, 1)
+    np.testing.assert_allclose(params["W1"], ref_params["W1"],
+                               rtol=1e-9, atol=1e-12)
+    g.call_all("gnn_free")
+
+    df = pd.DataFrame(PAIRS, columns=["src", "dst"]).astype(np.int64)
+    gd = build_graph(ray.data.from_pandas(df), num_partitions=2,
+                     directed=True)
+    with pytest.raises(ValueError, match="undirected"):
+        train_gnn(gd, _feature_ds(X, y), conv="gcn", iters=1)
