@@ -18,7 +18,13 @@ the new element null), ``as_(name)`` + ``select(*names)``,
 ``order().by(key, asc)``, ``limit(n)``, ``count()``,
 ``sum_/ min_/ max_/ mean(prop)``, ``groupCount()`` (by the current
 element), ``group(key_prop, fn, prop)`` (by-key aggregation),
-predicates ``P.eq/neq/gt/gte/lt/lte/within``.
+predicates ``P.eq/neq/gt/gte/lt/lte/within``,
+``repeat_out/ repeat_in/ repeat_both(type, k, emit=…)`` (Gremlin
+``repeat(out()).times(k)`` / ``…emit()``, lowered to the Cypher
+variable-length segment), ``where(P.neq("tag"))`` (compare the current
+element to an ``as_``-tagged one — cycle/anti filters),
+``simplePath()``, ``hasE(key, value_or_P)`` (last hop's edge
+property), ``union(other)``.
 """
 
 from __future__ import annotations
@@ -168,11 +174,23 @@ class Traversal:
 
     # ---- hops
     def _hop(self, rtype, direction, times) -> "Traversal":
+        """``times`` int k → k single hops (each element addressable);
+        (lo, hi) tuple → ONE variable-length segment binding only its
+        endpoint (the Cypher ``*lo..hi`` / Gremlin repeat-emit path)."""
         if self._current != self._nodes[-1].var:
             raise ValueError("traversal: mandatory hops cannot follow "
                              "an optional hop (null keys cannot drive "
                              "an inner join)")
         t = self._clone()
+        if isinstance(times, tuple):
+            lo, hi = times
+            i = len(t._nodes)
+            t._rels.append(RelPat(f"e{i}", rtype, direction, {},
+                                  int(lo), int(hi)))
+            t._nodes.append(NodePat(f"v{i}", None, {}))
+            t._current = f"v{i}"
+            t._path_vars.append(f"v{i}")
+            return t
         for _ in range(times):
             i = len(t._nodes)
             t._rels.append(RelPat(f"e{i}", rtype, direction, {}))
@@ -181,14 +199,98 @@ class Traversal:
             t._path_vars.append(f"v{i}")
         return t
 
-    def out(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+    def out(self, rtype: str | None = None, times=1) -> "Traversal":
         return self._hop(rtype, "out", times)
 
-    def in_(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+    def in_(self, rtype: str | None = None, times=1) -> "Traversal":
         return self._hop(rtype, "in", times)
 
-    def both(self, rtype: str | None = None, times: int = 1) -> "Traversal":
+    def both(self, rtype: str | None = None, times=1) -> "Traversal":
         return self._hop(rtype, "both", times)
+
+    # ---- repeat/emit (Gremlin loop steps)
+    def repeat_out(self, rtype: str | None = None, max_times: int = 1,
+                   emit: bool = False, direction: str = "out"
+                   ) -> "Traversal":
+        """Gremlin ``repeat(out(T)).times(k)`` (``emit=False`` → only
+        the k-th-hop frontier) / ``…emit().times(k)`` (``emit=True`` →
+        every element reached within 1..k hops, one row per path —
+        compose with ``dedup()`` for the distinct frontier). Lowers to
+        the Cypher var-length relationship (`*lo..hi`), so the
+        executor's per-k hop-union runs it; intermediate loop elements
+        are not addressable (no ``as_`` inside the loop)."""
+        if emit:
+            return self._hop(rtype, direction, (1, max_times))
+        return self._hop(rtype, direction, max_times)
+
+    def repeat_in(self, rtype: str | None = None, max_times: int = 1,
+                  emit: bool = False) -> "Traversal":
+        return self.repeat_out(rtype, max_times, emit, "in")
+
+    def repeat_both(self, rtype: str | None = None, max_times: int = 1,
+                    emit: bool = False) -> "Traversal":
+        return self.repeat_out(rtype, max_times, emit, "both")
+
+    # ---- cross-step predicates
+    def where(self, pred: "P") -> "Traversal":
+        """Gremlin ``where(P.neq("a"))``: compare the CURRENT element's
+        id to the element tagged ``a`` by an earlier ``as_("a")`` —
+        the cycle/anti-join filter (e.g. mutual followers that aren't
+        self: ``.as_("a").out().out().where(P.neq("a"))``)."""
+        if pred.op == "in":
+            raise ValueError("traversal: where(P.within) is not "
+                             "supported — tag comparisons are scalar")
+        tag = pred.value
+        if tag not in self._aliases:
+            raise KeyError(f"traversal: no step labeled {tag!r}")
+        t = self._clone()
+        t._conjuncts.append(
+            BinOp(pred.op, Var(t._cur), Var(t._aliases[tag])))
+        return t
+
+    def simplePath(self) -> "Traversal":
+        """Keep only bindings whose mandatory chain visits pairwise
+        distinct vertices (Gremlin simplePath). O(k²) conjuncts over
+        the k chain elements so far; variable-length segments
+        constrain their endpoints only (intermediates aren't bound)."""
+        t = self._clone()
+        vars_ = [n.var for n in t._nodes]
+        for i in range(len(vars_)):
+            for j in range(i + 1, len(vars_)):
+                t._conjuncts.append(
+                    BinOp("<>", Var(vars_[i]), Var(vars_[j])))
+        return t
+
+    def hasE(self, key: str, value) -> "Traversal":
+        """Filter the LAST hop's edge property (Gremlin
+        ``outE(T).has(key, …).inV()`` flattened). Single-hop edges
+        only — variable-length segments cannot bind edge properties."""
+        if not self._rels:
+            raise ValueError("traversal: hasE needs a prior hop")
+        rel = self._rels[-1]
+        if rel.max_hops != 1:
+            raise ValueError("traversal: hasE cannot follow a "
+                             "variable-length hop")
+        t = self._clone()
+        if isinstance(value, P):
+            if value.op == "in":
+                t._conjuncts.append(InOp(Prop(rel.var, key), value.value))
+            else:
+                t._conjuncts.append(
+                    BinOp(value.op, Prop(rel.var, key), Lit(value.value)))
+        else:
+            t._conjuncts.append(BinOp("=", Prop(rel.var, key), Lit(value)))
+        return t
+
+    def union(self, other: "Traversal") -> ray.data.Dataset:
+        """Gremlin union(): both traversals' rows in one Dataset (the
+        terminal projections must agree on column names)."""
+        a, b = self.toDataset(), other.toDataset()
+        if a.schema().names != b.schema().names:
+            raise ValueError(
+                f"traversal union: incompatible projections "
+                f"{a.schema().names} vs {b.schema().names}")
+        return a.union(b)
 
     # ---- optional (left-outer) hops — Gremlin optional(out(...))
     def _optional_hop(self, rtype, direction) -> "Traversal":

@@ -134,3 +134,83 @@ def test_std_and_percentile(g):
     assert abs(sd - PERSONS["age"].std(ddof=1)) < 1e-12
     [p50] = g.V("Person").percentile("age", 0.5).toList()
     assert abs(p50 - PERSONS["age"].quantile(0.5)) < 1e-12
+
+
+def test_repeat_emit_variable_length(g):
+    # exact k: repeat(out).times(2) == out(times=2)
+    a = g.V("Person").repeat_out("KNOWS", 2).id_().toList()
+    b = g.V("Person").out("KNOWS", times=2).id_().toList()
+    assert sorted(a) == sorted(b)
+    # emit: every element within 1..2 hops, one row per path
+    got = sorted(g.V("Person").repeat_out("KNOWS", 2, emit=True)
+                 .id_().toList())
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src")
+    want = sorted(list(KNOWS["dst"]) + list(m["dst_y"]))
+    assert got == want
+    # distinct frontier via dedup
+    got_d = sorted(g.V("Person").repeat_out("KNOWS", 2, emit=True)
+                   .id_().dedup().toList())
+    assert got_d == sorted(set(want))
+    # repeat_both with emit from a single anchor
+    gotb = (g.V("Person").hasId(1).repeat_both("KNOWS", 2, emit=True)
+            .id_().dedup().toList())
+    und = set(zip(KNOWS["src"], KNOWS["dst"])) | set(
+        zip(KNOWS["dst"], KNOWS["src"]))
+    one = {b for a, b in und if a == 1}
+    two = {c for b in one for (a, c) in und if a == b}
+    assert sorted(gotb) == sorted(one | two)
+
+
+def test_where_tag_comparison(g):
+    # 2-hop neighbors that are NOT the start (cycle exclusion)
+    rows = (g.V("Person").as_("a").out("KNOWS").out("KNOWS")
+            .where(P.neq("a")).as_("c").select("a", "c").toList())
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src")
+    want = sorted((int(s), int(d)) for s, d in
+                  zip(m["src_x"], m["dst_y"]) if s != d)
+    assert sorted(rows) == want
+    # 2-hop cycles: where(P.eq("a"))
+    cyc = (g.V("Person").as_("a").out("KNOWS").out("KNOWS")
+           .where(P.eq("a")).id_().toList())
+    wantc = sorted(int(d) for s, d in zip(m["src_x"], m["dst_y"])
+                   if s == d)
+    assert sorted(cyc) == wantc
+    with pytest.raises(KeyError):
+        g.V("Person").out("KNOWS").where(P.neq("nosuch")).toList()
+
+
+def test_simple_path(g):
+    paths = (g.V("Person").out("KNOWS").out("KNOWS").simplePath()
+             .path().toList())
+    m = KNOWS.merge(KNOWS, left_on="dst", right_on="src",
+                    suffixes=("1", "2"))
+    want = sorted((int(a), int(b), int(c)) for a, b, c in
+                  zip(m["src1"], m["dst1"], m["dst2"])
+                  if len({a, b, c}) == 3)
+    assert sorted(paths) == want
+
+
+def test_has_edge_property(g):
+    rows = (g.V("Person").out("KNOWS").hasE("since", P.gte(2015))
+            .id_().toList())
+    want = sorted(int(d) for s, d in
+                  zip(KNOWS["src"], KNOWS["dst"])
+                  if int(KNOWS[(KNOWS["src"] == s) & (KNOWS["dst"] == d)
+                               ]["since"].iloc[0]) >= 2015)
+    assert sorted(rows) == want
+    with pytest.raises(ValueError, match="variable-length"):
+        g.V("Person").repeat_out("KNOWS", 2, emit=True).hasE(
+            "since", 2015)
+    with pytest.raises(ValueError, match="prior hop"):
+        g.V("Person").hasE("since", 2015)
+
+
+def test_union(g):
+    young = g.V("Person").has("age", P.lt(29)).id_()
+    old = g.V("Person").has("age", P.gt(34)).id_()
+    got = sorted(r["id"] for r in young.union(old).take_all())
+    want = sorted(int(v) for v, a in zip(PERSONS["vid"], PERSONS["age"])
+                  if a < 29 or a > 34)
+    assert got == want
+    with pytest.raises(ValueError, match="incompatible"):
+        young.union(g.V("Person").values("name"))
