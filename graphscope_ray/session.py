@@ -839,3 +839,60 @@ def negative_edges(graph: Graph, k: int = 5,
     shard pool (stages/sampling.negative_edges)."""
     from graphscope_ray.stages.sampling import negative_edges as ne
     return ne(graph._pool(), k=k, seed=seed)
+
+
+def gnn_node_classification(graph: Graph, features, node_field=0,
+                            feat_fields: list | str | None = None,
+                            label_field: str = "label",
+                            conv: str = "sage", hidden: int = 16,
+                            num_classes: int | None = None,
+                            iters: int = 60, lr: float = 0.5,
+                            weight_decay: float = 5e-4,
+                            seed: int = 7) -> tuple[Context, dict]:
+    """Full-batch GNN node classification on the session graph (the
+    learning-engine full-graph mode, pipelines/gnn_train): train a
+    2-layer GCN (``conv="gcn"``, undirected graphs) or GraphSAGE-mean
+    classifier from a feature table and return ``(Context, metrics)``
+    — the Context yields (node, pred, prob) with string oids mapped
+    back like every other app result.
+
+    ``features``: DataFrame/Dataset with the node id column
+    (``node_field``), feature columns (``feat_fields`` — a list of
+    numeric column names stacked in order, or ONE list-typed column
+    name), and an optional integer label column (−1/null =
+    unlabeled)."""
+    ds = _as_dataset(features)
+    node_col = _first_col(ds, node_field)
+    if feat_fields is None:
+        feat_fields = [c for c in ds.schema().names
+                       if c not in (node_col, label_field)]
+    relabel = graph._needs_relabel
+    hasher = graph.oid_hasher
+    has_label = label_field in ds.schema().names
+    list_col = feat_fields if isinstance(feat_fields, str) else None
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = {"vid": _vids(t.column(node_col), relabel, hasher)}
+        if list_col is not None:
+            out["feat"] = t.column(list_col)
+        else:
+            mats = [t.column(c).cast(pa.float64()).to_numpy(
+                zero_copy_only=False) for c in feat_fields]
+            X = np.stack(mats, axis=1) if mats else np.empty(
+                (t.num_rows, 0))
+            out["feat"] = pa.array(list(X), pa.list_(pa.float64()))
+        if has_label:
+            out["label"] = t.column(label_field).cast(pa.int64())
+        return pa.table(out)
+
+    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
+                                                    train_gnn)
+    pool = graph._pool()
+    _, metrics = train_gnn(
+        pool, ds.map_batches(norm, batch_format="pyarrow"),
+        hidden=hidden, num_classes=num_classes, conv=conv, iters=iters,
+        lr=lr, weight_decay=weight_decay, seed=seed,
+        label_col="label" if has_label else None)
+    preds = gnn_predictions(pool).materialize()
+    pool.call_all("gnn_free")
+    return Context(preds, graph), metrics

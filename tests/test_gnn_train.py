@@ -184,3 +184,34 @@ def test_missing_features_and_unlabeled_default():
                      directed=True)
     with pytest.raises(ValueError, match="undirected"):
         train_gnn(gd, _feature_ds(X, y), conv="gcn", iters=1)
+
+
+def test_session_surface_string_oids():
+    """gs.gnn_node_classification over a string-keyed session graph:
+    the relabel path + node-mapped Context, learning a 2-community
+    labeling."""
+    import graphscope_ray.session as gs
+
+    names = [f"n{i:02d}" for i in range(N)]
+    edges = pd.DataFrame({"u": [names[a] for a, b in PAIRS],
+                          "v": [names[b] for a, b in PAIRS]})
+    sess = gs.session(num_partitions=3)
+    g = sess.g(directed=False).add_edges(edges, src_field="u",
+                                         dst_field="v")
+    X = _features(N, 4, seed=5) + np.where(
+        np.arange(N) < 6, -1.0, 1.0)[:, None]
+    y = _labels(N)
+    feats = pd.DataFrame({"node": names,
+                          "f0": X[:, 0], "f1": X[:, 1],
+                          "f2": X[:, 2], "f3": X[:, 3],
+                          "label": y})
+    ctx, metrics = gs.gnn_node_classification(
+        g, feats, node_field="node", feat_fields=["f0", "f1", "f2",
+                                                  "f3"],
+        conv="sage", hidden=8, iters=40, lr=0.5, seed=2)
+    df = ctx.to_dataframe()
+    assert sorted(df["node"]) == sorted(names)
+    truth = {n: int(i >= 6) for i, n in enumerate(names)}
+    acc = np.mean([truth[r.node] == r.pred for r in df.itertuples()])
+    assert acc >= 0.9
+    assert metrics["num_classes"] == 2
