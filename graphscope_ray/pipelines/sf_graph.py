@@ -894,9 +894,10 @@ def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
             zero_copy_only=False).astype(np.float64)
         price = t.column("p_retailprice").to_numpy(
             zero_copy_only=False).astype(np.float64)
-        brand = np.array(
-            [int("".join(ch for ch in b if ch.isdigit()) or 0)
-             for b in t.column("p_brand").to_pylist()], np.int64)
+        brand = pd.Series(
+            t.column("p_brand").to_pandas()).str.extract(
+            r"(\d+)", expand=False).fillna("0").astype(np.int64
+                                                       ).to_numpy()
         X = np.stack([size / 50.0, np.log1p(price) / 10.0,
                       (brand % 5) / 5.0], axis=1)
         # label = size tercile (learnable from the size feature, so the

@@ -3211,10 +3211,12 @@ class GraphShard:
     def gnn_embed_table(self, name: str = "H1") -> pa.Table:
         """(vid, emb list<double>) export of a resident matrix — the
         trained-representation product (node embeddings)."""
-        M = self._gnn[name]
+        M = np.ascontiguousarray(self._gnn[name])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(M.ravel(), pa.float64()), M.shape[1] or 1)
         return pa.table({
             "vid": pa.array(self.local, pa.int64()),
-            "emb": pa.array(list(M), pa.list_(pa.float64())),
+            "emb": emb,
         })
 
     def gnn_label_max(self) -> int:
