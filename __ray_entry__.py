@@ -131,12 +131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one exact twin pins the whole chain's stage order and text
         # threading, not just each stage in isolation.
         "doc_pipeline": textproc.q_doc_pipeline,
-        "part_avg_clustering": sf_graph.q_part_avg_clustering,
+        # Gopher quality-rule filter (Rae et al. 2021 §A1.1): per-rule
+        # interchange-exact booleans + keep conjunction (r4).
+        "doc_gopher": textproc.q_doc_gopher,
         # --- positions 51+ ---------------------------------------------
         # The driver sweep records exactly 50 rows in dict order; the
         # tail holds entries whose exactness is already pinned against
         # networkx/pandas/DuckDB oracles in pytest or was recorded in a
         # prior round — losing their gate row costs the least evidence.
+        "part_avg_clustering": sf_graph.q_part_avg_clustering,
         "part_transitivity": sf_graph.q_part_transitivity,
         "part_hits": sf_graph.q_part_hits,
         "part_apsp": sf_graph.q_part_apsp,
@@ -1520,6 +1523,81 @@ SELECT doc_id, t AS text, removed_spans,
 FROM (SELECT *, md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
                   % 1000000 AS b
       FROM p9)""",
+        # Gopher rule filter: every rule boolean recomputed from the
+        # same lowercased \w+ tokens / \n line split as the kernel;
+        # ratio divisions are the identical IEEE double ops, so the
+        # booleans (not just fuzzy scores) hash-match cross-engine.
+        "doc_gopher": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+  FROM documents),
+tstat AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+           AS sumlen,
+         len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_distinct(list_filter(ts, x -> x IN
+             ('the','be','to','of','and','that','have','with')))) AS n_stop
+  FROM toks),
+sym AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS n_sym
+  FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM documents),
+lstat AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct,
+         count(*) FILTER (WHERE regexp_matches(line, '^\s*[-*•]'))
+           AS n_bullet,
+         count(*) FILTER (WHERE regexp_matches(line, '(\.\.\.|…)\s*$'))
+           AS n_ell
+  FROM lines GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+bstat AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg)
+  GROUP BY doc_id)
+SELECT d.doc_id, t.n_tokens,
+  CASE WHEN t.n_tokens >= 25 AND t.n_tokens <= 90 THEN 1 ELSE 0 END
+    AS r_words,
+  CASE WHEN t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 3.0
+        AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 10.0
+       THEN 1 ELSE 0 END AS r_mean_len,
+  CASE WHEN s.n_sym / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+       THEN 1 ELSE 0 END AS r_symbol,
+  CASE WHEN l.n_bullet / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.9
+       THEN 1 ELSE 0 END AS r_bullet,
+  CASE WHEN l.n_ell / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.3
+       THEN 1 ELSE 0 END AS r_ellipsis,
+  CASE WHEN t.n_alpha / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 0.8
+       THEN 1 ELSE 0 END AS r_alpha,
+  CASE WHEN t.n_stop >= 1 THEN 1 ELSE 0 END AS r_stop,
+  CASE WHEN 1.0 - l.n_distinct / CAST(GREATEST(l.n_lines, 1) AS DOUBLE)
+            <= 0.3 THEN 1 ELSE 0 END AS r_dup_line,
+  CASE WHEN COALESCE(b.top / CAST(b.tot AS DOUBLE), 0) <= 0.18
+       THEN 1 ELSE 0 END AS r_top_bigram,
+  CASE WHEN t.n_tokens >= 25 AND t.n_tokens <= 90
+        AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 3.0
+        AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 10.0
+        AND s.n_sym / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+        AND l.n_bullet / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.9
+        AND l.n_ell / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.3
+        AND t.n_alpha / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 0.8
+        AND t.n_stop >= 1
+        AND 1.0 - l.n_distinct / CAST(GREATEST(l.n_lines, 1) AS DOUBLE)
+            <= 0.3
+        AND COALESCE(b.top / CAST(b.tot AS DOUBLE), 0) <= 0.18
+       THEN 1 ELSE 0 END AS keep
+FROM documents d
+JOIN tstat t ON t.doc_id = d.doc_id
+JOIN sym s ON s.doc_id = d.doc_id
+JOIN lstat l ON l.doc_id = d.doc_id
+LEFT JOIN bstat b ON b.doc_id = d.doc_id""",
     }
     return sql
 

@@ -215,3 +215,99 @@ def repetition_features(texts: pd.Series) -> pd.DataFrame:
         "dup_line_frac": dup_line_frac,
         "top_bigram_frac": top_frac,
     }, index=texts.index)
+
+
+# Gopher rule-filter constants (Rae et al. 2021 §A1.1, public
+# data-curation rules). The paper's required-stopword list is exactly
+# these eight words; a document must contain >= 2 DISTINCT of them.
+GOPHER_STOP = np.array(sorted(
+    ["the", "be", "to", "of", "and", "that", "have", "with"]), dtype=object)
+_BULLET_RE = re.compile(r"^\s*[-*•]")
+_ELLIPSIS_END_RE = re.compile(r"(?:\.\.\.|…)\s*$")
+_ALPHA_RE = re.compile(r"[a-z]")
+
+
+def gopher_rules(
+    texts: pd.Series,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> pd.DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1) as one
+    vectorized per-batch kernel: per-document boolean columns
+    ``r_words r_mean_len r_symbol r_bullet r_ellipsis r_alpha r_stop
+    r_dup_line r_top_bigram`` plus the conjunction ``keep``.
+
+    Every signal is interchange-exact with the ``doc_gopher`` DuckDB
+    twin (same lowercased ``\\w+`` tokens, same ``\\n`` line split,
+    IEEE-double ratio divisions on both sides), so the rule booleans —
+    not just fuzzy scores — hash-match cross-engine. Ratios over empty
+    denominators are defined as 0 (an empty doc fails ``r_words`` /
+    ``r_alpha`` / ``r_stop`` and passes the max-bounded rules)."""
+    n = len(texts)
+    flat, starts = _flat_tokens(texts)
+    n_tokens = np.diff(starts).astype(np.int64)
+    nz = np.maximum(n_tokens, 1).astype(np.float64)
+
+    flat_len = (pd.Series(flat).str.len().to_numpy(np.float64)
+                if len(flat) else np.empty(0))
+    mean_len = _segment_sums(flat_len, starts) / nz
+
+    fs = pd.Series(flat) if len(flat) else pd.Series([], dtype=object)
+    alpha_frac = _segment_sums(
+        fs.str.contains(_ALPHA_RE).to_numpy() if len(flat)
+        else np.empty(0, bool), starts) / nz
+
+    # distinct required-stopword hits per doc
+    stop_hits = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        mask = np.isin(flat, GOPHER_STOP)
+        if mask.any():
+            doc_of = np.repeat(np.arange(n), np.diff(starts))
+            hits = pd.DataFrame({"doc": doc_of[mask], "tok": flat[mask]})
+            d = hits.drop_duplicates().groupby("doc", sort=False).size()
+            stop_hits[d.index.to_numpy()] = d.to_numpy()
+
+    n_hash = texts.str.count("#").to_numpy(np.float64)
+    n_ell = (texts.str.count(r"\.\.\.")
+             + texts.str.count("…")).to_numpy(np.float64)
+    symbol_ratio = (n_hash + n_ell) / nz
+
+    lines = texts.str.split("\n")
+    n_lines = lines.str.len().to_numpy(np.int64)
+    flat_lines = lines.explode()
+    bullet = flat_lines.str.contains(_BULLET_RE).to_numpy()
+    ell_end = flat_lines.str.contains(_ELLIPSIS_END_RE).to_numpy()
+    lstarts = np.concatenate(([0], np.cumsum(n_lines)))
+    nlz = np.maximum(n_lines, 1).astype(np.float64)
+    bullet_frac = _segment_sums(bullet, lstarts) / nlz
+    ell_frac = _segment_sums(ell_end, lstarts) / nlz
+
+    rep = repetition_features(texts)
+
+    out = pd.DataFrame({
+        "n_tokens": n_tokens,
+        "r_words": (n_tokens >= min_words) & (n_tokens <= max_words),
+        "r_mean_len": (mean_len >= min_mean_word_len)
+                      & (mean_len <= max_mean_word_len),
+        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_frac <= max_bullet_line_frac,
+        "r_ellipsis": ell_frac <= max_ellipsis_line_frac,
+        "r_alpha": alpha_frac >= min_alpha_word_frac,
+        "r_stop": stop_hits >= min_distinct_stopwords,
+        "r_dup_line": rep["dup_line_frac"].to_numpy() <= max_dup_line_frac,
+        "r_top_bigram":
+            rep["top_bigram_frac"].to_numpy() <= max_top_bigram_frac,
+    }, index=texts.index)
+    out["keep"] = out[[c for c in out.columns if c.startswith("r_")]].all(
+        axis=1)
+    return out

@@ -647,3 +647,23 @@ def q_doc_ntile(sf_dir: str) -> ray.data.Dataset:
     keys = docs.map_batches(keyed, batch_format="pyarrow")
     return global_ntile(keys, ["nchars", "doc_id"], 4,
                         out_col="bucket")
+
+
+def q_doc_gopher(sf_dir: str) -> ray.data.Dataset:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1): per-doc
+    boolean rule columns + the keep conjunction. Thresholds tuned so
+    the synthetic corpus splits on r_words and r_stop (the 8-word
+    required-stopword list intersects this vocabulary only at 'the').
+    Interchange-exact with the doc_gopher DuckDB twin."""
+    from graphscope_ray.functions.text import gopher_rules
+
+    def rules(b: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_rules(b["text"], min_words=25, max_words=90,
+                         min_distinct_stopwords=1)
+        g.insert(0, "doc_id", b["doc_id"].to_numpy())
+        for c in g.columns:
+            if c.startswith("r_") or c == "keep":
+                g[c] = g[c].astype(np.int64)
+        return g
+
+    return _docs(sf_dir).map_batches(rules, batch_format="pandas")

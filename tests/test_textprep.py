@@ -253,3 +253,42 @@ class TestNtileAndPerplexityBuckets:
         assert (by_id.loc[:7, "ppl_bucket"] < 3).all()
         # equal-population contract
         assert out["ppl_bucket"].value_counts().max() == 4
+
+
+class TestGopherRules:
+    """Gopher quality-rule filter (Rae et al. 2021 §A1.1) kernel."""
+
+    def test_rule_booleans(self):
+        from graphscope_ray.functions.text import gopher_rules
+        s = pd.Series([
+            "the data of be to and that have with join " * 6,  # clean
+            "x",                                    # too short, no stops
+            "",                                     # empty
+            "- the be\n- of and\n- that have",      # all bullet lines
+            "the be aaa bbb " * 20,                 # repeated bigrams
+            "the be of ... and that ...\nhave with ...",  # ellipsis
+        ])
+        g = gopher_rules(s, min_words=5)
+        assert bool(g.loc[0, "keep"])
+        assert not bool(g.loc[1, "r_words"]) and not bool(g.loc[1, "keep"])
+        assert not bool(g.loc[2, "r_alpha"]) and g.loc[2, "n_tokens"] == 0
+        assert not bool(g.loc[3, "r_bullet"])
+        assert not bool(g.loc[4, "r_top_bigram"])
+        assert not bool(g.loc[5, "r_ellipsis"])
+
+    def test_symbol_and_stopword_rules(self):
+        from graphscope_ray.functions.text import gopher_rules
+        hashy = "the be " + "# " * 20
+        nostop = "alpha beta gamma delta epsilon " * 4
+        g = gopher_rules(pd.Series([hashy, nostop]), min_words=2)
+        assert not bool(g.loc[0, "r_symbol"])
+        assert bool(g.loc[0, "r_stop"])      # 'the','be' distinct >= 2
+        assert not bool(g.loc[1, "r_stop"])
+
+    def test_mean_word_length_bounds(self):
+        from graphscope_ray.functions.text import gopher_rules
+        longwords = "the be " + "supercalifragilistic " * 30
+        shortwords = "the be " + "a b c d e f g h " * 10
+        g = gopher_rules(pd.Series([longwords, shortwords]), min_words=2)
+        assert not bool(g.loc[0, "r_mean_len"])
+        assert not bool(g.loc[1, "r_mean_len"])
