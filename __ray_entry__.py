@@ -70,15 +70,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": sf_graph.q_part_triangles,
         "part_bfs": sf_graph.q_part_bfs,
         "part_sssp": sf_graph.q_part_sssp,
-        "part_clustering": sf_graph.q_part_clustering,
-        "part_kcore": sf_graph.q_part_kcore,
         # Cypher query-language frontend over the part graph (r4)
         "cypher_parts": sf_graph.q_cypher_parts,
         "cypher_shortest": sf_graph.q_cypher_shortest,
-        "part_sssp_path": sf_graph.q_part_sssp_path,
         "lpa_u2i": sf_graph.q_lpa_u2i,
-        "part_closeness": sf_graph.q_part_closeness,
-        "part_harmonic": sf_graph.q_part_harmonic,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
         # string-oid WCC through the session relabel path with the
@@ -134,11 +129,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher quality-rule filter (Rae et al. 2021 §A1.1): per-rule
         # interchange-exact booleans + keep conjunction (r4).
         "doc_gopher": textproc.q_doc_gopher,
+        # Okapi BM25 keyword search (lexical retrieval for corpus
+        # curation): 6dp-fixed scores, every float op mirrored in the
+        # twin in the same order (r4).
+        "doc_bm25": textproc.q_doc_bm25,
         # --- positions 51+ ---------------------------------------------
         # The driver sweep records exactly 50 rows in dict order; the
         # tail holds entries whose exactness is already pinned against
         # networkx/pandas/DuckDB oracles in pytest or was recorded in a
         # prior round — losing their gate row costs the least evidence.
+        # five r03-green graph rows rotated out in exchange for the two
+        # new round-4 ops above (doc_gopher, doc_bm25) — their twins and
+        # pytest oracles keep pinning exactness from the tail.
+        "part_clustering": sf_graph.q_part_clustering,
+        "part_kcore": sf_graph.q_part_kcore,
+        "part_closeness": sf_graph.q_part_closeness,
+        "part_harmonic": sf_graph.q_part_harmonic,
+        "part_sssp_path": sf_graph.q_part_sssp_path,
         "part_avg_clustering": sf_graph.q_part_avg_clustering,
         "part_transitivity": sf_graph.q_part_transitivity,
         "part_hits": sf_graph.q_part_hits,
@@ -1598,6 +1605,41 @@ JOIN tstat t ON t.doc_id = d.doc_id
 JOIN sym s ON s.doc_id = d.doc_id
 JOIN lstat l ON l.doc_id = d.doc_id
 LEFT JOIN bstat b ON b.doc_id = d.doc_id""",
+        # Okapi BM25 (+1 idf) for the sorted query {'join','stream',
+        # 'window'} — every float op in the SAME order as the numpy
+        # kernel (term accumulation in sorted-term order, avgdl as the
+        # one exact-int-sum double division), so 6dp scores hash-match.
+        "doc_bm25": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+  FROM documents),
+tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         len(list_filter(ts, x -> x = 'join')) AS tf0,
+         len(list_filter(ts, x -> x = 'stream')) AS tf1,
+         len(list_filter(ts, x -> x = 'window')) AS tf2
+  FROM toks),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         count(*) FILTER (WHERE tf0 > 0) AS df0,
+         count(*) FILTER (WHERE tf1 > 0) AS df1,
+         count(*) FILTER (WHERE tf2 > 0) AS df2
+  FROM tf)
+SELECT doc_id, dl, printf('%.6f', score) AS score FROM (
+  SELECT t.doc_id, t.dl,
+    ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+      * (t.tf0 * (1.2 + 1.0))
+      / (t.tf0 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))
+    + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+      * (t.tf1 * (1.2 + 1.0))
+      / (t.tf1 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))
+    + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0)
+      * (t.tf2 * (1.2 + 1.0))
+      / (t.tf2 + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl))
+    AS score
+  FROM tf t CROSS JOIN stats s)
+WHERE score > 0""",
     }
     return sql
 

@@ -667,3 +667,22 @@ def q_doc_gopher(sf_dir: str) -> ray.data.Dataset:
         return g
 
     return _docs(sf_dir).map_batches(rules, batch_format="pandas")
+
+
+def q_doc_bm25(sf_dir: str) -> ray.data.Dataset:
+    """Okapi BM25 keyword search over the documents table (query:
+    'join window stream'): every matching doc with its 6dp-fixed
+    score. Two streamed passes over a narrow numeric tf table; the
+    corpus text never shuffles (stages/ranking.py)."""
+    from graphscope_ray.stages.ranking import bm25_scores
+
+    scored = bm25_scores(_docs(sf_dir), ["join", "window", "stream"])
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "dl": b["dl"],
+            "score": _fx(b["score"], 6),
+        })
+
+    return scored.map_batches(fmt, batch_format="pandas")
