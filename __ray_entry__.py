@@ -185,6 +185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (seeded hash picks), replica-exact kernel in pytest.
         "part_walks": sf_graph.q_part_walks,
         "part_gcn": sf_graph.q_part_gcn,
+        # incremental Bloom dedup — rows-only (approximate by
+        # construction, one-sided guarantee); FP bound + no-false-
+        # negative contract pinned in pytest (test_sketch.TestBloom).
+        "doc_bloom_new": textproc.q_doc_bloom_new,
     }
 
 

@@ -686,3 +686,26 @@ def q_doc_bm25(sf_dir: str) -> ray.data.Dataset:
         })
 
     return scored.map_batches(fmt, batch_format="pandas")
+
+
+def q_doc_bloom_new(sf_dir: str) -> ray.data.Dataset:
+    """Incremental Bloom dedup (rows-only gate — the filter is
+    approximate by construction, with a one-sided guarantee): build a
+    Bloom filter over the even-doc_id texts (the 'seen' corpus), then
+    keep odd-doc_id docs whose text is definitely unseen. Deterministic
+    for a fixed seed; FP bound pinned in pytest."""
+    from graphscope_ray.stages.sketch import bloom_build, bloom_new_rows
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pa.compute.equal(
+                    pa.compute.bit_wise_and(b.column("doc_id"), 1), parity))
+        return f
+
+    docs = _docs(sf_dir)
+    seen = docs.map_batches(half(0), batch_format="pyarrow")
+    incoming = docs.map_batches(half(1), batch_format="pyarrow")
+    bf = bloom_build(seen, "text", m_bits=1 << 20, k=4)
+    return (bloom_new_rows(incoming, bf, "text")
+            .select_columns(["doc_id"]))

@@ -255,3 +255,126 @@ def approx_quantiles(
         idx = min(len(v) - 1, int(np.floor(q * len(v))))
         out[float(q)] = float(v[idx])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: constant-size set membership for incremental dedup
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Immutable Bloom filter over 64-bit key hashes (double hashing,
+    Kirsch–Mitzenmacher: ``pos_i = (h1 + i·h2) mod m``). ``words`` is
+    the packed uint64 bitmap — the whole sketch is ``m_bits / 8`` bytes
+    regardless of how many keys went in, so it broadcasts once via
+    ``ray.put`` and every filter task reads it zero-copy.
+
+    Guarantees: NO false negatives (a key that was inserted always
+    tests positive), false positives at the classic
+    ``(1 − e^{−kn/m})^k`` rate — i.e. "definitely new" is always
+    correct; a small fraction of genuinely-new keys is conservatively
+    dropped. That is the right direction for incremental corpus dedup
+    (never re-admit a seen document)."""
+
+    __slots__ = ("words", "m_bits", "k", "seed")
+
+    def __init__(self, words: np.ndarray, m_bits: int, k: int, seed: int):
+        self.words = words
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        self.seed = int(seed)
+
+    def positions(self, keys) -> np.ndarray:
+        """(n, k) bit positions of each key."""
+        from graphscope_ray.functions.hashing import hash64_any, splitmix64
+
+        h1 = hash64_any(np.asarray(keys))
+        h2 = splitmix64(h1 ^ np.uint64(self.seed * 0x9E3779B97F4A7C15
+                                       & 0xFFFFFFFFFFFFFFFF))
+        h2 |= np.uint64(1)  # odd stride: all k probes distinct mod 2^j
+        i = np.arange(self.k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) \
+                % np.uint64(self.m_bits)
+
+    def contains(self, keys) -> np.ndarray:
+        """Vectorized membership test → bool[n] (True = maybe seen)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self.positions(keys)
+        w = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = (w >> (pos & np.uint64(63))) & np.uint64(1)
+        return (bit == 1).all(axis=1)
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+    seed: int = 17,
+    num_buckets: int = 64,
+) -> BloomFilter:
+    """Distributed Bloom build: per-batch key hashing emits deduped bit
+    positions (O(k·rows) uint64s — the only thing that shuffles), a
+    bucketed group-apply builds disjoint sub-bitmaps in parallel, and
+    the driver assembles exactly ``m_bits/8`` bytes from ≤ num_buckets
+    rows. Driver state is the final bitmap only — never the keys."""
+    n_words = (m_bits + 63) // 64
+    wpb = (n_words + num_buckets - 1) // num_buckets
+    probe = BloomFilter(np.zeros(0, np.uint64), m_bits, k, seed)
+
+    def positions(b: pd.DataFrame) -> pd.DataFrame:
+        pos = np.unique(probe.positions(b[col].to_numpy()).ravel())
+        return pd.DataFrame({"pos": pos.astype(np.int64)})
+
+    pos_ds = ds.map_batches(positions, batch_format="pandas")
+
+    from graphscope_ray.stages.relational import bucketed_group_apply
+
+    def seal(g: pd.DataFrame) -> pd.DataFrame:
+        # a coarse hash-bucket may hold several whole bkt-groups
+        rows = []
+        for bkt, grp in g.groupby("bkt", sort=False):
+            pos = grp["pos"].to_numpy(np.uint64)
+            sub = np.zeros(wpb, dtype=np.uint64)
+            widx = (pos >> np.uint64(6)).astype(np.int64) - int(bkt) * wpb
+            np.bitwise_or.at(sub, widx,
+                             np.uint64(1) << (pos & np.uint64(63)))
+            rows.append((np.int64(bkt), sub.tobytes()))
+        return pd.DataFrame(rows, columns=["bkt", "sub"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bkt"] = (b["pos"].to_numpy(np.int64) >> 6) // wpb
+        return b
+
+    subs = bucketed_group_apply(
+        pos_ds.map_batches(add_bucket, batch_format="pandas"),
+        ["bkt"], seal, num_buckets=num_buckets).to_pandas()
+
+    words = np.zeros(n_words, dtype=np.uint64)
+    for _, row in subs.iterrows():
+        base = int(row["bkt"]) * wpb
+        sub = np.frombuffer(row["sub"], dtype=np.uint64)
+        words[base:base + len(sub)] |= sub[:n_words - base]
+    return BloomFilter(words, m_bits, k, seed)
+
+
+def bloom_new_rows(
+    ds: ray.data.Dataset,
+    bloom: BloomFilter,
+    col: str,
+) -> ray.data.Dataset:
+    """Incremental dedup against a seen-corpus Bloom filter: keep rows
+    whose key is DEFINITELY not in the filter (at least one probe bit
+    unset). The bitmap ships once via ``ray.put``; each task
+    reconstructs a zero-copy view."""
+    words_ref = ray.put(bloom.words)
+    m_bits, k, seed = bloom.m_bits, bloom.k, bloom.seed
+
+    def keep_new(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(ray.get(words_ref), m_bits, k, seed)
+        return b[~bf.contains(b[col].to_numpy())]
+
+    return ds.map_batches(keep_new, batch_format="pandas")

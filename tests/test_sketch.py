@@ -158,3 +158,55 @@ class TestApproxQuantiles:
                                [0.0, 0.5, 1.0])
         assert got[0.0] == 0.0 and got[1.0] == 9.0
         assert got[0.5] == 5.0              # lower interpolation
+
+
+class TestBloom:
+    def _keys(self, n, seed):
+        rng = np.random.default_rng(seed)
+        return np.array([f"doc-{i}-{rng.integers(1 << 30)}"
+                         for i in range(n)], dtype=object)
+
+    def test_no_false_negatives(self):
+        from graphscope_ray.stages.sketch import bloom_build
+        keys = self._keys(5000, 1)
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(5)
+        bf = bloom_build(ds, "k", m_bits=1 << 18, k=4)
+        assert bf.contains(keys).all()
+
+    def test_fp_rate_bounded(self):
+        from graphscope_ray.stages.sketch import bloom_build
+        keys = self._keys(5000, 2)
+        fresh = self._keys(5000, 3)
+        ds = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+        bf = bloom_build(ds, "k", m_bits=1 << 20, k=4)
+        fp = bf.contains(fresh).mean()
+        # n/m = 5e3/1e6 -> theoretical fp ~ (1-e^(-4*5000/2^20))^4 ~ 1e-7
+        assert fp < 0.01
+
+    def test_partition_invariance(self):
+        from graphscope_ray.stages.sketch import bloom_build
+        keys = self._keys(2000, 4)
+        words = []
+        for p in (1, 7):
+            ds = ray.data.from_pandas(
+                pd.DataFrame({"k": keys})).repartition(p)
+            words.append(bloom_build(ds, "k", m_bits=1 << 16, k=3).words)
+        assert np.array_equal(words[0], words[1])
+
+    def test_bloom_new_rows_incremental_dedup(self):
+        from graphscope_ray.stages.sketch import bloom_build, bloom_new_rows
+        seen = self._keys(3000, 5)
+        new = self._keys(3000, 6)
+        bf = bloom_build(
+            ray.data.from_pandas(pd.DataFrame({"k": seen})), "k",
+            m_bits=1 << 20, k=4)
+        mixed = pd.DataFrame({
+            "k": np.concatenate([seen[:500], new]),
+            "row": np.arange(3500, dtype=np.int64)})
+        out = bloom_new_rows(
+            ray.data.from_pandas(mixed).repartition(4), bf, "k"
+        ).to_pandas()
+        # every genuinely-seen row dropped (no false negatives)...
+        assert not np.isin(out["k"].to_numpy(object), seen).any()
+        # ...and nearly all new rows survive (fp rate tiny at this m)
+        assert len(out) >= 2970
