@@ -127,3 +127,72 @@ def dense_mean_nbr(edges: np.ndarray, n: int) -> np.ndarray:
     if len(edges):
         A[edges[:, 0], edges[:, 1]] = 1.0
     return inv_deg_scale(A.sum(axis=1))[:, None] * A
+
+
+def sage_minibatch_step(params: dict, X2: np.ndarray,
+                        vb: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                        arcs1: np.ndarray, arcs2: np.ndarray,
+                        yb: np.ndarray, weight_decay: float):
+    """One GraphSAGE-mean minibatch forward/backward (Hamilton et al.
+    2017 Alg. 2): seeds ``vb`` ⊆ hop-1 set ``v1`` ⊆ hop-2 set ``v2``
+    (all sorted); ``arcs1`` (src ∈ vb → dst ∈ v1) and ``arcs2``
+    (src ∈ v1 → dst ∈ v2) are the SAMPLED neighbor arcs, deduped and
+    sorted by (src, dst); ``X2`` holds features row-aligned with v2.
+
+    Returns (grads, loss_sum, n_correct). Pure numpy and fully
+    deterministic (sequential ``np.add.at`` scatters, sorted inputs) —
+    shared by the distributed trainer and the sequential test oracle.
+    Layer means are over the sampled arcs only (the SAGE estimator);
+    vertices with no sampled neighbors aggregate the zero vector, the
+    same convention as the full-batch ``inv_deg_scale`` path.
+    """
+    W1, b1 = params["W1"], params["b1"]
+    W2, b2 = params["W2"], params["b2"]
+    nb, n1 = len(vb), len(v1)
+    h = W1.shape[1]
+
+    M1 = np.zeros((n1, X2.shape[1]), np.float64)
+    c1 = np.zeros(n1, np.float64)
+    if len(arcs2):
+        s2i = np.searchsorted(v1, arcs2[:, 0])
+        d2i = np.searchsorted(v2, arcs2[:, 1])
+        np.add.at(M1, s2i, X2[d2i])
+        c1 = np.bincount(s2i, minlength=n1).astype(np.float64)
+    cs1 = np.maximum(c1, 1.0)
+    M1 /= cs1[:, None]
+    b1_in_2 = np.searchsorted(v2, v1)
+    C1 = np.concatenate([X2[b1_in_2], M1], axis=1)
+    Z1 = C1 @ W1 + b1
+    H1 = relu(Z1)
+
+    M0 = np.zeros((nb, h), np.float64)
+    c0 = np.zeros(nb, np.float64)
+    if len(arcs1):
+        s1i = np.searchsorted(vb, arcs1[:, 0])
+        d1i = np.searchsorted(v1, arcs1[:, 1])
+        np.add.at(M0, s1i, H1[d1i])
+        c0 = np.bincount(s1i, minlength=nb).astype(np.float64)
+    cs0 = np.maximum(c0, 1.0)
+    M0 /= cs0[:, None]
+    b_in_1 = np.searchsorted(v1, vb)
+    C2 = np.concatenate([H1[b_in_1], M0], axis=1)
+    Z2 = C2 @ W2 + b2
+    P = softmax_rows(Z2)
+    loss_sum = float(ce_loss_rows(P, yb).sum())
+    correct = int((P.argmax(axis=1) == yb).sum())
+
+    dZ2 = P.copy()
+    dZ2[np.arange(nb), yb] -= 1.0
+    dZ2 /= nb
+    dW2 = C2.T @ dZ2 + weight_decay * W2
+    db2 = dZ2.sum(axis=0)
+    dC2 = dZ2 @ W2.T
+    dH1 = np.zeros_like(H1)
+    dH1[b_in_1] += dC2[:, :h]
+    if len(arcs1):
+        np.add.at(dH1, d1i, dC2[:, h:][s1i] / cs0[s1i, None])
+    dZ1 = dH1 * (Z1 > 0)
+    dW1 = C1.T @ dZ1 + weight_decay * W1
+    db1 = dZ1.sum(axis=0)
+    return ({"W1": dW1, "b1": db1, "W2": dW2, "b2": db2},
+            loss_sum, correct)

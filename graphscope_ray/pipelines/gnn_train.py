@@ -214,3 +214,185 @@ def gnn_node_classification(
     """Train + predict in one call; returns (predictions, metrics)."""
     _, metrics = train_gnn(graph, features, **kwargs)
     return gnn_predictions(graph), metrics
+
+
+# --------------------------------------------------------------------------
+# Mini-batch neighbor-sampled GraphSAGE (the scale path)
+# --------------------------------------------------------------------------
+
+@ray.remote
+class _SageTrainer:
+    """Single parameter-holder actor: SGD steps apply sequentially in
+    submission order (plain GraphSAGE minibatch SGD), so training is
+    deterministic while sampling/gather waves for later batches
+    pipeline behind the in-flight step. Params never live on the
+    driver until training ends."""
+
+    def __init__(self, params: dict, lr: float, weight_decay: float):
+        self.p = {k: v.copy() for k, v in params.items()}
+        self.lr = lr
+        self.wd = weight_decay
+
+    def step(self, X2, vb, v1, v2, arcs1, arcs2, yb):
+        from graphscope_ray.functions.gnn import sage_minibatch_step
+        grads, loss_sum, correct = sage_minibatch_step(
+            self.p, X2, vb, v1, v2, arcs1, arcs2, yb, self.wd)
+        for k in self.p:
+            self.p[k] = self.p[k] - self.lr * grads[k]
+        return loss_sum, correct, len(yb)
+
+    def params(self):
+        return self.p
+
+
+def _sample_arcs(shards, frontier: np.ndarray, fanout: int,
+                 seed: int) -> np.ndarray:
+    """One deterministic sampling wave over the pool → (m, 2) sorted
+    (src, dst) arcs. The rank formula is partition-independent, so the
+    sorted union is identical at any P."""
+    fref = ray.put(frontier)
+    tabs = ray.get([s.nbr_sample.remote(fref, fanout, seed)
+                    for s in shards])
+    src = np.concatenate(
+        [t.column("src").to_numpy(zero_copy_only=False) for t in tabs]
+        or [np.empty(0, np.int64)]).astype(np.int64)
+    dst = np.concatenate(
+        [t.column("dst").to_numpy(zero_copy_only=False) for t in tabs]
+        or [np.empty(0, np.int64)]).astype(np.int64)
+    order = np.lexsort((dst, src))
+    return np.column_stack([src[order], dst[order]])
+
+
+def _gather_rows(shards, vids: np.ndarray):
+    """Feature/label gather wave → (X rows, labels) aligned with the
+    SORTED ``vids`` (each vid owned by exactly one shard)."""
+    vref = ray.put(vids)
+    parts = ray.get([s.gnn_gather.remote(vref) for s in shards])
+    got_v = np.concatenate([p[0] for p in parts])
+    X = np.concatenate([p[1] for p in parts], axis=0)
+    y = np.concatenate([p[2] for p in parts])
+    order = np.argsort(got_v, kind="mergesort")
+    got_v, X, y = got_v[order], X[order], y[order]
+    if len(got_v) != len(vids) or not np.array_equal(got_v, vids):
+        raise ValueError("gather missed vids absent from the graph")
+    return X, y
+
+
+def _step_seed(seed: int, epoch: int, step: int, hop: int) -> int:
+    from graphscope_ray.functions.hashing import splitmix64
+    with np.errstate(over="ignore"):
+        x = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        x = x + np.uint64(epoch * 1_000_003 + step * 97 + hop)
+    return int(splitmix64(np.array([x], np.uint64))[0] >> np.uint64(1))
+
+
+def train_sage_minibatch(
+    graph: ShardedGraph,
+    features: ray.data.Dataset,
+    *,
+    hidden: int = 16,
+    num_classes: int | None = None,
+    fanouts: tuple[int, ...] = (10, 5),
+    batch_size: int = 256,
+    epochs: int = 1,
+    lr: float = 0.1,
+    weight_decay: float = 5e-4,
+    seed: int = 7,
+    feat_dim: int | None = None,
+    feat_col: str = "feat",
+    label_col: str = "label",
+):
+    """Mini-batch neighbor-sampled GraphSAGE-mean training (Hamilton
+    et al. 2017 Alg. 2) — the 100-TB-scale GNN path the full-batch
+    trainer documents:
+
+    - features route ONCE to the owning shards and stay resident
+      (same ``load_vertex_features`` ingest as full-batch);
+    - each step touches only the sampled 2-hop frontier of its seed
+      batch: two ``nbr_sample`` waves (deterministic
+      partition-independent ranks) + one vectorized feature gather —
+      O(batch · f1 · f2) rows move, NEVER the graph;
+    - the dense math runs in a single parameter-holder actor
+      (sequential SGD, deterministic); sampling for later batches
+      pipelines behind the in-flight step because the driver only
+      collects step results at epoch end;
+    - per-epoch seed order is a splitmix shuffle of the labeled set.
+
+    Driver state: the labeled-vid array (the supervised seed set —
+    small by contract relative to the graph) and O(#steps) metric
+    refs. Returns (params, metrics) like ``train_gnn``.
+    """
+    from graphscope_ray.functions.hashing import hash64_ints
+    if len(fanouts) != 2:
+        raise ValueError("train_sage_minibatch is 2-layer: need 2 fanouts")
+    f_dim, placed, n_labeled = load_vertex_features(
+        graph, features, feat_dim=feat_dim, feat_col=feat_col,
+        label_col=label_col)
+    if n_labeled == 0:
+        raise ValueError("no labeled vertices (label column ≥ 0)")
+    if num_classes is None:
+        num_classes = int(max(graph.call_all("gnn_label_max"))) + 1
+    labeled = np.sort(np.concatenate(
+        [np.asarray(a, np.int64) for a in graph.call_all("gnn_labeled_vids")]
+    ))
+
+    params = init_params(seed, [2 * f_dim, hidden])
+    p2 = init_params(seed + 1, [2 * hidden, num_classes])
+    params["W2"], params["b2"] = p2["W1"], p2["b1"]
+    trainer = _SageTrainer.remote(params, lr, weight_decay)
+
+    shards = graph.shards
+    metrics = []
+    step_no = 0
+    t0 = time.perf_counter()
+    for ep in range(epochs):
+        with np.errstate(over="ignore"):
+            shuf = hash64_ints(labeled) ^ np.uint64(
+                _step_seed(seed, ep, 0, 3))
+        order = np.argsort(shuf, kind="mergesort")
+        refs = []
+        for lo in range(0, len(labeled), batch_size):
+            vb = np.sort(labeled[order[lo:lo + batch_size]])
+            s1 = _step_seed(seed, ep, step_no, 0)
+            s2 = _step_seed(seed, ep, step_no, 1)
+            arcs1 = _sample_arcs(shards, vb, fanouts[0], s1)
+            v1 = np.union1d(vb, arcs1[:, 1]) if len(arcs1) else vb
+            arcs2 = _sample_arcs(shards, v1, fanouts[1], s2)
+            v2 = np.union1d(v1, arcs2[:, 1]) if len(arcs2) else v1
+            X2, y2 = _gather_rows(shards, v2)
+            yb = y2[np.searchsorted(v2, vb)]
+            refs.append(trainer.step.remote(
+                X2, vb, v1, v2, arcs1, arcs2, yb))
+            step_no += 1
+        done = ray.get(refs)
+        loss = sum(d[0] for d in done) / max(sum(d[2] for d in done), 1)
+        acc = sum(d[1] for d in done) / max(sum(d[2] for d in done), 1)
+        metrics.append({"epoch": ep, "loss": float(loss),
+                        "accuracy": float(acc),
+                        "seconds": time.perf_counter() - t0})
+        t0 = time.perf_counter()
+    final = ray.get(trainer.params.remote())
+    ray.kill(trainer)
+    return final, {
+        "conv": "sage-minibatch", "feat_dim": f_dim, "hidden": hidden,
+        "num_classes": num_classes, "n_labeled": n_labeled,
+        "rows_placed": placed, "fanouts": list(fanouts),
+        "batch_size": batch_size, "iters": metrics,
+    }
+
+
+def sage_minibatch_node_classification(
+    graph: ShardedGraph,
+    features: ray.data.Dataset,
+    **kwargs,
+) -> tuple[ray.data.Dataset, dict]:
+    """Train with sampled minibatches, then predict with ONE
+    full-neighborhood forward pass on the pool (the standard GraphSAGE
+    inference: sampling is a training-time estimator only)."""
+    params, metrics = train_sage_minibatch(graph, features, **kwargs)
+    wref = [ray.put(params)]
+    _agg_layer_input(graph, "X", "F1", "sage")
+    graph.call_all("gnn_hidden", wref)
+    _agg_layer_input(graph, "H1", "G1", "sage")
+    graph.call_all("gnn_output", wref)
+    return gnn_predictions(graph), metrics

@@ -3219,6 +3219,29 @@ class GraphShard:
             "emb": emb,
         })
 
+    def gnn_labeled_vids(self) -> np.ndarray:
+        """Locally-owned vids with a label (the minibatch seed pool)."""
+        if getattr(self, "_gnn_y", None) is None:
+            return np.empty(0, np.int64)
+        return self.local[self._gnn_y >= 0]
+
+    def gnn_gather(self, vids_ref):
+        """Feature/label gather for the minibatch trainer: of the
+        requested vids, return (owned_vids, X rows, labels) for the
+        ones this shard owns — a vectorized searchsorted gather on the
+        resident matrix, no per-row Python."""
+        v = np.asarray(ray.get(vids_ref) if isinstance(
+            vids_ref, ray.ObjectRef) else vids_ref, np.int64)
+        if not self.n_local or not len(v):
+            f = self._gnn["X"].shape[1] if getattr(self, "_gnn", None) \
+                and "X" in self._gnn else 0
+            return (np.empty(0, np.int64), np.empty((0, f), np.float64),
+                    np.empty(0, np.int64))
+        pos = np.minimum(np.searchsorted(self.local, v), self.n_local - 1)
+        ok = self.local[pos] == v
+        p = pos[ok]
+        return (v[ok], self._gnn["X"][p], self._gnn_y[p])
+
     def gnn_label_max(self) -> int:
         """Largest local label (−1 when none) — num_classes inference."""
         y = self._gnn_y

@@ -215,3 +215,125 @@ def test_session_surface_string_oids():
     acc = np.mean([truth[r.node] == r.pred for r in df.itertuples()])
     assert acc >= 0.9
     assert metrics["num_classes"] == 2
+
+
+# ------------------------------------------------------------------
+# Mini-batch neighbor-sampled GraphSAGE (the scale path)
+# ------------------------------------------------------------------
+
+def _adj(pairs, n):
+    adj = {u: set() for u in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    return adj
+
+
+def _replica_sample(adj, frontier, fanout, seed):
+    """Sequential replica of GraphShard.nbr_sample's deterministic
+    rank formula over a dense adjacency dict."""
+    from graphscope_ray.functions.hashing import hash64_ints, splitmix64
+    src_out, dst_out = [], []
+    for u in np.asarray(frontier, np.int64):
+        nbrs = np.array(sorted(adj[int(u)]), np.int64)
+        if not len(nbrs):
+            continue
+        with np.errstate(over="ignore"):
+            r = splitmix64(
+                hash64_ints(np.full(len(nbrs), u, np.int64))
+                ^ hash64_ints(nbrs + 7) ^ np.uint64(seed))
+        take = nbrs[np.argsort(r, kind="mergesort")][:fanout]
+        src_out.extend([int(u)] * len(take))
+        dst_out.extend(take.tolist())
+    if not src_out:
+        return np.empty((0, 2), np.int64)
+    src = np.array(src_out, np.int64)
+    dst = np.array(dst_out, np.int64)
+    order = np.lexsort((dst, src))
+    return np.column_stack([src[order], dst[order]])
+
+
+def _replica_minibatch(pairs, n, X, y, *, hidden, classes, fanouts,
+                       batch_size, epochs, lr, wd, seed):
+    from graphscope_ray.functions.gnn import (init_params,
+                                              sage_minibatch_step)
+    from graphscope_ray.functions.hashing import hash64_ints
+    from graphscope_ray.pipelines.gnn_train import _step_seed
+    adj = _adj(pairs, n)
+    labeled = np.sort(np.flatnonzero(y >= 0)).astype(np.int64)
+    params = init_params(seed, [2 * X.shape[1], hidden])
+    p2 = init_params(seed + 1, [2 * hidden, classes])
+    params["W2"], params["b2"] = p2["W1"], p2["b1"]
+    step_no = 0
+    for ep in range(epochs):
+        with np.errstate(over="ignore"):
+            shuf = hash64_ints(labeled) ^ np.uint64(
+                _step_seed(seed, ep, 0, 3))
+        order = np.argsort(shuf, kind="mergesort")
+        for lo in range(0, len(labeled), batch_size):
+            vb = np.sort(labeled[order[lo:lo + batch_size]])
+            arcs1 = _replica_sample(
+                adj, vb, fanouts[0], _step_seed(seed, ep, step_no, 0))
+            v1 = np.union1d(vb, arcs1[:, 1]) if len(arcs1) else vb
+            arcs2 = _replica_sample(
+                adj, v1, fanouts[1], _step_seed(seed, ep, step_no, 1))
+            v2 = np.union1d(v1, arcs2[:, 1]) if len(arcs2) else v1
+            X2 = X[v2]
+            yb = y[vb]
+            grads, _, _ = sage_minibatch_step(
+                params, X2, vb, v1, v2, arcs1, arcs2, yb, wd)
+            params = {k: params[k] - lr * grads[k] for k in params}
+            step_no += 1
+    return params
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_minibatch_replica_parity(P):
+    from graphscope_ray.pipelines.gnn_train import train_sage_minibatch
+    X, y = _features(N, 4), _labels(N)
+    g = _pool(P)
+    got, metrics = train_sage_minibatch(
+        g, _feature_ds(X, y), hidden=6, num_classes=2, fanouts=(3, 2),
+        batch_size=4, epochs=3, lr=0.2, weight_decay=1e-3, seed=13)
+    want = _replica_minibatch(
+        PAIRS, N, X, y, hidden=6, classes=2, fanouts=(3, 2),
+        batch_size=4, epochs=3, lr=0.2, wd=1e-3, seed=13)
+    for k in ("W1", "b1", "W2", "b2"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-12,
+                                   atol=1e-14)
+    assert metrics["n_labeled"] == 6
+    g.call_all("gnn_free")
+
+
+def test_minibatch_learns_and_full_forward_inference():
+    from graphscope_ray.pipelines.gnn_train import (
+        sage_minibatch_node_classification,
+    )
+    X0, y = _features(N, 4, seed=5), _labels(N)
+    X = X0 + np.where(np.arange(N) < 6, -1.5, 1.5)[:, None]
+    g = _pool(3)
+    preds, metrics = sage_minibatch_node_classification(
+        g, _feature_ds(X, y), hidden=8, num_classes=2, fanouts=(5, 3),
+        batch_size=3, epochs=25, lr=0.3, seed=4)
+    pred = preds.to_pandas().sort_values("vid")
+    truth = (np.arange(N) >= 6).astype(np.int64)
+    assert len(pred) == N
+    assert (pred["pred"].to_numpy() == truth).mean() >= 0.9
+    assert (metrics["iters"][-1]["loss"]
+            < metrics["iters"][0]["loss"])
+    g.call_all("gnn_free")
+
+
+def test_minibatch_deterministic_across_runs():
+    from graphscope_ray.pipelines.gnn_train import train_sage_minibatch
+    X, y = _features(N, 3, seed=9), _labels(N)
+    outs = []
+    for _ in range(2):
+        g = _pool(2)
+        p, _ = train_sage_minibatch(
+            g, _feature_ds(X, y), hidden=4, num_classes=2,
+            fanouts=(2, 2), batch_size=4, epochs=2, seed=21)
+        outs.append(p)
+        g.call_all("gnn_free")
+    for k in outs[0]:
+        assert np.array_equal(outs[0][k], outs[1][k])
