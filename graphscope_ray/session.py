@@ -861,6 +861,26 @@ def gnn_node_classification(graph: Graph, features, node_field=0,
     numeric column names stacked in order, or ONE list-typed column
     name), and an optional integer label column (−1/null =
     unlabeled)."""
+    normed, has_label = _gnn_feature_ds(graph, features, node_field,
+                                        feat_fields, label_field)
+    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
+                                                    train_gnn)
+    pool = graph._pool()
+    _, metrics = train_gnn(
+        pool, normed,
+        hidden=hidden, num_classes=num_classes, conv=conv, iters=iters,
+        lr=lr, weight_decay=weight_decay, seed=seed,
+        label_col="label" if has_label else None)
+    preds = gnn_predictions(pool).materialize()
+    pool.call_all("gnn_free")
+    return Context(preds, graph), metrics
+
+
+def _gnn_feature_ds(graph: Graph, features, node_field,
+                    feat_fields, label_field):
+    """Normalize a user feature table to the trainer's (vid, feat
+    list<double>[, label]) layout, relabeling string oids like every
+    other session input. Returns (Dataset, has_label)."""
     ds = _as_dataset(features)
     node_col = _first_col(ds, node_field)
     if feat_fields is None:
@@ -885,14 +905,35 @@ def gnn_node_classification(graph: Graph, features, node_field=0,
             out["label"] = t.column(label_field).cast(pa.int64())
         return pa.table(out)
 
-    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
-                                                    train_gnn)
+    return ds.map_batches(norm, batch_format="pyarrow"), has_label
+
+
+def gnn_node_classification_minibatch(
+        graph: Graph, features, node_field=0,
+        feat_fields: list | str | None = None,
+        label_field: str = "label",
+        hidden: int = 16, num_classes: int | None = None,
+        fanouts: tuple[int, ...] = (10, 5), batch_size: int = 256,
+        epochs: int = 5, lr: float = 0.1,
+        weight_decay: float = 5e-4,
+        seed: int = 7) -> tuple[Context, dict]:
+    """Mini-batch neighbor-sampled GraphSAGE node classification (the
+    100-TB-scale GNN path — GLE's sampled-training mode): each SGD
+    step touches only the sampled 2-hop frontier of its seed batch;
+    inference is one full-neighborhood forward pass. Same feature-
+    table contract as :func:`gnn_node_classification`."""
+    normed, has_label = _gnn_feature_ds(graph, features, node_field,
+                                        feat_fields, label_field)
+    if not has_label:
+        raise ValueError("minibatch training needs a label column")
+    from graphscope_ray.pipelines.gnn_train import (
+        sage_minibatch_node_classification,
+    )
     pool = graph._pool()
-    _, metrics = train_gnn(
-        pool, ds.map_batches(norm, batch_format="pyarrow"),
-        hidden=hidden, num_classes=num_classes, conv=conv, iters=iters,
-        lr=lr, weight_decay=weight_decay, seed=seed,
-        label_col="label" if has_label else None)
-    preds = gnn_predictions(pool).materialize()
+    preds_ds, metrics = sage_minibatch_node_classification(
+        pool, normed, hidden=hidden, num_classes=num_classes,
+        fanouts=fanouts, batch_size=batch_size, epochs=epochs, lr=lr,
+        weight_decay=weight_decay, seed=seed)
+    preds = preds_ds.materialize()
     pool.call_all("gnn_free")
     return Context(preds, graph), metrics

@@ -337,3 +337,35 @@ def test_minibatch_deterministic_across_runs():
         g.call_all("gnn_free")
     for k in outs[0]:
         assert np.array_equal(outs[0][k], outs[1][k])
+
+
+def test_minibatch_session_surface_string_oids():
+    """gs.gnn_node_classification_minibatch over a string-keyed
+    session graph — relabel path + sampled training + full-forward
+    inference end to end."""
+    import graphscope_ray.session as gs
+
+    names = [f"n{i:02d}" for i in range(N)]
+    edges = pd.DataFrame({"u": [names[a] for a, b in PAIRS],
+                          "v": [names[b] for a, b in PAIRS]})
+    sess = gs.session(num_partitions=3)
+    g = sess.g(directed=False).add_edges(edges, src_field="u",
+                                         dst_field="v")
+    X = _features(N, 4, seed=5) + np.where(
+        np.arange(N) < 6, -1.5, 1.5)[:, None]
+    y = _labels(N)
+    feats = pd.DataFrame({"node": names,
+                          "f0": X[:, 0], "f1": X[:, 1],
+                          "f2": X[:, 2], "f3": X[:, 3],
+                          "label": y})
+    ctx, metrics = gs.gnn_node_classification_minibatch(
+        g, feats, node_field="node",
+        feat_fields=["f0", "f1", "f2", "f3"],
+        hidden=8, fanouts=(5, 3), batch_size=3, epochs=25, lr=0.3,
+        seed=4)
+    df = ctx.to_dataframe()
+    assert sorted(df["node"]) == sorted(names)
+    truth = {n: int(i >= 6) for i, n in enumerate(names)}
+    acc = np.mean([truth[r.node] == r.pred for r in df.itertuples()])
+    assert acc >= 0.9
+    assert metrics["conv"] == "sage-minibatch"
