@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (seeded hash picks), replica-exact kernel in pytest.
         "part_walks": sf_graph.q_part_walks,
         "part_gcn": sf_graph.q_part_gcn,
+        # mini-batch neighbor-sampled GraphSAGE (the scale-path GNN
+        # trainer) — rows-only; step dataflow replica-exact in pytest.
+        "part_sage_mb": sf_graph.q_part_sage_mb,
         # incremental Bloom dedup — rows-only (approximate by
         # construction, one-sided guarantee); FP bound + no-false-
         # negative contract pinned in pytest (test_sketch.TestBloom).

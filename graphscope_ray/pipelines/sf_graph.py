@@ -869,20 +869,11 @@ def q_part_walks(sf_dir: str) -> ray.data.Dataset:
                              p=0.5, q=2.0, seed=42)
 
 
-def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
-    """Distributed full-batch GNN node classification over the part
-    graph (pipelines/gnn_train — the learning-engine full-graph mode):
-    features from the part table's numeric columns, labels = size
-    tercile on a deterministic quarter of the vertices, 2-layer
-    GraphSAGE-mean classifier trained 40 full-batch GD iterations on
-    the resident shard pool. Rows-only (an iterative trained model has no SQL twin); the
-    training dataflow is pinned replica-exact vs a sequential dense
-    oracle in tests/test_gnn_train.py. Returns (vid, pred) sorted."""
+def _part_gnn_features(sf_dir: str) -> ray.data.Dataset:
+    """Shared GNN gate features over part.parquet: (vid, feat[3],
+    label = size tercile on a deterministic quarter of vertices)."""
     from graphscope_ray.functions.hashing import splitmix64
-    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
-                                                    train_gnn)
 
-    g = build_part_graph(sf_dir)
     part = ray.data.read_parquet(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_size", "p_retailprice", "p_brand"])
@@ -900,9 +891,6 @@ def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
                                                        ).to_numpy()
         X = np.stack([size / 50.0, np.log1p(price) / 10.0,
                       (brand % 5) / 5.0], axis=1)
-        # label = size tercile (learnable from the size feature, so the
-        # gate output is demonstrably non-degenerate), supervised on a
-        # deterministic quarter of the vertices
         lab = (size >= 17).astype(np.int64) + (size >= 34).astype(
             np.int64)
         mask = (splitmix64(vid.astype(np.uint64))
@@ -913,13 +901,53 @@ def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
             "label": pa.array(np.where(mask, lab, -1), pa.int64()),
         })
 
+    return part.map_batches(feats, batch_format="pyarrow")
+
+
+def q_part_gcn(sf_dir: str) -> ray.data.Dataset:
+    """Distributed full-batch GNN node classification over the part
+    graph (pipelines/gnn_train — the learning-engine full-graph mode):
+    features from the part table's numeric columns, labels = size
+    tercile on a deterministic quarter of the vertices, 2-layer
+    GraphSAGE-mean classifier trained 40 full-batch GD iterations on
+    the resident shard pool. Rows-only (an iterative trained model has no SQL twin); the
+    training dataflow is pinned replica-exact vs a sequential dense
+    oracle in tests/test_gnn_train.py. Returns (vid, pred) sorted."""
+    from graphscope_ray.pipelines.gnn_train import (gnn_predictions,
+                                                    train_gnn)
+
+    g = build_part_graph(sf_dir)
     # SAGE-mean: the concat aggregator keeps self features unsmoothed
     # (pure-GCN Â weights self by 1/(deg+1) — on this dense
     # co-occurrence graph that washes out the node-level signal)
-    train_gnn(g, part.map_batches(feats, batch_format="pyarrow"),
+    train_gnn(g, _part_gnn_features(sf_dir),
               hidden=8, num_classes=3, conv="sage", iters=40, lr=0.5,
               seed=5, feat_dim=3)
     preds = gnn_predictions(g).select_columns(["vid", "pred"]).sort("vid")
     out = preds.materialize()
+    g.call_all("gnn_free")
+    return out
+
+
+def q_part_sage_mb(sf_dir: str) -> ray.data.Dataset:
+    """Mini-batch neighbor-sampled GraphSAGE over the part graph (the
+    scale-path GNN trainer, pipelines/gnn_train.train_sage_minibatch):
+    same feature/label construction as q_part_gcn, trained with
+    fanout-(10, 5) sampled 2-hop batches, predicted with one
+    full-neighborhood forward pass. Rows-only (iterative trained
+    model); the step dataflow is pinned replica-exact in
+    tests/test_gnn_train.py. Returns (vid, pred) sorted."""
+    from graphscope_ray.pipelines.gnn_train import (
+        sage_minibatch_node_classification,
+    )
+
+    g = build_part_graph(sf_dir)
+    feats_ds = _part_gnn_features(sf_dir)
+    preds_ds, _ = sage_minibatch_node_classification(
+        g, feats_ds, hidden=8, num_classes=3, fanouts=(10, 5),
+        batch_size=128, epochs=60, lr=0.8, weight_decay=1e-4, seed=5,
+        feat_dim=3)
+    out = preds_ds.select_columns(["vid", "pred"]).sort("vid"
+                                                        ).materialize()
     g.call_all("gnn_free")
     return out
