@@ -16,7 +16,12 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
 
 - ``MATCH`` with one or more comma-separated linear path patterns;
   shared variables join patterns. Directed ``-[e:T]->`` / ``<-[e:T]-``,
-  undirected ``-[e:T]-``, variable-length ``-[:T*1..3]->`` (bounded),
+  undirected ``-[e:T]-``, variable-length ``-[:T*1..3]->`` (bounded;
+  Cypher path-enumeration semantics — one binding row per distinct
+  arc sequence, so multiple intermediates yield multiple rows and a
+  2-cycle may return to the start; relationship-distinctness within a
+  path is not enforced for hops ≥ 3 — fuzz-pinned vs a walk-counting
+  oracle in tests/test_fuzz_cypher.py),
   inline property maps ``{k: v}`` as equality filters.
 - ``MATCH p = shortestPath((a)-[:T*lo..hi]->(b))`` — min-hop-per-pair
   BFS (GIE ShortestPathExpand via ``relational.path_expand``):

@@ -1,0 +1,132 @@
+"""Randomized differential fuzz for the Cypher frontend: random
+property digraphs, pattern/aggregate/var-length/optional queries vs
+straight pandas-merge oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.query import CypherGraph
+
+SEEDS = [3, 17, 91]
+
+
+def _graph(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(8, 28))
+    verts = pd.DataFrame({
+        "vid": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 50, n).astype(np.int64),
+    })
+    def edges(m):
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        keep = src != dst
+        df = pd.DataFrame({
+            "src": src[keep], "dst": dst[keep],
+            "w": rng.integers(0, 20, int(keep.sum())).astype(np.int64),
+        }).drop_duplicates(["src", "dst"]).reset_index(drop=True)
+        return df
+    T = edges(int(rng.integers(10, 4 * n)))
+    U = edges(int(rng.integers(10, 4 * n)))
+    g = (CypherGraph()
+         .add_vertices("V", ray.data.from_pandas(verts))
+         .add_edges("T", ray.data.from_pandas(T))
+         .add_edges("U", ray.data.from_pandas(U)))
+    return g, verts, T, U, rng
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_filtered_hop_count(seed):
+    g, verts, T, _, rng = _graph(seed)
+    c = int(rng.integers(0, 50))
+    d = int(rng.integers(0, 20))
+    out = g.query(
+        f"MATCH (a:V)-[e:T]->(b:V) WHERE a.x > {c} AND e.w <= {d} "
+        "RETURN count(*) AS n").to_pandas()
+    m = T.merge(verts, left_on="src", right_on="vid")
+    want = int(((m["x"] > c) & (m["w"] <= d)).sum())
+    assert int(out["n"].iloc[0]) == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_grouped_aggregates(seed):
+    g, _verts, T, _, _ = _graph(seed)
+    out = g.query("MATCH (a:V)-[e:T]->(b:V) "
+                  "RETURN a AS a, count(*) AS deg, sum(e.w) AS sw "
+                  "ORDER BY a").to_pandas()
+    want = (T.groupby("src").agg(deg=("dst", "size"), sw=("w", "sum"))
+            .reset_index().sort_values("src"))
+    assert np.array_equal(out["a"].to_numpy(np.int64),
+                          want["src"].to_numpy(np.int64))
+    assert np.array_equal(out["deg"].to_numpy(np.int64),
+                          want["deg"].to_numpy(np.int64))
+    assert np.array_equal(out["sw"].to_numpy(np.int64),
+                          want["sw"].to_numpy(np.int64))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_two_hop_homomorphic_count(seed):
+    g, verts, T, U, rng = _graph(seed)
+    e = int(rng.integers(0, 50))
+    out = g.query(
+        "MATCH (a:V)-[:T]->(b:V)-[f:U]->(c:V) "
+        f"WHERE c.x >= {e} RETURN count(*) AS n").to_pandas()
+    m = (T.rename(columns={"src": "a", "dst": "b"})
+         .merge(U.rename(columns={"src": "b", "dst": "c"}), on="b")
+         .merge(verts, left_on="c", right_on="vid"))
+    want = int((m["x"] >= e).sum())
+    assert int(out["n"].iloc[0]) == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_distinct_endpoints(seed):
+    g, _verts, T, _, _ = _graph(seed)
+    out = g.query("MATCH (a:V)-[:T]->(b) RETURN DISTINCT b AS b"
+                  ).to_pandas()
+    assert sorted(out["b"].tolist()) == sorted(set(T["dst"]))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_var_length_reachability(seed):
+    g, verts, T, _, rng = _graph(seed)
+    c = int(rng.integers(0, 40))
+    out = g.query(
+        f"MATCH (a:V)-[:T*1..2]->(b) WHERE a.x > {c} "
+        "RETURN count(*) AS n").to_pandas()
+    # Cypher path semantics: one binding per distinct 1- or 2-arc walk
+    # (distinct intermediates → distinct rows; 2-cycles may return to
+    # the start) — at length ≤ 2 walks = relationship-distinct paths
+    adj = {}
+    for s, d in zip(T["src"], T["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    starts = verts.loc[verts["x"] > c, "vid"].astype(int)
+    want = 0
+    distinct_ends = set()
+    for a in starts:
+        one = adj.get(a, set())
+        want += len(one) + sum(len(adj.get(b, set())) for b in one)
+        two = set().union(*[adj.get(b, set()) for b in one]) \
+            if one else set()
+        distinct_ends |= {(a, b) for b in one | two}
+    assert int(out["n"].iloc[0]) == want
+    # DISTINCT endpoints pin the homomorphic endpoint set too
+    dd = g.query(
+        f"MATCH (a:V)-[:T*1..2]->(b) WHERE a.x > {c} "
+        "RETURN DISTINCT a AS a, b AS b").to_pandas()
+    assert set(zip(dd["a"], dd["b"])) == distinct_ends
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_optional_match_degree(seed):
+    g, verts, T, _, _ = _graph(seed)
+    out = g.query("MATCH (a:V) OPTIONAL MATCH (a)-[e:T]->(b) "
+                  "RETURN a AS a, count(b) AS nb ORDER BY a"
+                  ).to_pandas()
+    deg = T.groupby("src").size()
+    want = verts["vid"].map(deg).fillna(0).astype(np.int64)
+    assert np.array_equal(out["a"].to_numpy(np.int64),
+                          verts["vid"].to_numpy())
+    assert np.array_equal(out["nb"].to_numpy(np.int64),
+                          want.to_numpy())
