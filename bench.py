@@ -231,6 +231,9 @@ def run_queries() -> dict:
         "emb_kmeans": _q_kmeans,
         "node2vec": _q_node2vec,
         "doc_pipeline": textproc.q_doc_pipeline,
+        "doc_gopher": textproc.q_doc_gopher,
+        "doc_bm25": textproc.q_doc_bm25,
+        "doc_bloom_new": textproc.q_doc_bloom_new,
     }
     out = {}
     for name, fn in picks.items():
