@@ -130,3 +130,43 @@ def test_optional_match_degree(seed):
                           verts["vid"].to_numpy())
     assert np.array_equal(out["nb"].to_numpy(np.int64),
                           want.to_numpy())
+
+
+# ------------------------------------------------------------------
+# Gremlin-style fluent frontend over the same random graphs
+# ------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_traversal_out_count_and_values(seed):
+    from graphscope_ray.query import P, traversal_source
+    g, verts, T, _, rng = _graph(seed)
+    t = traversal_source(g)
+    c = int(rng.integers(0, 50))
+    got = t.V("V").has("x", P.gt(c)).out("T").count().toList()
+    m = T.merge(verts, left_on="src", right_on="vid")
+    assert got[0] == int((m["x"] > c).sum())
+    vals = t.V("V").out("T").values("x").toList()
+    want = sorted(T.merge(verts, left_on="dst",
+                          right_on="vid")["x"].tolist())
+    assert sorted(vals) == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_traversal_group_count(seed):
+    from graphscope_ray.query import traversal_source
+    g, verts, T, _, _ = _graph(seed)
+    t = traversal_source(g)
+    rows = t.V("V").out("T").groupCount().toList()
+    want = T.groupby("dst").size().to_dict()
+    assert {r[0]: r[1] for r in rows} == {int(k): int(v)
+                                          for k, v in want.items()}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_traversal_both_dedup(seed):
+    from graphscope_ray.query import traversal_source
+    g, _verts, T, U, _ = _graph(seed)
+    t = traversal_source(g)
+    rows = t.V("V").both("U").dedup().toList()
+    want = set(U["src"]) | set(U["dst"])
+    assert sorted(rows) == sorted(want)
