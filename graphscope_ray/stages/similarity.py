@@ -542,6 +542,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_code",
+    keep_cols: "list[str] | None" = None,
 ) -> ray.data.Dataset:
     """Quantize every vector to ``m`` uint8 code indices (nearest
     subspace codeword by L2) — one broadcast of the codebooks, one
@@ -560,8 +561,11 @@ def pq_encode(
             codes[:, j] = (X @ B[j].T
                            - 0.5 * (B[j] * B[j]).sum(axis=1)
                            ).argmax(axis=1).astype(np.uint8)
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
-                             out_col: list(codes)})
+        out = {id_col: batch[id_col].to_numpy(),
+               out_col: list(codes)}
+        for c in keep_cols or []:
+            out[c] = batch[c].to_numpy()
+        return pd.DataFrame(out)
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -608,3 +612,60 @@ def pq_topk(
         ["query_idx", "score", id_col], ascending=[True, False, True],
         kind="mergesort")
     return parts.groupby("query_idx", sort=True).head(k).reset_index(drop=True)
+
+
+def ivf_pq_build(
+    ds: ray.data.Dataset,
+    num_centroids: int = 64,
+    m: int = 4,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """IVF-PQ index build (Jégou et al. 2011; FAISS ``IVFPQ`` with
+    ``by_residual=False`` — codes quantize the normalized vectors
+    directly, not centroid residuals, keeping ADC scores exactly the
+    cosine of the decoded vector): coarse centroids bucket the corpus
+    (``ivf_build``), PQ codebooks compress every vector to ``m`` bytes
+    (``pq_train``/``pq_encode``). The float vectors are gone after the
+    one encode pass — the resident index is ``(id, centroid, m-byte
+    code)``, i.e. d/m·32× smaller than the corpus.
+
+    Returns (encoded Dataset (id, centroid, code) — materialized, it
+    IS the index; centroids; codebooks)."""
+    assigned, centroids = ivf_build(
+        ds, num_centroids=num_centroids, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, seed=seed)
+    codebooks = pq_train(
+        ds, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col,
+        sample_size=sample_size, iters=iters, seed=seed)
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col,
+                        id_col=id_col, keep_cols=["centroid"]
+                        ).materialize()
+    return encoded, centroids, codebooks
+
+
+def ivf_pq_topk(
+    encoded: ray.data.Dataset,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> pd.DataFrame:
+    """IVF-PQ query: probe the ``nprobe`` nearest coarse buckets per
+    query (broadcast semi-filter over the union of all queries' probed
+    buckets — the :func:`ivf_topk` pruning contract), then the ADC
+    LUT gather-sum scan of :func:`pq_topk` over the surviving m-byte
+    codes. No float vector is read at query time."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+    sub = _filter_centroids(encoded, wanted)
+    return pq_topk(sub, codebooks, queries, k=k, id_col=id_col,
+                   code_col=code_col)

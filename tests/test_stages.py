@@ -393,3 +393,40 @@ def test_repetition_features_duckdb_twin(docs_df):
     byid = got.set_index("doc_id")
     assert byid.loc[9002, "dup_line_frac"] == "0.333333"
     assert byid.loc[9003, "top_bigram_frac"] == "0.600000"
+
+
+def test_ivf_pq_composition():
+    """IVF-PQ = coarse-bucket pruning + ADC scan: the composed query
+    equals pq_topk restricted to the probed buckets exactly, recalls
+    the planted clusters, and keeps (id, centroid, code) only."""
+    from graphscope_ray.stages.similarity import (
+        ivf_pq_build,
+        ivf_pq_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 32)) * 4
+    V = np.concatenate([c + rng.standard_normal((60, 32))
+                        for c in centers])
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": range(len(V)), "embedding": list(V)})).repartition(4)
+    enc, C, books = ivf_pq_build(ds, num_centroids=12, m=4, nbits=6,
+                                 sample_size=1024, seed=9)
+    assert set(enc.schema().names) == {"vec_id", "centroid", "pq_code"}
+    Q = centers[:3] + 0.05
+    got = ivf_pq_topk(enc, C, books, Q, k=8, nprobe=4)
+    # exact-composition oracle: same ADC scan over the probed subset
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :4]
+    wanted = set(np.unique(probe).tolist())
+    sub_df = enc.to_pandas()
+    sub = ray.data.from_pandas(
+        sub_df[sub_df["centroid"].isin(wanted)].reset_index(drop=True))
+    want = pq_topk(sub, books, Q, k=8)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # planted-cluster recall: hits come from the query's own cluster
+    for qi in range(3):
+        hits = got[got["query_idx"] == qi]["vec_id"].to_numpy()
+        assert (hits // 60 == qi).mean() >= 0.9
