@@ -301,6 +301,7 @@ def train_sage_minibatch(
     feat_dim: int | None = None,
     feat_col: str = "feat",
     label_col: str = "label",
+    ckpt_dir: str | None = None,
 ):
     """Mini-batch neighbor-sampled GraphSAGE-mean training (Hamilton
     et al. 2017 Alg. 2) — the 100-TB-scale GNN path the full-batch
@@ -339,13 +340,27 @@ def train_sage_minibatch(
     params = init_params(seed, [2 * f_dim, hidden])
     p2 = init_params(seed + 1, [2 * hidden, num_classes])
     params["W2"], params["b2"] = p2["W1"], p2["b1"]
+
+    # per-epoch checkpoint/resume: same atomic temp-then-rename
+    # manifest contract as the BSP CheckpointManager (a checkpoint is
+    # complete iff manifest.json exists; mismatched config refuses to
+    # resume). Sampling seeds key on (seed, epoch, global step), so a
+    # resumed run reproduces the uninterrupted run bit-for-bit.
+    cfg = (f"sagemb:f{f_dim}:h{hidden}:c{num_classes}:fo{list(fanouts)}"
+           f":b{batch_size}:lr{lr}:wd{weight_decay}:s{seed}"
+           f":n{n_labeled}")
+    start_ep = 0
+    metrics = []
+    if ckpt_dir:
+        start_ep, params, metrics = _sage_ckpt_latest(
+            ckpt_dir, cfg, params, metrics)
     trainer = _SageTrainer.remote(params, lr, weight_decay)
 
     shards = graph.shards
-    metrics = []
-    step_no = 0
+    steps_per_epoch = (len(labeled) + batch_size - 1) // batch_size
+    step_no = start_ep * steps_per_epoch
     t0 = time.perf_counter()
-    for ep in range(epochs):
+    for ep in range(start_ep, epochs):
         with np.errstate(over="ignore"):
             shuf = hash64_ints(labeled) ^ np.uint64(
                 _step_seed(seed, ep, 0, 3))
@@ -370,6 +385,9 @@ def train_sage_minibatch(
         metrics.append({"epoch": ep, "loss": float(loss),
                         "accuracy": float(acc),
                         "seconds": time.perf_counter() - t0})
+        if ckpt_dir:
+            _sage_ckpt_save(ckpt_dir, cfg, ep,
+                            ray.get(trainer.params.remote()), metrics)
         t0 = time.perf_counter()
     final = ray.get(trainer.params.remote())
     ray.kill(trainer)
@@ -396,3 +414,52 @@ def sage_minibatch_node_classification(
     _agg_layer_input(graph, "H1", "G1", "sage")
     graph.call_all("gnn_output", wref)
     return gnn_predictions(graph), metrics
+
+
+def _sage_ckpt_dir(ckpt_dir: str, ep: int) -> str:
+    import os
+    return os.path.join(ckpt_dir, "sage_mb", f"epoch={ep:06d}")
+
+
+def _sage_ckpt_save(ckpt_dir: str, cfg: str, ep: int, params: dict,
+                    metrics: list) -> None:
+    """Write params.npz then publish manifest.json via temp-then-rename
+    (the CheckpointManager atomicity contract: a checkpoint is complete
+    iff its manifest exists)."""
+    import json
+    import os
+    d = _sage_ckpt_dir(ckpt_dir, ep)
+    os.makedirs(d, exist_ok=True)
+    np.savez(os.path.join(d, "params.npz"), **params)
+    tmp = os.path.join(d, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"config": cfg, "epoch": ep, "metrics": metrics}, f)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+
+
+def _sage_ckpt_latest(ckpt_dir: str, cfg: str, params: dict,
+                      metrics: list):
+    """Newest COMPLETE epoch checkpoint with a matching config →
+    (next_epoch, params, metrics); mismatched config refuses to resume
+    (raises) rather than silently diverging."""
+    import json
+    import os
+    root = os.path.join(ckpt_dir, "sage_mb")
+    if not os.path.isdir(root):
+        return 0, params, metrics
+    best = None
+    for name in sorted(os.listdir(root), reverse=True):
+        man = os.path.join(root, name, "manifest.json")
+        if os.path.exists(man):
+            best = os.path.join(root, name)
+            break
+    if best is None:
+        return 0, params, metrics
+    with open(os.path.join(best, "manifest.json")) as f:
+        m = json.load(f)
+    if m["config"] != cfg:
+        raise ValueError(
+            "sage_mb checkpoint config mismatch: refusing to resume "
+            f"(found {m['config']!r}, expected {cfg!r})")
+    loaded = dict(np.load(os.path.join(best, "params.npz")))
+    return int(m["epoch"]) + 1, loaded, list(m["metrics"])

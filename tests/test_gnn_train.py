@@ -369,3 +369,42 @@ def test_minibatch_session_surface_string_oids():
     acc = np.mean([truth[r.node] == r.pred for r in df.itertuples()])
     assert acc >= 0.9
     assert metrics["conv"] == "sage-minibatch"
+
+
+def test_minibatch_checkpoint_resume_bitexact(tmp_path):
+    """Interrupt-after-2-epochs + resume-to-4 equals an uninterrupted
+    4-epoch run bit-for-bit (sampling seeds key on the global step);
+    mismatched config refuses to resume."""
+    from graphscope_ray.pipelines.gnn_train import train_sage_minibatch
+    X, y = _features(N, 3, seed=9), _labels(N)
+    ck = str(tmp_path / "ck")
+
+    g = _pool(2)
+    p_straight, _ = train_sage_minibatch(
+        g, _feature_ds(X, y), hidden=4, num_classes=2,
+        fanouts=(2, 2), batch_size=4, epochs=4, seed=21)
+    g.call_all("gnn_free")
+
+    g = _pool(2)
+    train_sage_minibatch(
+        g, _feature_ds(X, y), hidden=4, num_classes=2,
+        fanouts=(2, 2), batch_size=4, epochs=2, seed=21, ckpt_dir=ck)
+    g.call_all("gnn_free")
+
+    g = _pool(2)
+    p_resumed, m = train_sage_minibatch(
+        g, _feature_ds(X, y), hidden=4, num_classes=2,
+        fanouts=(2, 2), batch_size=4, epochs=4, seed=21, ckpt_dir=ck)
+    g.call_all("gnn_free")
+    for k in p_straight:
+        assert np.array_equal(p_straight[k], p_resumed[k]), k
+    assert [mm["epoch"] for mm in m["iters"]] == [0, 1, 2, 3]
+
+    # config mismatch refuses
+    g = _pool(2)
+    with pytest.raises(ValueError, match="config mismatch"):
+        train_sage_minibatch(
+            g, _feature_ds(X, y), hidden=4, num_classes=2,
+            fanouts=(2, 2), batch_size=4, epochs=4, seed=99,
+            ckpt_dir=ck)
+    g.call_all("gnn_free")
