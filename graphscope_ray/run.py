@@ -33,7 +33,7 @@ import time
 
 ALGOS = ("pagerank", "wcc", "cdlp", "bfs", "sssp", "triangles",
          "degree_centrality", "node2vec_walks", "louvain", "kcore",
-         "ppr", "scc", "hits")
+         "ppr", "scc", "hits", "gnn_sage_mb")
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -72,6 +72,15 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--p", type=float, default=1.0, dest="n2v_p")
     p.add_argument("--q", type=float, default=1.0, dest="n2v_q")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--features", default=None,
+                   help="gnn_sage_mb: parquet with (vid, feat "
+                        "list<float>, label int; label −1 = unlabeled)")
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--fanouts", default="10,5",
+                   help="gnn_sage_mb: comma-separated 2-hop fanouts")
+    p.add_argument("--hidden", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.1)
     return p
 
 
@@ -192,6 +201,26 @@ def main(argv=None) -> dict:
             result, _, _ = algorithms.hits(g, grev,
                                            max_iter=args.max_iter,
                                            tol=args.tol)
+        elif args.algo == "gnn_sage_mb":
+            # mini-batch GraphSAGE node classification: train on the
+            # sampled 2-hop batches, predict with one full-forward pass
+            import ray.data
+
+            from graphscope_ray.pipelines.gnn_train import (
+                sage_minibatch_node_classification,
+            )
+            if not args.features:
+                raise SystemExit("gnn_sage_mb needs --features parquet")
+            feats = ray.data.read_parquet(args.features)
+            fanouts = tuple(int(x) for x in args.fanouts.split(","))
+            result, m = sage_minibatch_node_classification(
+                g, feats, hidden=args.hidden, fanouts=fanouts,
+                batch_size=args.batch_size, epochs=args.epochs,
+                lr=args.lr, seed=args.seed, ckpt_dir=args.ckpt_dir)
+            metrics.update(
+                n_labeled=m["n_labeled"],
+                final_loss=m["iters"][-1]["loss"],
+                final_train_accuracy=m["iters"][-1]["accuracy"])
         elif args.algo == "node2vec_walks":
             from graphscope_ray.pipelines.walks import random_walks_pool
             result = random_walks_pool(
