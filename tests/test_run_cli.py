@@ -122,3 +122,37 @@ def test_run_louvain_scc_kcore_hits_ppr(tmp_path):
         mm = main(["--algo", algo, "--input", ein, "--output", o]
                   + extra)
         assert mm["rows_written"] >= 1, algo
+
+
+def test_cli_gnn_sage_mb(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from graphscope_ray.run import main
+
+    rng = np.random.RandomState(1)
+    n = 40
+    pairs = [(int(rng.randint(n)), int(rng.randint(n)))
+             for _ in range(160)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    ep = tmp_path / "edges.parquet"
+    pd.DataFrame(pairs, columns=["src", "dst"]).astype(
+        np.int64).to_parquet(ep)
+    X = rng.randn(n, 3).round(3) + np.where(
+        np.arange(n) < 20, -1.5, 1.5)[:, None]
+    y = np.where(np.arange(n) % 2 == 0,
+                 (np.arange(n) >= 20).astype(np.int64), -1)
+    fp = tmp_path / "feats.parquet"
+    pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
+                  "feat": [r.tolist() for r in X],
+                  "label": y}).to_parquet(fp)
+    out = tmp_path / "out"
+    m = main(["--algo", "gnn_sage_mb", "--input", str(ep),
+              "--features", str(fp), "--output", str(out),
+              "--partitions", "3", "--epochs", "10",
+              "--batch-size", "8", "--lr", "0.3"])
+    assert m["rows_written"] == n
+    assert m["final_train_accuracy"] >= 0.8
+    got = pd.read_parquet(out)
+    assert sorted(got["vid"]) == list(range(n))
+    assert set(got["pred"]) <= {0, 1}
