@@ -21,7 +21,9 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   arc sequence, so multiple intermediates yield multiple rows and a
   2-cycle may return to the start; relationship-distinctness within a
   path is not enforced for hops ≥ 3 — fuzz-pinned vs a walk-counting
-  oracle in tests/test_fuzz_cypher.py),
+  oracle in tests/test_fuzz_cypher.py), alternative relationship
+  types ``-[e:A|B]->`` (union of the per-type arc tables; ``e``'s
+  properties ride each type's own rows),
   inline property maps ``{k: v}`` as equality filters.
 - ``MATCH p = shortestPath((a)-[:T*lo..hi]->(b))`` — min-hop-per-pair
   BFS (GIE ShortestPathExpand via ``relational.path_expand``):
@@ -77,7 +79,7 @@ _TOKEN_RE = re.compile(r"""
       (?P<num>\d+\.\d+|\d+)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/%])
+    | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/%|])
     )""", re.VERBOSE)
 
 _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
@@ -392,6 +394,11 @@ class _Parser:
                 var = self.next()[1]
             if self.accept("punct", ":"):
                 rtype = self.expect("name")[1]
+                alts = [rtype]
+                while self.accept("punct", "|"):
+                    alts.append(self.expect("name")[1])
+                if len(alts) > 1:
+                    rtype = tuple(alts)
             if self.accept("punct", "*"):
                 lo = int(self.expect("num")[1])
                 self.expect("punct", "..")
@@ -834,25 +841,42 @@ class CypherGraph:
                                  "allowed with exactly one edge table")
             rel = RelPat(rel.var, next(iter(self._e)), rel.direction,
                          rel.props, rel.min_hops, rel.max_hops)
-        ds, s, d = self._e[rel.rtype]
+        # alternative relationship types [:A|B] expand to the union of
+        # the per-type arc tables (each row keeps its own properties)
+        rtypes = (rel.rtype if isinstance(rel.rtype, tuple)
+                  else (rel.rtype,))
 
-        def orient(flip: bool):
-            def f(t: pa.Table) -> pa.Table:
-                a = t.column(s).cast(pa.int64())
-                b = t.column(d).cast(pa.int64())
-                cols = {left: b if flip else a, right: a if flip else b}
-                for p in eprops:
-                    cols[f"{rel.var}__{p}"] = t.column(p)
-                return pa.table(cols)
-            return f
+        def arcs_of(rtype: str) -> ray.data.Dataset:
+            if rtype not in self._e:
+                raise KeyError(f"cypher: unknown relationship type "
+                               f"{rtype!r}")
+            ds, s, d = self._e[rtype]
 
-        if rel.direction == "out":
-            return ds.map_batches(orient(False), batch_format="pyarrow")
-        if rel.direction == "in":
-            return ds.map_batches(orient(True), batch_format="pyarrow")
-        return (ds.map_batches(orient(False), batch_format="pyarrow")
-                .union(ds.map_batches(orient(True),
-                                      batch_format="pyarrow")))
+            def orient(flip: bool):
+                def f(t: pa.Table) -> pa.Table:
+                    a = t.column(s).cast(pa.int64())
+                    b = t.column(d).cast(pa.int64())
+                    cols = {left: b if flip else a,
+                            right: a if flip else b}
+                    for p in eprops:
+                        cols[f"{rel.var}__{p}"] = t.column(p)
+                    return pa.table(cols)
+                return f
+
+            if rel.direction == "out":
+                return ds.map_batches(orient(False),
+                                      batch_format="pyarrow")
+            if rel.direction == "in":
+                return ds.map_batches(orient(True),
+                                      batch_format="pyarrow")
+            return (ds.map_batches(orient(False), batch_format="pyarrow")
+                    .union(ds.map_batches(orient(True),
+                                          batch_format="pyarrow")))
+
+        out = arcs_of(rtypes[0])
+        for rt in rtypes[1:]:
+            out = out.union(arcs_of(rt))
+        return out
 
     # -- execution
     def query(self, src: str) -> ray.data.Dataset:

@@ -170,3 +170,20 @@ def test_traversal_both_dedup(seed):
     rows = t.V("V").both("U").dedup().toList()
     want = set(U["src"]) | set(U["dst"])
     assert sorted(rows) == sorted(want)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_alternative_rel_types(seed):
+    """[:T|U] = union of per-type arc tables (row-per-arc semantics)."""
+    g, verts, T, U, rng = _graph(seed)
+    c = int(rng.integers(0, 50))
+    out = g.query(
+        f"MATCH (a:V)-[:T|U]->(b) WHERE a.x > {c} "
+        "RETURN count(*) AS n").to_pandas()
+    both = pd.concat([T[["src", "dst"]], U[["src", "dst"]]])
+    m = both.merge(verts, left_on="src", right_on="vid")
+    assert int(out["n"].iloc[0]) == int((m["x"] > c).sum())
+    # edge property binding rides each type's own rows
+    o2 = g.query("MATCH (a)-[e:T|U]->(b) RETURN sum(e.w) AS s"
+                 ).to_pandas()
+    assert int(o2["s"].iloc[0]) == int(T["w"].sum() + U["w"].sum())
