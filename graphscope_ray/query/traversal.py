@@ -199,14 +199,23 @@ class Traversal:
             t._path_vars.append(f"v{i}")
         return t
 
-    def out(self, rtype: str | None = None, times=1) -> "Traversal":
-        return self._hop(rtype, "out", times)
+    @staticmethod
+    def _rt(rtypes: tuple) -> "str | tuple | None":
+        """Gremlin variadic edge labels: out() → any (single-table
+        graphs), out('A') → one type, out('A', 'B') → the union of
+        the per-type arc tables (RelPat tuple rtype)."""
+        if not rtypes:
+            return None
+        return rtypes[0] if len(rtypes) == 1 else tuple(rtypes)
 
-    def in_(self, rtype: str | None = None, times=1) -> "Traversal":
-        return self._hop(rtype, "in", times)
+    def out(self, *rtypes: str, times=1) -> "Traversal":
+        return self._hop(self._rt(rtypes), "out", times)
 
-    def both(self, rtype: str | None = None, times=1) -> "Traversal":
-        return self._hop(rtype, "both", times)
+    def in_(self, *rtypes: str, times=1) -> "Traversal":
+        return self._hop(self._rt(rtypes), "in", times)
+
+    def both(self, *rtypes: str, times=1) -> "Traversal":
+        return self._hop(self._rt(rtypes), "both", times)
 
     # ---- repeat/emit (Gremlin loop steps)
     def repeat_out(self, rtype: str | None = None, max_times: int = 1,

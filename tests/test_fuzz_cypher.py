@@ -187,3 +187,12 @@ def test_alternative_rel_types(seed):
     o2 = g.query("MATCH (a)-[e:T|U]->(b) RETURN sum(e.w) AS s"
                  ).to_pandas()
     assert int(o2["s"].iloc[0]) == int(T["w"].sum() + U["w"].sum())
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_traversal_multi_label_out(seed):
+    from graphscope_ray.query import traversal_source
+    g, _verts, T, U, _ = _graph(seed)
+    t = traversal_source(g)
+    got = t.V("V").out("T", "U").count().toList()
+    assert got[0] == len(T) + len(U)
