@@ -85,6 +85,8 @@ def corpus_stats(
         return pd.DataFrame(row)
 
     parts = tf.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0 or "n" not in parts.columns:  # empty corpus
+        return 0, 0.0, np.zeros(n_terms, np.float64)
     n = int(parts["n"].sum())
     avgdl = float(int(parts["sum_dl"].sum())) / n if n else 0.0
     df = np.array([int(parts[f"df_{j}"].sum()) for j in range(n_terms)],
@@ -109,6 +111,13 @@ def bm25_scores(
     tf, terms = term_frequency_table(docs, query_terms,
                                      text_col=text_col, id_col=id_col)
     n, avgdl, df = corpus_stats(tf, len(terms))
+    if n == 0 or avgdl == 0.0:
+        # empty corpus / all-empty docs: nothing can match
+        return tf.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col].iloc[:0],
+                                    "dl": b["dl"].iloc[:0],
+                                    "score": np.empty(0, np.float64)}),
+            batch_format="pandas")
     idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:

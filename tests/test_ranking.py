@@ -118,3 +118,28 @@ class TestDocumentFrequency:
                               want["token"].to_numpy(object))
         assert np.array_equal(got["df"].to_numpy(np.int64),
                               want["df"].to_numpy(np.int64))
+
+
+class TestEdgeCases:
+    def test_empty_and_all_empty_corpus(self):
+        from graphscope_ray.stages.ranking import bm25_scores
+        empty = pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                              "text": np.empty(0, object)})
+        out = bm25_scores(ray.data.from_pandas(empty), ["x"]).to_pandas()
+        assert len(out) == 0
+        blank = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                              "text": ["", "", ""]})
+        out2 = bm25_scores(ray.data.from_pandas(blank), ["x"]).to_pandas()
+        assert len(out2) == 0
+
+    def test_term_absent_from_corpus(self):
+        from graphscope_ray.stages.ranking import bm25_scores
+        df = _corpus(10, seed=2)
+        out = (bm25_scores(ray.data.from_pandas(df),
+                           ["zzznotaword", "join"])
+               .to_pandas())
+        want = _brute_bm25(df, ["join", "zzznotaword"])
+        want = want[want["score"] > 0]
+        assert len(out) == len(want)
+        assert np.allclose(np.sort(out["score"]), np.sort(want["score"]),
+                           atol=1e-12)
