@@ -44,6 +44,10 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   (+ - * /), AND/OR/NOT, parentheses, ``x.p IN [lits]``,
   ``x.p STARTS WITH / ENDS WITH / CONTAINS 'lit'``, and
   ``x IS [NOT] NULL`` (null comparisons filter, as in Cypher).
+  Pattern predicates ``[NOT] (a)-[:T]->(b)`` (GIE SEMI/ANTI join —
+  ``relational.cogroup_pair_semi`` on the endpoint pair) as top-level
+  AND-conjuncts over bound, non-OPTIONAL variables; single
+  property-free hop, any direction, alternative types allowed.
 - ``RETURN [DISTINCT]`` of ``var`` (the vertex id), ``var.prop``,
   arithmetic expressions (+ - * / %), ``CASE WHEN … THEN … [ELSE …]
   END`` (first-match; omitted ELSE is null), and aggregates
@@ -198,6 +202,16 @@ class Agg:
 class CaseExpr:
     whens: list             # [(cond_expr, value_expr)]
     default: object         # ELSE expr (Lit(None) when omitted)
+
+
+@dataclass
+class PatternPred:
+    """``WHERE [NOT] (a)-[:T]->(b)`` — single-hop pattern predicate
+    between two bound variables (GIE SEMI/ANTI join)."""
+    neg: bool
+    left: str
+    rel: object            # RelPat, single hop, no props
+    right: str
 
 
 @dataclass
@@ -457,9 +471,39 @@ class _Parser:
         return e
 
     def not_expr(self):
+        pp = self._try_pattern_pred(False)
+        if pp is not None:
+            return pp
         if self.accept("kw", "NOT"):
+            pp = self._try_pattern_pred(True)
+            if pp is not None:
+                return pp
             return NotOp(self.not_expr())
         return self.cmp_expr()
+
+    def _try_pattern_pred(self, neg: bool):
+        """Lookahead for ``(var)-[:T]->(var)`` at predicate position —
+        backtracks cleanly when the '(' opens an ordinary
+        parenthesized expression."""
+        save = self.i
+        if not self.accept("punct", "("):
+            return None
+        if self.peek()[0] != "name":
+            self.i = save
+            return None
+        left = self.next()[1]
+        if not self.accept("punct", ")") or self.peek() not in (
+                ("punct", "-"), ("punct", "<-")):
+            self.i = save
+            return None
+        rel = self.rel()
+        self.expect("punct", "(")
+        right = self.expect("name")[1]
+        self.expect("punct", ")")
+        if rel.min_hops != 1 or rel.max_hops != 1 or rel.props:
+            raise ValueError("cypher: pattern predicates support a "
+                             "single property-free hop")
+        return PatternPred(neg, left, rel, right)
 
     def cmp_expr(self):
         e = self.add_expr()
@@ -617,6 +661,9 @@ def _expr_vars(e, out: set, props: list):
         _expr_vars(e.default, out, props)
     elif isinstance(e, Agg) and e.arg is not None:
         _expr_vars(e.arg, out, props)
+    elif isinstance(e, PatternPred):
+        out.add(e.left)
+        out.add(e.right)
 
 
 def _expr_props(e, out: set):
@@ -902,8 +949,33 @@ class CypherGraph:
             for e, _ in q.order:
                 _expr_props(e, need)
 
-        # inline {k: v} maps become WHERE conjuncts
-        conjuncts = [] if q.where is None else [q.where]
+        # inline {k: v} maps become WHERE conjuncts; WHERE itself
+        # splits into its top-level AND-conjuncts so each can push
+        # down (or semi/anti-join, for pattern predicates) on its own
+        def _split_and(e, out):
+            if isinstance(e, BinOp) and e.op == "and":
+                _split_and(e.left, out)
+                _split_and(e.right, out)
+            else:
+                out.append(e)
+
+        def _no_nested_pp(e):
+            if isinstance(e, PatternPred):
+                raise ValueError(
+                    "cypher: pattern predicates must be top-level "
+                    "WHERE conjuncts (not under OR/NOT/…)")
+            for f in getattr(e, "__dataclass_fields__", {}):
+                v = getattr(e, f)
+                for item in (v if isinstance(v, (list, tuple)) else [v]):
+                    if hasattr(item, "__dataclass_fields__"):
+                        _no_nested_pp(item)
+
+        conjuncts: list = []
+        if q.where is not None:
+            _split_and(q.where, conjuncts)
+            for c in conjuncts:
+                if not isinstance(c, PatternPred):
+                    _no_nested_pp(c)
         var_labels: dict[str, str | None] = {}
         anon = [0]
 
@@ -1136,6 +1208,8 @@ class CypherGraph:
                     for p in ps)
                 (ready if ok else rest).append(c)
             pending = rest
+            pats = [c for c in ready if isinstance(c, PatternPred)]
+            ready = [c for c in ready if not isinstance(c, PatternPred)]
             if ready:
                 by_var: dict = {}
                 for c in ready:
@@ -1149,6 +1223,22 @@ class CypherGraph:
                 for c in ready[1:]:
                     pred = BinOp("and", pred, c)
                 b = filter_ds(b, pred)
+            for pp in pats:
+                # WHERE [NOT] (a)-[:T]->(b): SEMI/ANTI join of the
+                # binding against the (deduped) arc table on the
+                # endpoint pair — GIE's SEMI/ANTI join kinds
+                if {pp.left, pp.right} & opt_fresh_vars:
+                    raise ValueError(
+                        "cypher: pattern predicates on OPTIONAL-bound "
+                        "variables are unsupported (nullable keys)")
+                from graphscope_ray.stages.relational import (
+                    cogroup_pair_semi,
+                )
+                arcs = self._edge_arcs(pp.rel, "_ppa", "_ppb", [])
+                b = cogroup_pair_semi(
+                    b, arcs, on=(pp.left, pp.right),
+                    right_on=("_ppa", "_ppb"), negate=pp.neg,
+                    num_buckets=self.num_buckets)
             return b
 
         for pat in patterns:

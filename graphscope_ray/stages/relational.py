@@ -405,6 +405,67 @@ def cogroup_join(
     return bucketed_group_apply(both, ["_k"], merge, num_buckets)
 
 
+def cogroup_pair_semi(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple,
+    right_on: tuple,
+    negate: bool = False,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """SEMI / ANTI equi-join on an int64 KEY PAIR (the GIE SEMI/ANTI
+    join kinds; Cypher ``WHERE [NOT] (a)-[:T]->(b)`` pattern
+    predicates): keep left rows whose ``(on[0], on[1])`` pair appears
+    (semi) / does not appear (anti, ``negate=True``) among right's
+    ``right_on`` pairs. Left rows pass through with their original
+    columns and multiplicity (right pairs are deduped per group, so a
+    matching row is kept exactly once). Co-grouped on the pair's FIRST
+    element — same shuffle shape as :func:`cogroup_join`."""
+    a, b = on
+    ra, rb = right_on
+    ltypes = _arrow_fields(left)
+    lcols = list(ltypes)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"_k": t.column(a).cast(pa.int64())}
+        for c in lcols:
+            cols[c] = t.column(c)
+        cols["_pp"] = pa.array(np.zeros(t.num_rows, np.int64))
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return t.from_pydict(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {"_k": t.column(ra).cast(pa.int64())}
+        for c in lcols:
+            typ = ltypes[c]
+            if pa.types.is_integer(typ):
+                # zero-pad ints (never read; null ints would promote
+                # the union column to float64 and round big vids)
+                cols[c] = pa.array(
+                    np.zeros(t.num_rows, np.int64)).cast(typ)
+            else:
+                cols[c] = pa.nulls(t.num_rows, typ)
+        cols["_pp"] = t.column(rb).cast(pa.int64())
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        return t.from_pydict(cols)
+
+    both = (left.map_batches(tag_left, batch_format="pyarrow")
+            .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = (g[g["_side"] == 1][["_k", "_pp"]]
+             .drop_duplicates().rename(columns={"_k": "_pa"}))
+        m = l.merge(r, left_on=["_k", b], right_on=["_pa", "_pp"],
+                    how="left", indicator="_m", suffixes=("", "_r"))
+        keep = (m["_m"] == "both")
+        if negate:
+            keep = ~keep
+        return m.loc[keep, lcols].reset_index(drop=True)
+
+    return bucketed_group_apply(both, ["_k"], merge, num_buckets)
+
+
 def intersect_lists(
     ds: ray.data.Dataset,
     cols: list[str],

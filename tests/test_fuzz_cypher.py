@@ -196,3 +196,40 @@ def test_traversal_multi_label_out(seed):
     t = traversal_source(g)
     got = t.V("V").out("T", "U").count().toList()
     assert got[0] == len(T) + len(U)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pattern_predicates_semi_anti(seed):
+    """WHERE [NOT] (a)-[:U]->(b): semi/anti pair-join vs pandas,
+    original multiplicity preserved."""
+    g, verts, T, U, rng = _graph(seed)
+    c = int(rng.integers(0, 50))
+    semi = g.query(
+        f"MATCH (a:V)-[:T]->(b) WHERE (a)-[:U]->(b) AND a.x > {c} "
+        "RETURN a AS a, b AS b").to_pandas()
+    anti = g.query(
+        "MATCH (a:V)-[:T]->(b) WHERE NOT (a)-[:U]->(b) "
+        "RETURN a AS a, b AS b").to_pandas()
+    upairs = set(zip(U["src"], U["dst"]))
+    m = T.merge(verts, left_on="src", right_on="vid")
+    tsem = m[(m["x"] > c)
+             & [p in upairs for p in zip(m["src"], m["dst"])]]
+    tant = T[[p not in upairs for p in zip(T["src"], T["dst"])]]
+
+    def pairs(df):
+        # Ray's to_pandas drops columns on an all-empty dataset
+        return sorted(zip(df["a"], df["b"])) if len(df) else []
+
+    assert pairs(semi) == sorted(zip(tsem["src"], tsem["dst"]))
+    assert pairs(anti) == sorted(zip(tant["src"], tant["dst"]))
+
+
+def test_pattern_predicate_restrictions():
+    import ray.data as rd
+    g, *_ = _graph(3)
+    with pytest.raises(ValueError, match="top-level"):
+        g.query("MATCH (a:V)-[:T]->(b) "
+                "WHERE a.x > 1 OR (a)-[:U]->(b) RETURN a AS a")
+    with pytest.raises(ValueError, match="single property-free hop"):
+        g.query("MATCH (a:V)-[:T]->(b) "
+                "WHERE (a)-[:U*1..2]->(b) RETURN a AS a")
