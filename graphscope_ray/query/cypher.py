@@ -44,10 +44,12 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   (+ - * /), AND/OR/NOT, parentheses, ``x.p IN [lits]``,
   ``x.p STARTS WITH / ENDS WITH / CONTAINS 'lit'``, and
   ``x IS [NOT] NULL`` (null comparisons filter, as in Cypher).
-  Pattern predicates ``[NOT] (a)-[:T]->(b)`` (GIE SEMI/ANTI join —
-  ``relational.cogroup_pair_semi`` on the endpoint pair) as top-level
-  AND-conjuncts over bound, non-OPTIONAL variables; single
-  property-free hop, any direction, alternative types allowed.
+  Pattern predicates ``[NOT] (a)-[:T]->(b)`` and the existential
+  ``[NOT] (a)-[:T]->()`` (GIE SEMI/ANTI join —
+  ``relational.cogroup_pair_semi`` on the endpoint pair, or on the
+  key against the arc-src set) as top-level AND-conjuncts over bound,
+  non-OPTIONAL variables; single property-free hop, any direction,
+  alternative types allowed.
 - ``RETURN [DISTINCT]`` of ``var`` (the vertex id), ``var.prop``,
   arithmetic expressions (+ - * / %), ``CASE WHEN … THEN … [ELSE …]
   END`` (first-match; omitted ELSE is null), and aggregates
@@ -498,7 +500,9 @@ class _Parser:
             return None
         rel = self.rel()
         self.expect("punct", "(")
-        right = self.expect("name")[1]
+        right = None
+        if self.peek()[0] == "name":
+            right = self.next()[1]
         self.expect("punct", ")")
         if rel.min_hops != 1 or rel.max_hops != 1 or rel.props:
             raise ValueError("cypher: pattern predicates support a "
@@ -663,7 +667,8 @@ def _expr_vars(e, out: set, props: list):
         _expr_vars(e.arg, out, props)
     elif isinstance(e, PatternPred):
         out.add(e.left)
-        out.add(e.right)
+        if e.right is not None:
+            out.add(e.right)
 
 
 def _expr_props(e, out: set):
@@ -1235,9 +1240,15 @@ class CypherGraph:
                     cogroup_pair_semi,
                 )
                 arcs = self._edge_arcs(pp.rel, "_ppa", "_ppb", [])
+                if pp.right is None:
+                    # existential (a)-[:T]->(): pairing the key with
+                    # itself turns the pair join into src-set
+                    # membership — no extra operator needed
+                    on, ron = (pp.left, pp.left), ("_ppa", "_ppa")
+                else:
+                    on, ron = (pp.left, pp.right), ("_ppa", "_ppb")
                 b = cogroup_pair_semi(
-                    b, arcs, on=(pp.left, pp.right),
-                    right_on=("_ppa", "_ppb"), negate=pp.neg,
+                    b, arcs, on=on, right_on=ron, negate=pp.neg,
                     num_buckets=self.num_buckets)
             return b
 

@@ -24,7 +24,10 @@ predicates ``P.eq/neq/gt/gte/lt/lte/within``,
 variable-length segment), ``where(P.neq("tag"))`` (compare the current
 element to an ``as_``-tagged one — cycle/anti filters),
 ``simplePath()``, ``hasE(key, value_or_P)`` (last hop's edge
-property), ``union(other)``.
+property), ``union(other)``, and the existential neighbor filters
+``whereOut/ whereNotOut/ whereIn/ whereNotIn/ whereBoth/
+whereNotBoth(*types)`` (Gremlin ``where(out('T'))`` /
+``where(__.not_(out('T')))`` — SEMI/ANTI joins).
 """
 
 from __future__ import annotations
@@ -256,6 +259,35 @@ class Traversal:
         t._conjuncts.append(
             BinOp(pred.op, Var(t._cur), Var(t._aliases[tag])))
         return t
+
+    def _nbr_exists(self, rtypes, direction, neg) -> "Traversal":
+        from graphscope_ray.query.cypher import PatternPred
+        t = self._clone()
+        t._conjuncts.append(PatternPred(
+            neg, t._cur, RelPat(None, self._rt(rtypes), direction, {}),
+            None))
+        return t
+
+    def whereOut(self, *rtypes: str) -> "Traversal":
+        """Gremlin ``where(out('T'))``: keep elements with ≥1 outgoing
+        T-neighbor (existential pattern predicate — SEMI join)."""
+        return self._nbr_exists(rtypes, "out", False)
+
+    def whereNotOut(self, *rtypes: str) -> "Traversal":
+        """Gremlin ``where(__.not_(out('T')))`` — ANTI join."""
+        return self._nbr_exists(rtypes, "out", True)
+
+    def whereIn(self, *rtypes: str) -> "Traversal":
+        return self._nbr_exists(rtypes, "in", False)
+
+    def whereNotIn(self, *rtypes: str) -> "Traversal":
+        return self._nbr_exists(rtypes, "in", True)
+
+    def whereBoth(self, *rtypes: str) -> "Traversal":
+        return self._nbr_exists(rtypes, "both", False)
+
+    def whereNotBoth(self, *rtypes: str) -> "Traversal":
+        return self._nbr_exists(rtypes, "both", True)
 
     def simplePath(self) -> "Traversal":
         """Keep only bindings whose mandatory chain visits pairwise

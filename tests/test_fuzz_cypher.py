@@ -233,3 +233,19 @@ def test_pattern_predicate_restrictions():
     with pytest.raises(ValueError, match="single property-free hop"):
         g.query("MATCH (a:V)-[:T]->(b) "
                 "WHERE (a)-[:U*1..2]->(b) RETURN a AS a")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_existential_pattern_predicates(seed):
+    from graphscope_ray.query import traversal_source
+    g, verts, T, U, _ = _graph(seed)
+    out = g.query("MATCH (a:V) WHERE (a)-[:T]->() RETURN a AS a"
+                  ).to_pandas()
+    got = sorted(out["a"]) if len(out) else []
+    assert got == sorted(set(T["src"]))
+    t = traversal_source(g)
+    non_src = t.V("V").whereNotOut("T").id_().toList()
+    assert sorted(non_src) == sorted(
+        set(verts["vid"]) - set(T["src"]))
+    both_in = t.V("V").whereIn("T", "U").id_().toList()
+    assert sorted(both_in) == sorted(set(T["dst"]) | set(U["dst"]))
