@@ -1483,7 +1483,29 @@ class CypherGraph:
                         df = df.drop(columns=["_g"])
                     return df[[it.alias for it in items]]
 
-                return out.map_batches(post, batch_format="pandas")
+                res = out.map_batches(post, batch_format="pandas")
+                if dummy:
+                    # Cypher: a GLOBAL aggregate over an empty stream
+                    # yields exactly ONE identity row (count/sum → 0,
+                    # collect → [], min/max/avg/… → null) — the
+                    # groupby would yield zero. The global aggregate is
+                    # ≤ 1 row, so materializing to check is free.
+                    res = res.materialize()
+                    if res.count() == 0:
+                        ident = {}
+                        for it in aggs:
+                            fn = it.expr.fn
+                            if fn == "count":
+                                ident[it.alias] = np.int64(0)
+                            elif fn == "sum":
+                                ident[it.alias] = np.int64(0)
+                            elif fn == "collect":
+                                ident[it.alias] = []
+                            else:
+                                ident[it.alias] = None
+                        res = ray.data.from_pandas(
+                            pd.DataFrame([ident]))
+                return res
             if distinct:
                 return dedup_first(proj, [it.alias for it in items],
                                    num_buckets=self.num_buckets)

@@ -420,3 +420,16 @@ def test_collect_aggregate(g):
         "WHERE a.name = 'ann' RETURN collect(b.name) AS friends")
     vals = out.to_pandas()["friends"].iloc[0]
     assert sorted(vals) == ["bob", "cal"]
+
+
+def test_global_aggregate_over_empty_stream(g):
+    """Cypher: a keyless aggregate over zero rows returns exactly ONE
+    identity row (count/sum → 0, collect → [], min → null) — found by
+    the wide-seed fuzz stress (a WHERE that filters every binding)."""
+    out = g.query("MATCH (a:Person)-[e:KNOWS]->(b) WHERE a.age > 999 "
+                  "RETURN count(*) AS n, sum(e.since) AS s, "
+                  "min(e.since) AS m, collect(b) AS c").to_pandas()
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 0 and out["s"].iloc[0] == 0
+    assert pd.isna(out["m"].iloc[0])
+    assert list(out["c"].iloc[0]) == []
