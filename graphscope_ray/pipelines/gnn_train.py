@@ -326,6 +326,8 @@ def train_sage_minibatch(
     from graphscope_ray.functions.hashing import hash64_ints
     if len(fanouts) != 2:
         raise ValueError("train_sage_minibatch is 2-layer: need 2 fanouts")
+    if epochs < 1:
+        raise ValueError("train_sage_minibatch needs epochs >= 1")
     f_dim, placed, n_labeled = load_vertex_features(
         graph, features, feat_dim=feat_dim, feat_col=feat_col,
         label_col=label_col)
@@ -366,6 +368,7 @@ def train_sage_minibatch(
                 _step_seed(seed, ep, 0, 3))
         order = np.argsort(shuf, kind="mergesort")
         refs = []
+        done_upto = [0]
         for lo in range(0, len(labeled), batch_size):
             vb = np.sort(labeled[order[lo:lo + batch_size]])
             s1 = _step_seed(seed, ep, step_no, 0)
@@ -379,6 +382,13 @@ def train_sage_minibatch(
             refs.append(trainer.step.remote(
                 X2, vb, v1, v2, arcs1, arcs2, yb))
             step_no += 1
+            # bound the in-flight window: sampling pipelines 4 steps
+            # ahead of the sequential SGD actor, but the object store
+            # never holds more than 4 queued subgraph batches
+            while len(refs) - done_upto[0] >= 4:
+                ray.wait(refs[done_upto[0]:done_upto[0] + 1],
+                         num_returns=1)
+                done_upto[0] += 1
         done = ray.get(refs)
         loss = sum(d[0] for d in done) / max(sum(d[2] for d in done), 1)
         acc = sum(d[1] for d in done) / max(sum(d[2] for d in done), 1)
@@ -407,6 +417,17 @@ def sage_minibatch_node_classification(
     """Train with sampled minibatches, then predict with ONE
     full-neighborhood forward pass on the pool (the standard GraphSAGE
     inference: sampling is a training-time estimator only)."""
+    if graph.directed:
+        # training aggregates sampled OUT-neighbor means (nbr_sample
+        # walks the forward CSR); the full-forward SpMM aggregates at
+        # the arc DESTINATION (in-neighbor means) — identical only on
+        # undirected pools. Refuse rather than silently predict with
+        # aggregates the model never trained on.
+        raise ValueError(
+            "sage_minibatch_node_classification's full-forward "
+            "inference needs an undirected pool "
+            "(build_graph(directed=False)); on directed graphs use "
+            "train_sage_minibatch + your own out-neighbor inference")
     params, metrics = train_sage_minibatch(graph, features, **kwargs)
     wref = [ray.put(params)]
     _agg_layer_input(graph, "X", "F1", "sage")

@@ -498,12 +498,18 @@ class _Parser:
                 ("punct", "-"), ("punct", "<-")):
             self.i = save
             return None
-        rel = self.rel()
-        self.expect("punct", "(")
-        right = None
-        if self.peek()[0] == "name":
-            right = self.next()[1]
-        self.expect("punct", ")")
+        try:
+            rel = self.rel()
+            self.expect("punct", "(")
+            right = None
+            if self.peek()[0] == "name":
+                right = self.next()[1]
+            self.expect("punct", ")")
+        except ValueError:
+            # `(a) - 1 > 0`-style arithmetic: the '(' opened an
+            # ordinary parenthesized expression — backtrack
+            self.i = save
+            return None
         if rel.min_hops != 1 or rel.max_hops != 1 or rel.props:
             raise ValueError("cypher: pattern predicates support a "
                              "single property-free hop")
@@ -968,12 +974,13 @@ class CypherGraph:
             if isinstance(e, PatternPred):
                 raise ValueError(
                     "cypher: pattern predicates must be top-level "
-                    "WHERE conjuncts (not under OR/NOT/…)")
+                    "WHERE conjuncts (not under OR/NOT/CASE/RETURN/…)")
+            if isinstance(e, (list, tuple)):
+                for item in e:
+                    _no_nested_pp(item)
+                return
             for f in getattr(e, "__dataclass_fields__", {}):
-                v = getattr(e, f)
-                for item in (v if isinstance(v, (list, tuple)) else [v]):
-                    if hasattr(item, "__dataclass_fields__"):
-                        _no_nested_pp(item)
+                _no_nested_pp(getattr(e, f))
 
         conjuncts: list = []
         if q.where is not None:
@@ -981,6 +988,13 @@ class CypherGraph:
             for c in conjuncts:
                 if not isinstance(c, PatternPred):
                     _no_nested_pp(c)
+        for it in q.items:
+            _no_nested_pp(it.expr)
+        for witems, _wd, wwhere in q.withs:
+            for it in witems:
+                _no_nested_pp(it.expr)
+            if wwhere is not None:
+                _no_nested_pp(wwhere)
         var_labels: dict[str, str | None] = {}
         anon = [0]
 

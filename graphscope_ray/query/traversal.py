@@ -211,13 +211,24 @@ class Traversal:
             return None
         return rtypes[0] if len(rtypes) == 1 else tuple(rtypes)
 
-    def out(self, *rtypes: str, times=1) -> "Traversal":
+    @staticmethod
+    def _rt_times(rtypes: tuple, times):
+        # pre-variadic signature was out(rtype, times): keep a trailing
+        # positional int working as `times`
+        if rtypes and isinstance(rtypes[-1], int):
+            return rtypes[:-1], rtypes[-1]
+        return rtypes, times
+
+    def out(self, *rtypes, times=1) -> "Traversal":
+        rtypes, times = self._rt_times(rtypes, times)
         return self._hop(self._rt(rtypes), "out", times)
 
-    def in_(self, *rtypes: str, times=1) -> "Traversal":
+    def in_(self, *rtypes, times=1) -> "Traversal":
+        rtypes, times = self._rt_times(rtypes, times)
         return self._hop(self._rt(rtypes), "in", times)
 
-    def both(self, *rtypes: str, times=1) -> "Traversal":
+    def both(self, *rtypes, times=1) -> "Traversal":
+        rtypes, times = self._rt_times(rtypes, times)
         return self._hop(self._rt(rtypes), "both", times)
 
     # ---- repeat/emit (Gremlin loop steps)

@@ -249,3 +249,50 @@ def test_existential_pattern_predicates(seed):
         set(verts["vid"]) - set(T["src"]))
     both_in = t.V("V").whereIn("T", "U").id_().toList()
     assert sorted(both_in) == sorted(set(T["dst"]) | set(U["dst"]))
+
+
+def test_review_fix_regressions():
+    """Round-4 session-3 review findings, pinned: (1) parenthesized-
+    variable arithmetic in WHERE must not be eaten by the pattern-
+    predicate lookahead; (2) pattern predicates nested in CASE or
+    RETURN raise the clear plan-time error; (3) trailing positional
+    int to out() still means `times` (pre-variadic signature)."""
+    from graphscope_ray.query import traversal_source
+    g, verts, T, U, _ = _graph(3)
+    out = g.query("MATCH (a:V)-[:T]->(b) WHERE (a) - 1 > 0 "
+                  "RETURN DISTINCT a AS a").to_pandas()
+    assert sorted(out["a"]) == sorted(set(T.loc[T["src"] > 1, "src"]))
+    for q in ["MATCH (a:V)-[:T]->(b) WHERE CASE WHEN (a)-[:T]->(b) "
+              "THEN true ELSE false END RETURN a AS a",
+              "MATCH (a:V)-[:T]->(b) "
+              "RETURN CASE WHEN (a)-[:T]->(b) THEN 1 ELSE 0 END AS c"]:
+        with pytest.raises(ValueError, match="top-level"):
+            g.query(q)
+    t = traversal_source(g)
+    two_hop = t.V("V").out("T", 2).count().toList()
+    want = len(T.rename(columns={"dst": "m"}).merge(
+        T.rename(columns={"src": "m"}), on="m"))
+    assert two_hop[0] == want
+
+
+def test_minibatch_directed_inference_guard():
+    import pandas as pd
+
+    from graphscope_ray.pipelines.gnn_train import (
+        sage_minibatch_node_classification,
+        train_sage_minibatch,
+    )
+    from graphscope_ray.state.graph import build_graph
+    T = pd.DataFrame({"src": np.array([0, 1, 2], np.int64),
+                      "dst": np.array([1, 2, 3], np.int64)})
+    gd = build_graph(ray.data.from_pandas(T), num_partitions=2,
+                     directed=True)
+    feats = ray.data.from_pandas(pd.DataFrame({
+        "vid": np.arange(4, dtype=np.int64),
+        "feat": [[1.0, 0.0]] * 4,
+        "label": np.array([0, 1, 0, -1], np.int64)}))
+    with pytest.raises(ValueError, match="undirected"):
+        sage_minibatch_node_classification(
+            gd, feats, hidden=2, num_classes=2, epochs=1)
+    with pytest.raises(ValueError, match="epochs"):
+        train_sage_minibatch(gd, feats, epochs=0)
