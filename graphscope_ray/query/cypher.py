@@ -1502,8 +1502,11 @@ class CypherGraph:
                     # Cypher: a GLOBAL aggregate over an empty stream
                     # yields exactly ONE identity row (count/sum → 0,
                     # collect → [], min/max/avg/… → null) — the
-                    # groupby would yield zero. The global aggregate is
-                    # ≤ 1 row, so materializing to check is free.
+                    # groupby would yield zero. The result is ≤ 1 row,
+                    # but checking means the upstream pipeline runs at
+                    # query() time rather than at consumption — an
+                    # accepted laziness trade for global aggregates
+                    # (the caller always consumes the scalar row).
                     res = res.materialize()
                     if res.count() == 0:
                         ident = {}
