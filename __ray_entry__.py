@@ -1555,9 +1555,9 @@ tstat AS (
   FROM toks),
 sym AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '#'))
-           + len(regexp_extract_all(text, '\.\.\.'))
-           + len(regexp_extract_all(text, '…')) AS n_sym
+         len(regexp_extract_all(text, '#')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.'))
+           + len(regexp_extract_all(text, '…')) AS n_elld
   FROM documents),
 lines AS (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line
@@ -1582,7 +1582,8 @@ SELECT d.doc_id, t.n_tokens,
   CASE WHEN t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 3.0
         AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 10.0
        THEN 1 ELSE 0 END AS r_mean_len,
-  CASE WHEN s.n_sym / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+  CASE WHEN s.n_hash / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+        AND s.n_elld / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
        THEN 1 ELSE 0 END AS r_symbol,
   CASE WHEN l.n_bullet / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.9
        THEN 1 ELSE 0 END AS r_bullet,
@@ -1598,7 +1599,8 @@ SELECT d.doc_id, t.n_tokens,
   CASE WHEN t.n_tokens >= 25 AND t.n_tokens <= 90
         AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 3.0
         AND t.sumlen / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 10.0
-        AND s.n_sym / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+        AND s.n_hash / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
+        AND s.n_elld / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) <= 0.1
         AND l.n_bullet / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.9
         AND l.n_ell / CAST(GREATEST(l.n_lines, 1) AS DOUBLE) <= 0.3
         AND t.n_alpha / CAST(GREATEST(t.n_tokens, 1) AS DOUBLE) >= 0.8

@@ -277,10 +277,14 @@ def gopher_rules(
             d = hits.drop_duplicates().groupby("doc", sort=False).size()
             stop_hits[d.index.to_numpy()] = d.to_numpy()
 
+    # Rae et al. §A1.1 thresholds the hash ratio and the ellipsis
+    # ratio SEPARATELY (not their sum) — a doc fails r_symbol only if
+    # either symbol alone exceeds the bound
     n_hash = texts.str.count("#").to_numpy(np.float64)
     n_ell = (texts.str.count(r"\.\.\.")
              + texts.str.count("…")).to_numpy(np.float64)
-    symbol_ratio = (n_hash + n_ell) / nz
+    hash_ratio = n_hash / nz
+    ell_ratio = n_ell / nz
 
     lines = texts.str.split("\n")
     n_lines = lines.str.len().to_numpy(np.int64)
@@ -299,7 +303,8 @@ def gopher_rules(
         "r_words": (n_tokens >= min_words) & (n_tokens <= max_words),
         "r_mean_len": (mean_len >= min_mean_word_len)
                       & (mean_len <= max_mean_word_len),
-        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_symbol": (hash_ratio <= max_symbol_ratio)
+                    & (ell_ratio <= max_symbol_ratio),
         "r_bullet": bullet_frac <= max_bullet_line_frac,
         "r_ellipsis": ell_frac <= max_ellipsis_line_frac,
         "r_alpha": alpha_frac >= min_alpha_word_frac,

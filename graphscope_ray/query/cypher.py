@@ -513,6 +513,14 @@ class _Parser:
         if rel.min_hops != 1 or rel.max_hops != 1 or rel.props:
             raise ValueError("cypher: pattern predicates support a "
                              "single property-free hop")
+        if rel.var is not None:
+            # openCypher rejects introducing new variables inside a
+            # pattern expression — raise here instead of silently
+            # dropping the binding (a later reference to it would
+            # otherwise fail with a confusing downstream error)
+            raise ValueError(
+                "cypher: a pattern predicate cannot introduce a "
+                f"relationship variable ({rel.var!r})")
         return PatternPred(neg, left, rel, right)
 
     def cmp_expr(self):
@@ -1041,6 +1049,22 @@ class CypherGraph:
         edge_vars |= {r.var for pat, _ in opt_patterns for r in pat.rels}
         eprops_of = {v: sorted({p for (vv, p) in need if vv == v})
                      for v in edge_vars}
+
+        # plan-time binding check: a pattern-predicate conjunct whose
+        # endpoint was never bound by any MATCH (a typo like
+        # ``WHERE (z)-[:T]->()``) would otherwise survive in `pending`,
+        # fold into the residual filter and only fail at dataset-
+        # consumption time inside a Ray task with a generic error
+        will_bind = {n.var for pat in patterns for n in pat.nodes}
+        will_bind |= {n.var for pat, _ in opt_patterns for n in pat.nodes}
+        will_bind |= {name for name, _ in q.unwinds}
+        for c in conjuncts:
+            if isinstance(c, PatternPred):
+                for v in (c.left, c.right):
+                    if v is not None and v not in will_bind:
+                        raise ValueError(
+                            f"cypher: unbound variable {v!r} in "
+                            "pattern predicate")
 
         # ---- WHERE / local filters
         def filter_ds(ds, pred):

@@ -577,6 +577,8 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    probe: "np.ndarray | None" = None,
+    centroid_col: str = "centroid",
 ) -> pd.DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query precomputes
     an (m, K) inner-product lookup table against the codebooks, a
@@ -584,24 +586,43 @@ def pq_topk(
     vectors move — the scan reads m bytes/row), per-block partial
     top-k then one tiny driver merge (the :func:`brute_force_topk`
     shape). Scores equal ``cosine(query, decode(code))`` exactly (same
-    sum, different association order). Deterministic ties: lower id."""
+    sum, different association order). Deterministic ties: lower id.
+
+    ``probe`` (nq, nprobe), when given, restricts EACH query's
+    candidates to the rows whose ``centroid_col`` value is in that
+    query's own probed-bucket set (FAISS IVFPQ per-query nprobe
+    semantics) — rows outside it are masked out of that query's
+    top-k, so results never depend on which other queries were
+    co-batched."""
     B = np.asarray(codebooks, np.float64)
     m, K, dsub = B.shape
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     # LUT[qi, j, c] = Q_sub(qi, j) · B[j, c]
     lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
-    lref = ray.put(lut)
+    allowed = None
+    if probe is not None:
+        p = np.asarray(probe, dtype=np.int64)
+        allowed = np.zeros((len(Q), int(p.max()) + 1), dtype=bool)
+        allowed[np.repeat(np.arange(len(Q)), p.shape[1]), p.ravel()] = True
+    lref = ray.put((lut, allowed))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        L = _resolve(lref)
+        L, allow = _resolve(lref)
         codes = np.stack(batch[code_col].to_numpy()).astype(np.int64)
         ids = batch[id_col].to_numpy()
         # S[qi, row] = Σ_j L[qi, j, codes[row, j]]
         S = L[:, np.arange(m), codes].sum(axis=2)
+        if allow is not None:
+            cents = batch[centroid_col].to_numpy().astype(np.int64)
+            in_range = cents < allow.shape[1]
+            ok = np.zeros((allow.shape[0], len(cents)), dtype=bool)
+            ok[:, in_range] = allow[:, cents[in_range]]
+            S = np.where(ok, S, -np.inf)
         out = []
         kk = min(k, S.shape[1])
         for qi in range(S.shape[0]):
             idx = np.lexsort((ids, -S[qi]))[:kk]
+            idx = idx[np.isfinite(S[qi, idx])]
             out.append(pd.DataFrame(
                 {"query_idx": qi, id_col: ids[idx],
                  "score": S[qi, idx]}))
@@ -659,13 +680,16 @@ def ivf_pq_topk(
     code_col: str = "pq_code",
 ) -> pd.DataFrame:
     """IVF-PQ query: probe the ``nprobe`` nearest coarse buckets per
-    query (broadcast semi-filter over the union of all queries' probed
-    buckets — the :func:`ivf_topk` pruning contract), then the ADC
-    LUT gather-sum scan of :func:`pq_topk` over the surviving m-byte
-    codes. No float vector is read at query time."""
+    query, then the ADC LUT gather-sum scan of :func:`pq_topk` over
+    the surviving m-byte codes. The scan streams once over the UNION
+    of all queries' probed buckets (one broadcast semi-filter), but
+    each query's candidates are masked to its OWN probe set inside
+    the scan — FAISS IVFPQ per-query nprobe semantics, so a query's
+    result never depends on which other queries were co-batched. No
+    float vector is read at query time."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]
     wanted = np.unique(probe)
     sub = _filter_centroids(encoded, wanted)
     return pq_topk(sub, codebooks, queries, k=k, id_col=id_col,
-                   code_col=code_col)
+                   code_col=code_col, probe=probe)
