@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Cypher query-language frontend over the part graph (r4)
         "cypher_parts": sf_graph.q_cypher_parts,
         "cypher_shortest": sf_graph.q_cypher_shortest,
+        # Gremlin fluent-traversal frontend (r5) — the second query
+        # language, same executor; first driver-recorded evidence
+        "gremlin_parts": sf_graph.q_gremlin_parts,
         "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
@@ -941,6 +944,10 @@ FROM reach r JOIN hvi h ON h.hvid = r.vid GROUP BY h.node""",
         "SELECT src AS part, count(*) AS partners,\n"
         "       CAST(sum(weight) AS BIGINT) AS wsum\n"
         "FROM arcs WHERE weight >= 2 GROUP BY src",
+        "gremlin_parts": f"WITH {_GRAPH_CTES.strip()}\n"
+        "SELECT a2.dst AS key, count(*) AS count\n"
+        "FROM arcs a1 JOIN arcs a2 ON a2.src = a1.dst\n"
+        "WHERE a1.weight >= 3 GROUP BY a2.dst",
         "cypher_shortest": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
         "anchors AS (SELECT vid FROM verts WHERE vid % 97 = 0),\n"
         "walk(src, vid, d) AS (\n"

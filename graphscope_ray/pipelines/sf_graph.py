@@ -530,6 +530,26 @@ def q_cypher_shortest(sf_dir: str) -> ray.data.Dataset:
         "RETURN a AS src, b AS dst, length(p) AS hops")
 
 
+def q_gremlin_parts(sf_dir: str) -> ray.data.Dataset:
+    """Gremlin fluent-traversal frontend end-to-end over the part
+    graph (the reference compiler's second query language,
+    ``interactive_engine/compiler`` Gremlin path — here
+    query/traversal compiling to the shared Cypher executor): a
+    two-hop undirected traversal whose FIRST hop is filtered to heavy
+    edges (``hasE weight >= 3``), histogram of the 2-hop endpoints
+    (``groupCount``). Exact DuckDB twin in oracle_sql — the driver
+    gate that proves the second frontend end-to-end."""
+    from graphscope_ray.query import CypherGraph
+    from graphscope_ray.query.traversal import P, traversal_source
+
+    cg = (CypherGraph()
+          .add_vertices("Part", part_vertices(sf_dir))
+          .add_edges("COOCCUR", part_cooccurrence_edges(sf_dir)))
+    g = traversal_source(cg)
+    return (g.V("Part").both("COOCCUR").hasE("weight", P.gte(3))
+            .both("COOCCUR").groupCount().toDataset())
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph — level-0 local move on
     the resident shard pool (O(1) driver state; exact-equal to the
