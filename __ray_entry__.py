@@ -76,6 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gremlin fluent-traversal frontend (r5) — the second query
         # language, same executor; first driver-recorded evidence
         "gremlin_parts": sf_graph.q_gremlin_parts,
+        # Ingress-style incremental recompute (r5): warm-start from the
+        # base-graph fixpoint after an edge delta; results equal a full
+        # recompute, so the twins are plain full-graph WCC / an
+        # unrolled base-then-warm PageRank
+        "part_wcc_incr": sf_graph.q_part_wcc_incr,
+        "part_pagerank_incr": sf_graph.q_part_pagerank_incr,
         "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
@@ -305,6 +311,83 @@ def _pagerank_sql() -> str:
     return (
         "WITH " + "".join(parts)
         + f"\nSELECT vid, printf('%.6f', r) AS pagerank FROM pr{PR_ITERS}"
+    )
+
+
+def _pagerank_incr_sql(extra_iters: int = 5) -> str:
+    """Twin of the incremental-PageRank gate protocol: PR_ITERS rounds
+    on the BASE graph (orders with l_orderkey % 20 != 0 — no isolated
+    vertices, so base dangling mass is 0 but the CTE keeps the same
+    shape), then ``extra_iters`` warm rounds on the FULL graph with
+    old vertices keeping their base rank and everything else (delta-
+    only parts, isolated parts) seeded at 1/N_full — mirroring
+    pipelines/incremental.pagerank_incremental float-op for float-op."""
+    parts = [
+        _GRAPH_CTES,
+        """, bedges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 20 != 0)""",
+        ", barcs AS MATERIALIZED (SELECT src, dst FROM bedges"
+        " UNION ALL SELECT dst, src FROM bedges)",
+        ", bverts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM barcs)",
+        ", bn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM bverts)",
+        ", bv AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg"
+        " FROM barcs GROUP BY src)",
+        ", bpr0 AS MATERIALIZED (SELECT vid, 1.0/(SELECT c FROM bn) AS r"
+        " FROM bverts)",
+    ]
+    for i in range(PR_ITERS):
+        parts.append(f"""
+, bc{i} AS MATERIALIZED (
+  SELECT ar.dst AS vid, sum(p.r / vv.outdeg) AS s
+  FROM barcs ar JOIN bpr{i} p ON p.vid = ar.src
+  JOIN bv vv ON vv.vid = ar.src
+  GROUP BY ar.dst)
+, bd{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.r), 0) AS ds
+  FROM bpr{i} p JOIN bv vv ON vv.vid = p.vid WHERE vv.outdeg = 0)
+, bpr{i + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1 - {ALPHA})/(SELECT c FROM bn)
+         + {ALPHA} * ((SELECT ds FROM bd{i})/(SELECT c FROM bn)
+                      + COALESCE(c.s, 0)) AS r
+  FROM bverts v LEFT JOIN bc{i} c ON c.vid = v.vid)""")
+    parts += [
+        ", n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts)",
+        ", deg AS MATERIALIZED (SELECT src AS vid, count(*) AS outdeg"
+        " FROM arcs GROUP BY src)",
+        ", v AS MATERIALIZED (SELECT v.vid, COALESCE(d.outdeg, 0) AS outdeg"
+        " FROM verts v LEFT JOIN deg d ON v.vid = d.vid)",
+        f", wraw AS MATERIALIZED (SELECT v.vid,"
+        f" COALESCE(b.r, 1.0/(SELECT c FROM n)) AS r"
+        f" FROM verts v LEFT JOIN bpr{PR_ITERS} b ON b.vid = v.vid)",
+        # normalize to sum 1 (networkx nstart semantics) — multiply by
+        # the reciprocal, mirroring the engine's one-shot value_scale
+        ", wfac AS (SELECT 1.0/sum(r) AS f FROM wraw)",
+        ", wpr0 AS MATERIALIZED (SELECT vid,"
+        " r * (SELECT f FROM wfac) AS r FROM wraw)",
+    ]
+    for i in range(extra_iters):
+        parts.append(f"""
+, wc{i} AS MATERIALIZED (
+  SELECT ar.dst AS vid, sum(p.r / vv.outdeg) AS s
+  FROM arcs ar JOIN wpr{i} p ON p.vid = ar.src
+  JOIN v vv ON vv.vid = ar.src
+  GROUP BY ar.dst)
+, wd{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(p.r), 0) AS ds
+  FROM wpr{i} p JOIN v vv ON vv.vid = p.vid WHERE vv.outdeg = 0)
+, wpr{i + 1} AS MATERIALIZED (
+  SELECT v.vid,
+         (1 - {ALPHA})/(SELECT c FROM n)
+         + {ALPHA} * ((SELECT ds FROM wd{i})/(SELECT c FROM n)
+                      + COALESCE(c.s, 0)) AS r
+  FROM v LEFT JOIN wc{i} c ON c.vid = v.vid)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT vid, printf('%.6f', r) AS pagerank FROM wpr{extra_iters}"
     )
 
 
@@ -910,6 +993,15 @@ def _all_oracle_sql() -> dict[str, str]:
         " AS centrality\n"
         "FROM arcs a GROUP BY a.src",
         "part_pagerank": _pagerank_sql(),
+        "part_pagerank_incr": _pagerank_incr_sql(),
+        # incremental WCC reaches exactly the full-graph fixpoint — the
+        # twin IS full-graph WCC (that equality is the contract)
+        "part_wcc_incr": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
+        "reach(vid, comp) AS (\n"
+        "  SELECT vid, vid FROM verts\n"
+        "  UNION\n"
+        "  SELECT a.dst, r.comp FROM reach r JOIN arcs a ON a.src = r.vid)\n"
+        "SELECT vid, min(comp) AS component FROM reach GROUP BY vid",
         "part_wcc": f"WITH RECURSIVE {_GRAPH_CTES.strip()},\n"
         "reach(vid, comp) AS (\n"
         "  SELECT vid, vid FROM verts\n"

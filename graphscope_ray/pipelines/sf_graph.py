@@ -530,6 +530,95 @@ def q_cypher_shortest(sf_dir: str) -> ray.data.Dataset:
         "RETURN a AS src, b AS dst, length(p) AS hops")
 
 
+_SPLIT_CACHE: dict[str, tuple] = {}
+
+
+def _cooccur_split(sf_dir: str) -> tuple:
+    """(base_edges, delta_edges): the part co-occurrence pairs split by
+    order id — base = pairs co-occurring in some ``l_orderkey % 20 !=
+    0`` order, delta = pairs from the ``% 20 == 0`` orders (the
+    "tonight's ingest" batch; ~5% of orders). ``base ∪ delta`` equals
+    the full pair set, so the incremental gates' twins run plain
+    WCC/PageRank SQL over the full graph. Both sides materialized once
+    per session (two gates + pytest consume them)."""
+    got = _SPLIT_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    from graphscope_ray.stages.relational import (
+        bucketed_group_apply,
+        dedup_first,
+    )
+
+    def pairs_of(keep_delta: bool) -> ray.data.Dataset:
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"])
+
+        def keep(t: pa.Table) -> pa.Table:
+            okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            m = (okey % 20 == 0) if keep_delta else (okey % 20 != 0)
+            return t.filter(pa.array(m))
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+            m = g.merge(g, on="l_orderkey")
+            m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+            return pd.DataFrame(
+                {"src": m["l_partkey_x"].to_numpy(np.int64),
+                 "dst": m["l_partkey_y"].to_numpy(np.int64)})
+
+        return dedup_first(
+            bucketed_group_apply(
+                li.map_batches(keep, batch_format="pyarrow"),
+                ["l_orderkey"], pairs, num_buckets=32),
+            ["src", "dst"]).materialize()
+
+    out = (pairs_of(False), pairs_of(True))
+    _SPLIT_CACHE[sf_dir] = out
+    return out
+
+
+def q_part_wcc_incr(sf_dir: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """Ingress-style incremental WCC end-to-end: converge WCC on the
+    base graph (orders % 20 != 0), then warm-start min-propagation on
+    the FULL part graph from that fixpoint with only the delta-edge
+    endpoints active. Result is exactly the full recompute's, so the
+    DuckDB twin is plain full-graph WCC — the gate proves the
+    incremental path reaches the same fixpoint at gate scale."""
+    from graphscope_ray.pipelines.incremental import wcc_incremental
+    from graphscope_ray.state.graph import build_graph
+
+    base, delta = _cooccur_split(sf_dir)
+    g_base = build_graph(base, num_partitions=num_partitions,
+                         directed=False)
+    prev, _ = algorithms.wcc(g_base)
+    g_full = build_part_graph(sf_dir, num_partitions)
+    state, _ = wcc_incremental(g_full, prev, delta)
+    return state
+
+
+def q_part_pagerank_incr(sf_dir: str, num_partitions: int = 8,
+                         base_iters: int = 15, extra_iters: int = 5
+                         ) -> ray.data.Dataset:
+    """Incremental PageRank gate: 15 fixed rounds on the base graph
+    (the nightly fixpoint), then 5 warm rounds on the full graph with
+    new vertices seeded at 1/N — both legs tol=0 so the unrolled
+    DuckDB twin computes the identical float sequence (6dp fixed)."""
+    from graphscope_ray.functions.format import fixed_cols
+    from graphscope_ray.pipelines.incremental import pagerank_incremental
+    from graphscope_ray.state.graph import build_graph
+
+    base, _delta = _cooccur_split(sf_dir)
+    g_base = build_graph(base, num_partitions=num_partitions,
+                         directed=False)
+    prev, _ = algorithms.pagerank(g_base, alpha=0.85,
+                                  max_iter=base_iters, tol=0.0)
+    g_full = build_part_graph(sf_dir, num_partitions)
+    state, _ = pagerank_incremental(g_full, prev, alpha=0.85,
+                                    max_iter=extra_iters, tol=0.0)
+    return fixed_cols(state, {"pagerank": 6})
+
+
 def q_gremlin_parts(sf_dir: str) -> ray.data.Dataset:
     """Gremlin fluent-traversal frontend end-to-end over the part
     graph (the reference compiler's second query language,

@@ -2610,6 +2610,56 @@ class GraphShard:
             self._dangling_mask = self.out_deg == 0
         return self.n_local
 
+    # ------------------------------------- incremental warm start (Ingress)
+    # The reference's Ingress engine (docs/analytical_engine/ingress.md)
+    # resumes a monotonic fixpoint computation from the previous result
+    # after a graph delta instead of cold-starting. Ray-side protocol:
+    # ``warm_init`` seals the default state + empty frontier, the driver
+    # routes the previous run's (vid, value) table into ``warm_ingest``
+    # (values overlay the default; vids absent from this shard — deleted
+    # or re-partitioned — are dropped), then routes the delta-edge
+    # endpoints into ``warm_activate`` (they seed the frontier).
+    def warm_init(self, kind: str, fill: float = 0.0) -> int:
+        """kind='vid' → state = own vid (min-propagation family);
+        kind='fill' → state = scalar fill (PageRank: 1/N for vertices
+        the previous run never saw)."""
+        if kind == "vid":
+            self.state = self.local.astype(np.int64).copy()
+        elif kind == "fill":
+            self.state = np.full(self.n_local, fill, dtype=np.float64)
+        else:
+            raise ValueError(f"warm_init: unknown kind {kind!r}")
+        self._frontier = np.zeros(self.n_local, dtype=bool)
+        self._dangling_mask = self.out_deg == 0
+        return self.n_local
+
+    def _local_pos(self, vid: np.ndarray) -> tuple:
+        """Positions of ``vid`` in this shard's local array; rows whose
+        vid is not local are masked out (NOT an error: an incremental
+        run's vertex set may shrink)."""
+        pos = np.searchsorted(self.local, vid)
+        ok = pos < self.n_local
+        ok[ok] &= self.local[pos[ok]] == vid[ok]
+        return pos[ok], ok
+
+    def warm_ingest(self, table: pa.Table) -> int:
+        vid = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = table.column(table.column_names[1]).to_numpy(zero_copy_only=False)
+        pos, ok = self._local_pos(vid)
+        self.state[pos] = val[ok].astype(self.state.dtype)
+        return int(ok.sum())
+
+    def warm_activate(self, table: pa.Table) -> int:
+        vid = table.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos, ok = self._local_pos(vid)
+        self._frontier[pos] = True
+        return int(ok.sum())
+
+    def dangling_partial(self) -> float:
+        """Σ state over this shard's outdeg-0 vertices (the warm-start
+        analogue of pagerank_init's return)."""
+        return float(self.state[self._dangling_mask].sum())
+
     # ------------------------------------------------------------- walks
     # DeepWalk / node2vec on the RESIDENT CSR: the arc table never
     # re-shuffles (the Dataset engine in pipelines/walks.py pays one
