@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gremlin fluent-traversal frontend (r5) — the second query
         # language, same executor; first driver-recorded evidence
         "gremlin_parts": sf_graph.q_gremlin_parts,
+        # Cypher write clauses (r5): CREATE/MERGE/SET/DELETE mutate the
+        # catalog, then the read frontend reads the mutated graph back
+        "cypher_write": sf_graph.q_cypher_write,
         # Ingress-style incremental recompute (r5): warm-start from the
         # base-graph fixpoint after an edge delta; results equal a full
         # recompute, so the twins are plain full-graph WCC / an
@@ -1036,6 +1039,26 @@ FROM reach r JOIN hvi h ON h.hvid = r.vid GROUP BY h.node""",
         "SELECT src AS part, count(*) AS partners,\n"
         "       CAST(sum(weight) AS BIGINT) AS wsum\n"
         "FROM arcs WHERE weight >= 2 GROUP BY src",
+        # twin of the write-gate protocol: the same six mutations as
+        # set algebra over (part, edges), then the same read-back
+        "cypher_write": f"WITH {_GRAPH_CTES.strip()},\n"
+        """pv0 AS (SELECT p_partkey, p_size FROM part
+       UNION ALL SELECT * FROM (VALUES (-1, 7), (-2, 8), (-3, 9))),
+pv1 AS (SELECT p_partkey,
+               CASE WHEN p_size >= 49 THEN p_size + 100
+                    ELSE p_size END AS p_size FROM pv0),
+pv AS (SELECT * FROM pv1 WHERE p_partkey % 1000 != 0),
+e0 AS (SELECT src, dst, weight FROM edges
+       UNION ALL SELECT * FROM (VALUES (-1, -2, 3))),
+e1 AS (SELECT * FROM e0 WHERE weight < 4),
+e2 AS (SELECT * FROM e1
+       WHERE src % 1000 != 0 AND dst % 1000 != 0),
+arcs2 AS (SELECT src, dst, weight FROM e2
+          UNION ALL SELECT dst, src, weight FROM e2)
+SELECT a.src AS part, p.p_size AS size, count(*) AS partners,
+       CAST(sum(a.weight) AS BIGINT) AS wsum
+FROM arcs2 a JOIN pv p ON p.p_partkey = a.src
+GROUP BY a.src, p.p_size""",
         "gremlin_parts": f"WITH {_GRAPH_CTES.strip()}\n"
         "SELECT a2.dst AS key, count(*) AS count\n"
         "FROM arcs a1 JOIN arcs a2 ON a2.src = a1.dst\n"

@@ -639,6 +639,38 @@ def q_gremlin_parts(sf_dir: str) -> ray.data.Dataset:
             .both("COOCCUR").groupCount().toDataset())
 
 
+def q_cypher_write(sf_dir: str) -> ray.data.Dataset:
+    """Cypher WRITE clauses end-to-end (CypherGS.g4 oC_Create/oC_Merge/
+    oC_Set/oC_Delete lowered onto graph_ops.modify_* — query/writes):
+    CREATE two sentinel parts + an edge, MERGE (one no-op, one
+    create), SET a property bump on large parts, DELETE heavy edges,
+    DETACH DELETE round-number parts — then read the mutated graph
+    back through the read frontend. The DuckDB twin applies the same
+    mutations as set algebra, so every statement's effect is
+    hash-checked at gate scale."""
+    from graphscope_ray.query import CypherGraph
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_size"])
+    g = (CypherGraph()
+         .add_vertices("Part", part, vid_col="p_partkey")
+         .add_edges("COOCCUR", part_cooccurrence_edges(sf_dir)))
+    g.query("CREATE (x:Part {p_partkey: -1, p_size: 7}), "
+            "(y:Part {p_partkey: -2, p_size: 8}), "
+            "(x)-[:COOCCUR {weight: 3}]->(y)")
+    g.query("MERGE (x:Part {p_partkey: -1, p_size: 7})")    # no-op
+    g.query("MERGE (z:Part {p_partkey: -3, p_size: 9})")    # creates
+    g.query("MATCH (p:Part) WHERE p.p_size >= 49 "
+            "SET p.p_size = p.p_size + 100")
+    g.query("MATCH (a:Part)-[r:COOCCUR]->(b:Part) "
+            "WHERE r.weight >= 4 DELETE r")
+    g.query("MATCH (p:Part) WHERE p % 1000 = 0 DETACH DELETE p")
+    return g.query(
+        "MATCH (a:Part)-[e:COOCCUR]-(b:Part) "
+        "RETURN a AS part, a.p_size AS size, "
+        "count(*) AS partners, sum(e.weight) AS wsum")
+
+
 def q_part_louvain(sf_dir: str) -> ray.data.Dataset:
     """Louvain communities on the part graph — level-0 local move on
     the resident shard pool (O(1) driver state; exact-equal to the

@@ -63,6 +63,11 @@ Supported subset (documented contract, tested in tests/test_cypher.py):
   stages with HAVING-style filters; later stages reference the
   projected aliases).
 - ``ORDER BY … [ASC|DESC]``, ``SKIP n``, ``LIMIT n``.
+- Write statements — ``CREATE`` / ``MERGE`` / ``SET`` / ``DELETE`` /
+  ``DETACH DELETE`` (CypherGS.g4 oC_Create/oC_Merge/oC_Set/oC_Delete)
+  — parse and execute in :mod:`graphscope_ray.query.writes`, lowered
+  onto ``stages/graph_ops.modify_*``; ``query()`` returns their
+  Neo4j-style counter summary instead of a Dataset.
 
 Pattern matching is homomorphic (variables may bind the same vertex
 unless constrained) — GIE's default as well.
@@ -92,7 +97,9 @@ _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
              "LIMIT", "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT",
              "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL",
              "OPTIONAL", "UNWIND", "STARTS", "ENDS", "CONTAINS", "IS",
-             "CASE", "WHEN", "THEN", "ELSE", "END"}
+             "CASE", "WHEN", "THEN", "ELSE", "END",
+             # write clauses (query/writes.py executes these)
+             "CREATE", "MERGE", "SET", "DELETE", "DETACH"}
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -945,7 +952,16 @@ class CypherGraph:
         return out
 
     # -- execution
-    def query(self, src: str) -> ray.data.Dataset:
+    def query(self, src: str):
+        """Run one Cypher statement. Read statements return a streaming
+        Ray Dataset; write statements (CREATE / MERGE / SET / DELETE —
+        query/writes.py) mutate the catalog in place and return a
+        one-row summary DataFrame of Neo4j-style counters."""
+        from graphscope_ray.query.writes import maybe_execute_write
+
+        handled = maybe_execute_write(self, src)
+        if handled is not None:
+            return handled
         return self._execute(parse_cypher(src))
 
     def _execute(self, q: Query) -> ray.data.Dataset:

@@ -1,0 +1,204 @@
+"""Cypher write clauses (query/writes) — CREATE/MERGE/SET/DELETE
+against pandas-oracle expectations on a small property graph.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.query import CypherGraph
+from graphscope_ray.query.writes import parse_write
+
+
+def _graph():
+    verts = pd.DataFrame({"vid": [1, 2, 3, 4], "size": [10, 50, 60, 5]})
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4],
+                          "weight": [1, 5, 2]})
+    return (CypherGraph(num_buckets=4)
+            .add_vertices("V", ray.data.from_pandas(verts))
+            .add_edges("E", ray.data.from_pandas(edges)))
+
+
+def _vdf(g):
+    return (g.query("MATCH (v:V) RETURN v AS vid, v.size AS size")
+            .to_pandas().sort_values("vid").reset_index(drop=True))
+
+
+def _edf(g):
+    return (g.query("MATCH (a:V)-[e:E]->(b:V) "
+                    "RETURN a AS src, b AS dst, e.weight AS w")
+            .to_pandas().sort_values(["src", "dst"])
+            .reset_index(drop=True))
+
+
+class TestParse:
+    def test_read_returns_none(self):
+        assert parse_write("MATCH (a:V) RETURN a") is None
+
+    def test_create_parses(self):
+        s = parse_write("CREATE (x:V {vid: 9}), (y:V {vid: 8}), "
+                        "(x)-[:E {weight: 1}]->(y)")
+        assert len(s.nodes) == 2 and len(s.rels) == 1
+
+    def test_create_needs_label_and_props(self):
+        with pytest.raises(ValueError, match="label and a property"):
+            parse_write("CREATE (x)")
+
+    def test_create_rel_must_be_directed(self):
+        with pytest.raises(ValueError, match="directed"):
+            parse_write("CREATE (x:V {vid: 1}), (y:V {vid: 2}), "
+                        "(x)-[:E]-(y)")
+
+    def test_merge_single_node_only(self):
+        with pytest.raises(ValueError, match="single"):
+            parse_write("MERGE (a:V {vid: 1})-[:E]->(b:V {vid: 2})")
+
+    def test_set_needs_match(self):
+        with pytest.raises(ValueError, match="MATCH"):
+            parse_write("SET a.x = 1")
+
+    def test_delete_needs_match(self):
+        with pytest.raises(ValueError, match="MATCH"):
+            parse_write("DELETE a")
+
+
+class TestCreate:
+    def test_nodes_and_edge(self, ray_session):
+        g = _graph()
+        s = g.query("CREATE (x:V {vid: 10, size: 7}), (y:V {vid: 11}), "
+                    "(x)-[:E {weight: 9}]->(y)")
+        assert s.nodes_created[0] == 2
+        assert s.relationships_created[0] == 1
+        v = _vdf(g)
+        assert set(v.vid) == {1, 2, 3, 4, 10, 11}
+        # missing prop → typed null, not a schema change
+        assert v.loc[v.vid == 11, "size"].isna().all()
+        e = _edf(g)
+        assert (10, 11, 9) in set(map(tuple, e.to_numpy()))
+
+    def test_duplicate_id_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="duplicate existing"):
+            g.query("CREATE (x:V {vid: 1, size: 99})")
+
+    def test_unknown_column_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="not in the catalog"):
+            g.query("CREATE (x:V {vid: 10, nosuch: 1})")
+
+    def test_bound_create_one_edge_per_row(self, ray_session):
+        g = _graph()
+        s = g.query("MATCH (a:V)-[:E]->(b:V) WHERE a >= 2 "
+                    "CREATE (b)-[:E {weight: 77}]->(a)")
+        assert s.relationships_created[0] == 2
+        e = _edf(g)
+        assert (3, 2, 77) in set(map(tuple, e.to_numpy()))
+        assert (4, 3, 77) in set(map(tuple, e.to_numpy()))
+
+
+class TestMerge:
+    def test_noop_when_all_props_match(self, ray_session):
+        g = _graph()
+        s = g.query("MERGE (x:V {vid: 2, size: 50})")
+        assert s.nodes_created[0] == 0
+        assert len(_vdf(g)) == 4
+
+    def test_creates_when_absent(self, ray_session):
+        g = _graph()
+        s = g.query("MERGE (x:V {vid: 9, size: 1})")
+        assert s.nodes_created[0] == 1
+        assert 9 in set(_vdf(g).vid)
+
+    def test_id_conflict_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="already taken"):
+            g.query("MERGE (x:V {vid: 2, size: 999})")
+
+
+class TestSet:
+    def test_vectorized_update(self, ray_session):
+        g = _graph()
+        s = g.query("MATCH (v:V) WHERE v.size >= 50 "
+                    "SET v.size = v.size + 100")
+        assert s.properties_set[0] == 2
+        v = _vdf(g)
+        assert v.set_index("vid")["size"].to_dict() == {
+            1: 10, 2: 150, 3: 160, 4: 5}
+
+    def test_expr_can_reference_other_vars(self, ray_session):
+        g = _graph()
+        g.query("MATCH (a:V)-[e:E]->(b:V) WHERE a = 2 "
+                "SET b.size = e.weight")
+        v = _vdf(g)
+        assert v.loc[v.vid == 3, "size"].iloc[0] == 5
+
+
+class TestDelete:
+    def test_delete_edges(self, ray_session):
+        g = _graph()
+        s = g.query("MATCH (a:V)-[r:E]->(b:V) WHERE r.weight >= 5 "
+                    "DELETE r")
+        assert s.relationships_deleted[0] == 1
+        assert len(_edf(g)) == 2
+
+    def test_plain_delete_vertex_with_edges_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="DETACH"):
+            g.query("MATCH (v:V) WHERE v = 2 DELETE v")
+
+    def test_detach_delete(self, ray_session):
+        g = _graph()
+        s = g.query("MATCH (v:V) WHERE v = 2 DETACH DELETE v")
+        assert s.nodes_deleted[0] == 1
+        assert s.relationships_deleted[0] == 2   # 1-2 and 2-3
+        assert set(_vdf(g).vid) == {1, 3, 4}
+        assert len(_edf(g)) == 1
+
+    def test_plain_delete_isolated_vertex(self, ray_session):
+        g = _graph()
+        g.query("CREATE (x:V {vid: 42})")
+        s = g.query("MATCH (v:V) WHERE v = 42 DELETE v")
+        assert s.nodes_deleted[0] == 1
+        assert 42 not in set(_vdf(g).vid)
+
+    def test_unbound_target_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="not bound"):
+            g.query("MATCH (v:V) DELETE z")
+
+
+class TestComposition:
+    def test_statement_sequence_matches_pandas_oracle(self, ray_session):
+        """The gate protocol in miniature, replayed against a pandas
+        replica of every mutation."""
+        g = _graph()
+        g.query("CREATE (x:V {vid: -1, size: 7}), (y:V {vid: -2, size: 8}), "
+                "(x)-[:E {weight: 3}]->(y)")
+        g.query("MERGE (z:V {vid: -3, size: 9})")
+        g.query("MATCH (v:V) WHERE v.size >= 50 SET v.size = v.size + 100")
+        g.query("MATCH (a:V)-[r:E]->(b:V) WHERE r.weight >= 4 DELETE r")
+        g.query("MATCH (v:V) WHERE v = 4 DETACH DELETE v")
+        out = (g.query("MATCH (a:V)-[e:E]-(b:V) RETURN a AS part, "
+                       "a.size AS size, count(*) AS partners, "
+                       "sum(e.weight) AS wsum")
+               .to_pandas().sort_values("part").reset_index(drop=True))
+        # pandas replica
+        v = pd.DataFrame({"vid": [1, 2, 3, 4, -1, -2, -3],
+                          "size": [10, 50, 60, 5, 7, 8, 9]})
+        e = pd.DataFrame({"src": [1, 2, 3, -1], "dst": [2, 3, 4, -2],
+                          "weight": [1, 5, 2, 3]})
+        v.loc[v["size"] >= 50, "size"] += 100
+        e = e[e.weight < 4]
+        v = v[v.vid != 4]
+        e = e[(e.src != 4) & (e.dst != 4)]
+        arcs = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})])
+        exp = (arcs.merge(v, left_on="src", right_on="vid")
+               .groupby(["src", "size"], sort=False)
+               .agg(partners=("weight", "size"), wsum=("weight", "sum"))
+               .reset_index()
+               .rename(columns={"src": "part"})
+               .sort_values("part").reset_index(drop=True))
+        got = out[["part", "size", "partners", "wsum"]].astype(np.int64)
+        expd = exp[["part", "size", "partners", "wsum"]].astype(np.int64)
+        pd.testing.assert_frame_equal(got, expd)

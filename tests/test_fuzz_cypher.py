@@ -296,3 +296,44 @@ def test_minibatch_directed_inference_guard():
             gd, feats, hidden=2, num_classes=2, epochs=1)
     with pytest.raises(ValueError, match="epochs"):
         train_sage_minibatch(gd, feats, epochs=0)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_write_sequence_differential(seed):
+    """Randomized write-statement fuzz: a random SET / DELETE-edges /
+    CREATE-edge / DETACH-DELETE sequence replayed against a pandas
+    replica, then the surviving graph compared exactly."""
+    g, verts, T, U, rng = _graph(seed)
+    v = verts.copy()
+    t = T.copy()
+    # SET with a random threshold
+    c = int(rng.integers(0, 50))
+    g.query(f"MATCH (a:V) WHERE a.x >= {c} SET a.x = a.x + 1000")
+    v.loc[v["x"] >= c, "x"] += 1000
+    # DELETE edges above a random weight
+    d = int(rng.integers(0, 20))
+    g.query(f"MATCH (a:V)-[r:T]->(b:V) WHERE r.w >= {d} DELETE r")
+    t = t[t["w"] < d]
+    # CREATE one fresh vertex + an edge per surviving T-edge source
+    g.query("CREATE (x:V {vid: 999, x: 1})")
+    v = pd.concat([v, pd.DataFrame({"vid": [999], "x": [1]})],
+                  ignore_index=True)
+    g.query("MATCH (a:V)-[:T]->(b:V) CREATE (a)-[:T {w: 0}]->(b)")
+    t = pd.concat([t, t.assign(w=0)], ignore_index=True)
+    # DETACH DELETE a random existing vertex
+    dead = int(rng.integers(0, len(verts)))
+    g.query(f"MATCH (a:V) WHERE a = {dead} DETACH DELETE a")
+    v = v[v.vid != dead]
+    t = t[(t.src != dead) & (t.dst != dead)]
+    got_v = (g.query("MATCH (a:V) RETURN a AS vid, a.x AS x")
+             .to_pandas().sort_values("vid").reset_index(drop=True))
+    want_v = v.sort_values("vid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_v.astype(np.int64), want_v.astype(np.int64))
+    got_e = (g.query("MATCH (a:V)-[e:T]->(b:V) "
+                     "RETURN a AS src, b AS dst, e.w AS w")
+             .to_pandas().sort_values(["src", "dst", "w"])
+             .reset_index(drop=True))
+    want_e = (t.sort_values(["src", "dst", "w"])
+              .reset_index(drop=True).astype(np.int64))
+    pd.testing.assert_frame_equal(got_e.astype(np.int64), want_e)
