@@ -835,13 +835,20 @@ class CypherGraph:
     ``var__prop`` property columns (only properties the query actually
     references are ever joined — the GIE column-prune contract)."""
 
-    def __init__(self, num_buckets: int = 16):
+    def __init__(self, num_buckets: int = 16, optimize: bool = True):
         """``num_buckets`` sizes every bucketed exchange (joins and
         aggregates) a query plans — set ≳ cluster cores at scale; the
-        default favors low fixed overhead on small graphs."""
+        default favors low fixed overhead on small graphs.
+        ``optimize`` enables cardinality-ordered pattern planning
+        (GLogue-style); disable to force source-order planning (the
+        naive baseline the planning pytest compares against)."""
         self._v: dict[str, tuple] = {}
         self._e: dict[str, tuple] = {}
         self.num_buckets = int(num_buckets)
+        self.optimize = bool(optimize)
+        #: set by the planner on every multi-pattern/reorderable query:
+        #: {"order": [source indices], "reversed": [bool], "est": [float]}
+        self.last_plan: dict | None = None
 
     def add_vertices(self, label: str, ds: ray.data.Dataset,
                      vid_col: str = "vid") -> "CypherGraph":
@@ -876,6 +883,159 @@ class CypherGraph:
                   src: str = "src", dst: str = "dst") -> "CypherGraph":
         self._e[rtype] = (ds, src, dst)
         return self
+
+    # -- planner statistics (GLogue-style cardinality ordering)
+    def _graph_stats(self) -> dict:
+        """Cheap catalog statistics for join ordering — per-label
+        vertex counts and per-type arc counts (the reference's GLogue
+        keeps pattern-cardinality estimates the same way,
+        interactive_engine/compiler/…/glogue/GlogueQuery.java). One
+        ``count()`` per table, cached for the catalog's lifetime —
+        a metadata read on materialized/parquet-backed tables."""
+        st = getattr(self, "_stats", None)
+        if st is not None:
+            return st
+        st = {"v": {lb: ds.count() for lb, (ds, _) in self._v.items()},
+              "e": {rt: ds.count() for rt, (ds, _, _) in self._e.items()}}
+        st["nv"] = max(sum(st["v"].values()), 1)
+        self._stats = st
+        return st
+
+    @staticmethod
+    def _conjunct_selectivity(conjuncts: list) -> dict:
+        """Heuristic per-variable selectivity from pushable single-
+        variable conjuncts (equality ≪ modulo ≪ IN ≪ range) — constants
+        only need to ORDER anchors, not predict true cardinalities."""
+        sel: dict[str, float] = {}
+
+        def one(c) -> "tuple[str, float] | None":
+            vs: set = set()
+            ps: list = []
+            _expr_vars(c, vs, ps)
+            if len(vs) != 1 or isinstance(c, PatternPred):
+                return None
+            v = next(iter(vs))
+            if isinstance(c, BinOp) and c.op == "=":
+                # `x % k = 0`-style: selectivity 1/k
+                for side in (c.left, c.right):
+                    if isinstance(side, BinOp) and side.op == "%" \
+                            and isinstance(side.right, Lit) \
+                            and isinstance(side.right.value, (int, float)) \
+                            and side.right.value:
+                        return v, 1.0 / abs(side.right.value)
+                return v, 0.001
+            if isinstance(c, InOp):
+                return v, min(0.001 * max(len(c.values), 1), 0.5)
+            if isinstance(c, BinOp) and c.op in ("<", "<=", ">", ">="):
+                return v, 0.33
+            if isinstance(c, StrPred):
+                return v, 0.1
+            return None
+
+        for c in conjuncts:
+            got = one(c)
+            if got is not None:
+                v, s = got
+                sel[v] = sel.get(v, 1.0) * s
+        return sel
+
+    def _order_patterns(self, patterns: list, conjuncts: list) -> list:
+        """Cardinality-ordered pattern planning for multi-pattern MATCH
+        (and anchor-side choice within a chain): greedily pick the
+        cheapest startable pattern — possibly REVERSED so its selective
+        end anchors the expansion — using per-label counts, per-type
+        average degrees and conjunct selectivities. A fixed source
+        order on a cyclic pattern over a skewed graph blows up
+        intermediates even though every operator streams; this is the
+        reference compiler's GLogue ordering re-expressed over catalog
+        stats. shortestPath patterns keep source order (their own
+        anchored-pushdown logic is already cardinality-aware)."""
+        if any(p.shortest for p in patterns):
+            self.last_plan = None
+            return patterns
+        st = self._graph_stats()
+        sel = self._conjunct_selectivity(conjuncts)
+
+        def n_label(node) -> float:
+            if node.label is not None and node.label in st["v"]:
+                return max(st["v"][node.label], 1)
+            return float(st["nv"])
+
+        def fanout(rel) -> float:
+            rts = (rel.rtype if isinstance(rel.rtype, tuple)
+                   else (rel.rtype,))
+            rows = 0.0
+            for rt in rts:
+                if rt is None:
+                    rows += sum(st["e"].values())
+                else:
+                    rows += st["e"].get(rt, 0)
+            if rel.direction == "both":
+                rows *= 2.0
+            return max(rows / st["nv"], 1e-3)
+
+        def reverse(pat: PathPat) -> PathPat:
+            flip = {"out": "in", "in": "out", "both": "both"}
+            rels = [RelPat(r.var, r.rtype, flip[r.direction], r.props,
+                           r.min_hops, r.max_hops)
+                    for r in reversed(pat.rels)]
+            out = PathPat(list(reversed(pat.nodes)), rels)
+            out.name, out.shortest = pat.name, pat.shortest
+            return out
+
+        def cost(pat: PathPat, bound: set) -> float:
+            first = pat.nodes[0]
+            card = (1.0 if first.var in bound
+                    else n_label(first) * sel.get(first.var, 1.0))
+            total = card
+            for rel, node in zip(pat.rels, pat.nodes[1:]):
+                # var-length: pessimistic max-hop fan-out product
+                card *= fanout(rel) ** rel.max_hops
+                card *= sel.get(node.var, 1.0)
+                if node.var in bound:
+                    # closing a cycle / joining a bound var filters
+                    card /= max(n_label(node), 1.0)
+                total += card
+            return total
+
+        remaining = list(enumerate(patterns))
+        chosen: list = []
+        order: list = []
+        rev_flags: list = []
+        ests: list = []
+        bound: set = set()
+        while remaining:
+            best = None
+            for pos, (idx, pat) in enumerate(remaining):
+                cands = [(pat, False)]
+                if pat.rels:
+                    cands.append((reverse(pat), True))
+                for cand, rv in cands:
+                    startable = (not bound
+                                 or cand.nodes[0].var in bound)
+                    if not startable:
+                        continue
+                    c = cost(cand, bound)
+                    if best is None or c < best[0]:
+                        best = (c, pos, idx, cand, rv)
+            if best is None:
+                # no startable pattern (disconnected) — preserve the
+                # executor's existing source-order error behavior
+                chosen.extend(p for _, p in remaining)
+                order.extend(i for i, _ in remaining)
+                rev_flags.extend([False] * len(remaining))
+                ests.extend([float("inf")] * len(remaining))
+                break
+            c, pos, idx, cand, rv = best
+            remaining.pop(pos)
+            chosen.append(cand)
+            order.append(idx)
+            rev_flags.append(rv)
+            ests.append(c)
+            bound |= {n.var for n in cand.nodes}
+        self.last_plan = {"order": order, "reversed": rev_flags,
+                          "est": ests}
+        return chosen
 
     # -- helpers
     def _vertex_ds(self, label: str | None) -> ray.data.Dataset:
@@ -1053,6 +1213,9 @@ class CypherGraph:
             return out
 
         patterns = [normalize(pat, conjuncts) for pat in q.patterns]
+        if self.optimize and patterns and (
+                len(patterns) > 1 or patterns[0].rels):
+            patterns = self._order_patterns(patterns, conjuncts)
         path_names = {p.name for p in patterns if p.name}
         # optional patterns keep their inline-prop conjuncts LOCAL —
         # they must filter the sub-pattern, not the outer binding
