@@ -47,8 +47,10 @@ from graphscope_ray.functions.hashing import hash64_any
 
 
 #: Max elements per broadcast embedding matrix (V × dim). 5e8 float64
-#: = 4 GB per matrix; past this the broadcast-model design must give
-#: way to parameter-server sharding (see module docstring).
+#: = 4 GB per matrix; past this :func:`train_skipgram` automatically
+#: switches to the range-sharded parameter-holder engine
+#: (:func:`train_skipgram_sharded`) — no whole-model ``ray.put``,
+#: bit-exact same result (pinned in tests/test_skipgram.py).
 MODEL_BROADCAST_LIMIT_ELEMS = 500_000_000
 
 
@@ -165,13 +167,13 @@ def train_skipgram(
     if V == 0:
         return pd.DataFrame({"vid": [], "embedding": []}), []
     if V * dim > MODEL_BROADCAST_LIMIT_ELEMS:
-        raise ValueError(
-            f"SGNS model is {V}×{dim} = {V * dim:.3g} elements per "
-            f"matrix, past MODEL_BROADCAST_LIMIT_ELEMS "
-            f"({MODEL_BROADCAST_LIMIT_ELEMS:.3g}); the broadcast-model "
-            "design tops out here — shard the model across "
-            "parameter-server actors (or reduce dim / prune the "
-            "vocabulary) beyond this scale")
+        # past the broadcast cap: range-sharded parameter holders —
+        # same kernels, same deterministic reduce, bit-exact result
+        shards = int(-(-(V * dim) // MODEL_BROADCAST_LIMIT_ELEMS)) + 1
+        return train_skipgram_sharded(
+            walks, dim=dim, window=window, epochs=epochs, lr=lr,
+            negatives=negatives, seed=seed, path_col=path_col,
+            num_shards=shards, _vocab=(vids, freq))
     p75 = freq ** 0.75
     cdf = np.cumsum(p75 / p75.sum())
     cdf[-1] = 1.0
@@ -247,6 +249,218 @@ def train_skipgram(
 
     return (pd.DataFrame({"vid": vids, "embedding": list(Win)}),
             losses)
+
+
+@ray.remote
+class _SgnsParamShard:
+    """One row-range shard of the (Win, Wout) model — the
+    parameter-holder pattern from pipelines/gnn_train.py applied to
+    SGNS. Holds rows [lo, hi) of both matrices, accepts sparse grad
+    partials from corpus blocks, reduces them in the SAME
+    (bkey, kind, row) sort order the broadcast path uses, and applies
+    the full-batch update locally — so the sharded run is bit-exact
+    equal to the broadcast run at any block partitioning."""
+
+    def __init__(self, vids_slice: np.ndarray, dim: int):
+        self.vids = np.asarray(vids_slice, np.int64)
+        self.Win = _init_matrix(self.vids, dim)
+        self.Wout = np.zeros((len(self.vids), dim), np.float64)
+        self._pending: list = []
+
+    def get_rows(self, kind: int, local_rows: np.ndarray) -> np.ndarray:
+        W = self.Win if kind == 0 else self.Wout
+        return W[np.asarray(local_rows, np.int64)]
+
+    def ingest(self, table) -> int:
+        self._pending.append(table)
+        return table.num_rows
+
+    def apply(self, lr: float, npairs: int) -> int:
+        import pyarrow as _pa
+
+        if self._pending:
+            t = _pa.concat_tables(self._pending)
+            self._pending = []
+            df = t.to_pandas()
+            df = df.sort_values(["bkey", "kind", "row"],
+                                kind="mergesort")
+            gin = np.zeros_like(self.Win)
+            gout = np.zeros_like(self.Wout)
+            for kind, g in ((0, gin), (1, gout)):
+                part = df[df["kind"] == kind]
+                if len(part):
+                    np.add.at(g, part["row"].to_numpy(np.int64),
+                              np.stack(part["grad"].to_numpy()))
+        else:
+            gin = np.zeros_like(self.Win)
+            gout = np.zeros_like(self.Wout)
+        self.Win = self.Win - lr * (gin / npairs)
+        self.Wout = self.Wout - lr * (gout / npairs)
+        return len(self.vids)
+
+    def embeddings(self) -> pd.DataFrame:
+        return pd.DataFrame({"vid": self.vids,
+                             "embedding": list(self.Win)})
+
+
+def train_skipgram_sharded(
+    walks: ray.data.Dataset,
+    dim: int = 32,
+    window: int = 2,
+    epochs: int = 5,
+    lr: float = 0.5,
+    negatives: int = 5,
+    seed: int = 42,
+    path_col: str = "path",
+    num_shards: int = 2,
+    _vocab: "tuple | None" = None,
+) -> tuple[pd.DataFrame, list[float]]:
+    """SGNS with the model RANGE-SHARDED over ``num_shards``
+    parameter-holder actors — the past-the-cap engine
+    :func:`train_skipgram` dispatches to. Per epoch, each corpus block
+    pulls ONLY the model rows its pairs touch (O(touched·d) bytes, not
+    V·d), computes the same fused gradients, and its sparse partials
+    route to the owning holders, which reduce in the broadcast path's
+    exact sort order. No whole-model ``ray.put`` anywhere; driver
+    state is the O(V) vocab array only. Bit-exact equal to
+    :func:`train_skipgram` (pinned at P∈{1,3} in tests).
+
+    Determinism contract (same caveat class as the broadcast engine's
+    bkey ordering): reductions are keyed by (bkey, kind, row), so runs
+    are bit-identical provided no THREE blocks share both min-vid and
+    pair count (two same-key blocks commute exactly; float addition is
+    commutative, only ≥3-way associativity is order-sensitive)."""
+    import pyarrow as _pa
+
+    walks = walks.materialize()
+    if _vocab is None:
+        def counts(b: pd.DataFrame) -> pd.DataFrame:
+            toks = np.concatenate([
+                np.fromiter((int(x) for x in p.split(",")), np.int64)
+                for p in b[path_col]]) if len(b) else np.array([], np.int64)
+            v, c = np.unique(toks, return_counts=True)
+            return pd.DataFrame({"vid": v, "cnt": c})
+
+        vc = (walks.map_batches(counts, batch_format="pandas")
+              .to_pandas().groupby("vid", sort=True)["cnt"].sum())
+        vids = vc.index.to_numpy(np.int64)
+        freq = vc.to_numpy(np.float64)
+    else:
+        vids, freq = _vocab
+    V = len(vids)
+    if V == 0:
+        return pd.DataFrame({"vid": [], "embedding": []}), []
+    p75 = freq ** 0.75
+    cdf = np.cumsum(p75 / p75.sum())
+    cdf[-1] = 1.0
+    vids_ref = ray.put(vids)
+    cdf_ref = ray.put(cdf)
+
+    S = max(1, min(int(num_shards), V))
+    bounds = np.linspace(0, V, S + 1).astype(np.int64)
+    holders = [_SgnsParamShard.remote(vids[bounds[s]:bounds[s + 1]], dim)
+               for s in range(S)]
+    bref = ray.put(bounds)
+
+    def pull(kind: int, rows: np.ndarray) -> np.ndarray:
+        """Gather model rows (global indices, SORTED) from their
+        owners; concat in holder order preserves the sort."""
+        b = _resolve(bref)
+        cuts = np.searchsorted(rows, b[1:-1])
+        pieces = np.split(rows, cuts)
+        futs = [holders[s].get_rows.remote(kind, pieces[s] - b[s])
+                for s in range(S) if len(pieces[s])]
+        if not futs:
+            return np.empty((0, dim), np.float64)
+        return np.concatenate(ray.get(futs), axis=0)
+
+    losses: list[float] = []
+    for _ in range(max(0, epochs)):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            vkeys = _resolve(vids_ref)
+            c_raw, x_raw = _pairs_from_paths(list(b[path_col]), window)
+            if not len(c_raw):
+                return pd.DataFrame({
+                    "bkey": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int8),
+                    "row": pd.Series([], dtype=np.int64),
+                    "grad": pd.Series([], dtype=object),
+                    "loss": pd.Series([], dtype=np.float64)})
+            ci = np.searchsorted(vkeys, c_raw)
+            xi = np.searchsorted(vkeys, x_raw)
+            neg = _negatives(ci, xi, negatives, _resolve(cdf_ref), seed)
+            rows_in = np.unique(ci)
+            rows_out = np.unique(np.concatenate([xi, neg.ravel()]))
+            # pull ONLY the touched rows, then run the same gradient
+            # kernel in the compact index space
+            Wi_c = pull(0, rows_in)
+            Wo_c = pull(1, rows_out)
+            cci = np.searchsorted(rows_in, ci)
+            cxi = np.searchsorted(rows_out, xi)
+            cneg = np.searchsorted(rows_out, neg.ravel()
+                                   ).reshape(neg.shape)
+            dWin_c, dWout_c, loss = _sgns_grads(cci, cxi, cneg,
+                                                Wi_c, Wo_c)
+            bkey = np.int64(min(c_raw.min(), x_raw.min()))
+            return pd.DataFrame({
+                "bkey": np.full(len(rows_in) + len(rows_out) + 1, bkey),
+                "kind": np.concatenate([
+                    np.zeros(len(rows_in), np.int8),
+                    np.ones(len(rows_out), np.int8),
+                    np.full(1, 2, np.int8)]),
+                "row": np.concatenate([rows_in, rows_out,
+                                       np.array([len(ci)], np.int64)]),
+                "grad": (list(dWin_c) + list(dWout_c)
+                         + [np.zeros(dim, np.float64)]),
+                "loss": np.concatenate([
+                    np.zeros(len(rows_in) + len(rows_out)),
+                    np.array([loss])]),
+            })
+
+        parts = walks.map_batches(
+            partial, batch_format="pandas").materialize()
+
+        # loss / pair-count scalars (tiny, driver-side, bkey-sorted —
+        # the broadcast path's float summation order)
+        def tails(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["kind"] == 2][["bkey", "row", "loss"]]
+
+        tail = (parts.map_batches(tails, batch_format="pandas")
+                .to_pandas()
+                # (bkey, row) mirrors the broadcast path's
+                # (bkey, kind, row) sort restricted to kind-2 rows, so
+                # the loss float-sums in the identical order
+                .sort_values(["bkey", "row"], kind="mergesort"))
+        npairs = max(1, int(tail["row"].sum()))
+        losses.append(float(tail["loss"].sum()) / npairs)
+
+        # route grad rows to their owning holder (one RPC per holder
+        # per group, the build path's grouped-delivery shape)
+        def add_fid(b: pd.DataFrame) -> pd.DataFrame:
+            bnds = _resolve(bref)
+            b = b[b["kind"] != 2].copy()
+            b["_fid"] = (np.searchsorted(
+                bnds, b["row"].to_numpy(np.int64), side="right") - 1
+            ).astype(np.int32)
+            b["row"] = b["row"].to_numpy(np.int64) - bnds[
+                b["_fid"].to_numpy()]
+            return b
+
+        def deliver(g: pd.DataFrame) -> pd.DataFrame:
+            f = int(g["_fid"].iloc[0])
+            t = _pa.Table.from_pandas(g.drop(columns=["_fid"]),
+                                      preserve_index=False)
+            n = ray.get(holders[f].ingest.remote(t))
+            return pd.DataFrame({"n": [n]})
+
+        (parts.map_batches(add_fid, batch_format="pandas")
+         .groupby("_fid").map_groups(deliver, batch_format="pandas")
+         .materialize())
+        ray.get([h.apply.remote(lr, npairs) for h in holders])
+
+    emb = pd.concat(ray.get([h.embeddings.remote() for h in holders]),
+                    ignore_index=True)
+    return emb, losses
 
 
 def skipgram_reference(paths: list[str], dim=32, window=2, epochs=5,

@@ -94,16 +94,35 @@ def test_nx_node2vec_surface():
         assert np.array_equal(emb[k], emb2[k])   # deterministic
 
 
-def test_model_broadcast_limit_raises(monkeypatch):
+def test_model_cap_dispatches_to_sharded(monkeypatch):
+    """Past MODEL_BROADCAST_LIMIT_ELEMS train_skipgram switches to the
+    range-sharded parameter-holder engine and the result stays
+    BIT-EXACT equal to the broadcast engine."""
     import graphscope_ray.functions.skipgram as sg
+    ref, rl = train_skipgram(_walks_ds(PATHS), dim=8, window=2,
+                             epochs=3, seed=5)
     monkeypatch.setattr(sg, "MODEL_BROADCAST_LIMIT_ELEMS", 10)
-    import pandas as pd
-    import ray.data
-    walks = ray.data.from_pandas(pd.DataFrame(
-        {"path": ["1,2,3", "2,3,1"]}))
-    try:
-        sg.train_skipgram(walks, dim=8, epochs=1)
-    except ValueError as e:
-        assert "parameter-server" in str(e)
-    else:
-        raise AssertionError("expected ValueError past the model cap")
+    emb, losses = sg.train_skipgram(_walks_ds(PATHS), dim=8, window=2,
+                                    epochs=3, seed=5)
+    assert losses == rl
+    assert np.array_equal(np.stack(emb["embedding"].to_numpy()),
+                          np.stack(ref["embedding"].to_numpy()))
+
+
+def test_sharded_bit_exact_vs_broadcast():
+    """Explicit sharded engine at P∈{1,3} blocks × S∈{2,3} holders:
+    embeddings and losses bit-identical to the broadcast engine on the
+    same partitioning (per-holder reduce preserves the (bkey, kind,
+    row) order)."""
+    from graphscope_ray.functions.skipgram import train_skipgram_sharded
+    for nparts in (1, 3):
+        ref, rl = train_skipgram(_walks_ds(PATHS, nparts), dim=8,
+                                 window=2, epochs=3, seed=5)
+        for S in (2, 3):
+            emb, losses = train_skipgram_sharded(
+                _walks_ds(PATHS, nparts), dim=8, window=2, epochs=3,
+                seed=5, num_shards=S)
+            assert losses == rl, (nparts, S)
+            a = np.stack(emb.sort_values("vid")["embedding"].to_numpy())
+            b = np.stack(ref.sort_values("vid")["embedding"].to_numpy())
+            assert np.array_equal(a, b), (nparts, S)
