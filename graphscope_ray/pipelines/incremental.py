@@ -41,6 +41,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
 from graphscope_ray.functions.hashing import partition_of
 from graphscope_ray.pipelines.algorithms import _metrics
 from graphscope_ray.state.graph import ShardedGraph, _route_groups
@@ -96,7 +97,7 @@ def state_from_checkpoint(ckpt_dir: str, job: str) -> ray.data.Dataset:
         raise FileNotFoundError(f"no complete checkpoint under {root}")
     parts = [os.path.join(best[1], f) for f in sorted(os.listdir(best[1]))
              if f.endswith(".parquet")]
-    return ray.data.read_parquet(parts)
+    return _read_parquet(parts)
 
 
 def wcc_incremental(

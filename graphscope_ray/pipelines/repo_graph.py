@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
 from graphscope_ray.pipelines import algorithms
 from graphscope_ray.stages.derive import (
     derive_edges,
@@ -33,7 +34,7 @@ from graphscope_ray.state.vertex_map import (
 def read_corpus(path: str) -> ray.data.Dataset:
     """Read the (repo, path, commit, lang, content) table, pruning to the
     columns the pipeline needs at the parquet reader."""
-    return ray.data.read_parquet(path, columns=["repo", "path", "content"])
+    return _read_parquet(path, columns=["repo", "path", "content"])
 
 
 def corpus_to_edges(corpus: ray.data.Dataset, cap_per_key: int = 64) -> ray.data.Dataset:

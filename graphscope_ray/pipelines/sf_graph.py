@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
 from graphscope_ray.pipelines import algorithms
 from graphscope_ray.pipelines.degree import degree_centrality
 from graphscope_ray.pipelines.triangles import triangle_counts
@@ -42,7 +43,7 @@ def part_cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
     ds = _EDGES_CACHE.get(sf_dir)
     if ds is not None:
         return ds
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
@@ -76,7 +77,7 @@ def part_vertices(sf_dir: str) -> ray.data.Dataset:
     ds = _VERTS_CACHE.get(sf_dir)
     if ds is not None:
         return ds
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    li = _read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     ds = dedup_first(li, ["l_partkey"]).rename_columns(
         {"l_partkey": "vid"}).materialize()
     _VERTS_CACHE[sf_dir] = ds
@@ -550,7 +551,7 @@ def _cooccur_split(sf_dir: str) -> tuple:
     )
 
     def pairs_of(keep_delta: bool) -> ray.data.Dataset:
-        li = ray.data.read_parquet(
+        li = _read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_partkey"])
 
@@ -650,7 +651,7 @@ def q_cypher_write(sf_dir: str) -> ray.data.Dataset:
     hash-checked at gate scale."""
     from graphscope_ray.query import CypherGraph
 
-    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+    part = _read_parquet(f"{sf_dir}/part.parquet",
                                  columns=["p_partkey", "p_size"])
     g = (CypherGraph()
          .add_vertices("Part", part, vid_col="p_partkey")
@@ -778,7 +779,7 @@ def q_part_attr_assortativity(sf_dir: str) -> pd.DataFrame:
     from graphscope_ray.functions.format import fixed_str
     from graphscope_ray.pipelines.structure import attribute_assortativity
 
-    attrs = ray.data.read_parquet(
+    attrs = _read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     ).rename_columns({"p_partkey": "vid", "p_brand": "brand"})
     v = attribute_assortativity(part_cooccurrence_edges(sf_dir), attrs, "brand")
@@ -848,9 +849,9 @@ def bipartite_customer_part_edges(sf_dir: str) -> ray.data.Dataset:
     """(u=custkey, i=partkey, weight=#lineitems) via orders⋈lineitem."""
     from graphscope_ray.stages.relational import grouped_agg
 
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
     ol = li.join(orders, join_type="inner", num_partitions=8,
                  on=("l_orderkey",), right_on=("o_orderkey",))
@@ -876,7 +877,7 @@ def q_lpa_u2i(sf_dir: str, rounds: int = 2) -> ray.data.Dataset:
     from graphscope_ray.functions.format import fixed_cols
     from graphscope_ray.pipelines.lpa_u2i import lpa_u2i_pool as lpa_u2i
 
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def seed(t: pa.Table) -> pa.Table:
@@ -925,13 +926,13 @@ def labeled_buys_edges(sf_dir: str) -> ray.data.Dataset:
 
     from graphscope_ray.stages.relational import grouped_agg
 
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_quantity"])
     li = li.map_batches(
         lambda t: t.filter(pc.greater(t.column("l_quantity"), 45))
         .drop_columns(["l_quantity"]), batch_format="pyarrow")
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
     j = li.join(orders, join_type="inner", num_partitions=8,
                 on=("l_orderkey",), right_on=("o_orderkey",))
@@ -950,9 +951,9 @@ def build_labeled_graph(sf_dir: str, num_partitions: int = 8):
     pg = _GRAPH_CACHE.get(key)
     if pg is not None and _pool_alive(pg.graph):
         return pg
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    supp = ray.data.read_parquet(
+    supp = _read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
     pg = build_property_graph(
         {"customer": (cust, "c_custkey"), "supplier": (supp, "s_suppkey")},
@@ -983,7 +984,7 @@ def q_part_sssp_labeled(sf_dir: str, num_partitions: int = 8
     from graphscope_ray.pipelines.property import sssp_property
 
     pg = build_labeled_graph(sf_dir, num_partitions)
-    src = ray.data.read_parquet(
+    src = _read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey"]).min("c_custkey")
     state, _ = sssp_property(pg, "customer", int(src))
@@ -1015,7 +1016,7 @@ def _part_gnn_features(sf_dir: str) -> ray.data.Dataset:
     label = size tercile on a deterministic quarter of vertices)."""
     from graphscope_ray.functions.hashing import splitmix64
 
-    part = ray.data.read_parquet(
+    part = _read_parquet(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_size", "p_retailprice", "p_brand"])
 

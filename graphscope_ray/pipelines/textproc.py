@@ -9,6 +9,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
 from graphscope_ray.functions.format import fixed_str as _fx
 from graphscope_ray.functions.text import (
     fingerprint64,
@@ -27,7 +28,7 @@ from graphscope_ray.stages.similarity import brute_force_topk
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    return _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
 
@@ -154,7 +155,7 @@ def q_ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10
         pq_train,
     )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     qdf = (
         emb.map_batches(lambda b: b.nsmallest(n_queries, "vec_id"),
@@ -174,7 +175,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> ray.data.Dataset
     """Exact cosine top-k of the first ``n_queries`` embedding rows vs
     the whole table — (query_idx=vec_id of the query, vec_id, cosine
     rounded 5dp)."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     # per-batch partial min-k + tiny driver merge: only ≤ n_queries rows
     # per block ever leave the workers (the r01 version pulled the whole
@@ -200,7 +201,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.4
     returned 0 rows — a vacuous check; VERDICT r01 #10)."""
     from graphscope_ray.stages.similarity import exact_cosine_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     from graphscope_ray.functions.format import fixed_cols
 
@@ -215,7 +216,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
     emit — a provably non-vacuous gate (the round-1 version returned 0
     rows against this data). Rows-only; recall/precision pinned in
     pytest."""
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
 
     def shift(t: pa.Table) -> pa.Table:
@@ -252,7 +253,7 @@ def q_doc_split(sf_dir: str) -> ray.data.Dataset:
     the interchange kernel, exact vs the DuckDB CASE twin."""
     from graphscope_ray.stages.sampling import hash_split
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
 
@@ -264,7 +265,7 @@ def q_doc_mix(sf_dir: str) -> ray.data.Dataset:
     DuckDB twin."""
     from graphscope_ray.stages.sampling import weighted_resample
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "source"])
     mixed = weighted_resample(
         docs, {"src0": 2.0, "src1": 0.5, "src2": 2.25, "src3": 0.0},
@@ -278,7 +279,7 @@ def q_doc_sample(sf_dir: str) -> ray.data.Dataset:
     then a ≤50·blocks final sort) — stages/sampling.hash_order_sample."""
     from graphscope_ray.stages.sampling import hash_order_sample
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id"])
     return hash_order_sample(docs, 50)
 
@@ -289,7 +290,7 @@ def q_doc_quota_cap(sf_dir: str) -> ray.data.Dataset:
     vs the DuckDB row_number() OVER (PARTITION BY source) twin."""
     from graphscope_ray.stages.sampling import per_key_cap
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "source"])
     return per_key_cap(docs, 10, group_col="source", key_col="doc_id",
                        hash_fn="md5")
@@ -399,8 +400,10 @@ def q_doc_decontam(sf_dir: str) -> ray.data.Dataset:
 
     docs = _docs(sf_dir)
     ev = docs.map_batches(
-        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
-        batch_format="pandas")
+        lambda t: t.filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            == 0)),
+        batch_format="pyarrow")
     ref = build_ngram_blocklist(ev, n=3)
     feat = contamination_features(docs, ref, n=3)
 
@@ -471,6 +474,12 @@ def _synth_pipeline_input(b: pd.DataFrame) -> pd.DataFrame:
     gate (the corpus is clean ASCII with no PII): the q_doc_normalize
     prefix/suffix plus the q_doc_pii suffixes, keyed on doc_id so the
     DuckDB twin reproduces it with string concatenation."""
+    if not len(b):
+        # Arrow-typed empty: a zero-row object-dtype pandas block
+        # makes Ray's per-column size estimator log "cannot call
+        # vectorize on size 0 inputs" (pinned in test_empty_blocks)
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
     d = b["doc_id"]
     s = d.astype(str)
     email = (" mail u" + s + "@ex" + (d % 7).astype(str) + ".com"
@@ -506,9 +515,14 @@ def q_doc_pipeline(sf_dir: str) -> ray.data.Dataset:
 
     synth = _docs(sf_dir).map_batches(_synth_pipeline_input,
                                       batch_format="pandas")
-    ev = synth.map_batches(
-        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
-        batch_format="pandas")
+    # Arrow-native filter: ~99% of blocks come out EMPTY here, and an
+    # arrow empty keeps its string type (a pandas one degrades to
+    # object dtype and trips Ray's size estimator on zero rows)
+    def evsel(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    ev = synth.map_batches(evsel, batch_format="pyarrow")
     return prepare_corpus(synth, benchmark=ev, min_tokens=20,
                           span_sep=" table ", decontam_n=3,
                           max_contamination=0.2)
@@ -526,8 +540,10 @@ def q_doc_dsir(sf_dir: str) -> ray.data.Dataset:
 
     docs = _docs(sf_dir)
     target = docs.map_batches(
-        lambda b: b[b["doc_id"].to_numpy() % 97 == 0],
-        batch_format="pandas")
+        lambda t: t.filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            == 0)),
+        batch_format="pyarrow")
     pt = fit_hashed_ngram_dist(target)
     pr = fit_hashed_ngram_dist(docs)
     out = dsir_log_weights(docs, pt, pr)
@@ -569,7 +585,7 @@ def q_emb_pca(sf_dir: str) -> ray.data.Dataset:
     (tests/test_decontam_kmeans.py)."""
     from graphscope_ray.stages.similarity import pca_fit, pca_transform
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     model = pca_fit(emb, n_components=3)
     out = pca_transform(emb, model)
@@ -595,7 +611,7 @@ def q_emb_kmeans(sf_dir: str) -> ray.data.Dataset:
     (tests/test_decontam_kmeans.py)."""
     from graphscope_ray.stages.similarity import kmeans
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     assigned, _, _ = kmeans(emb, k=8, iters=5, seed=42)
     return assigned.select_columns(["vec_id", "centroid"])
@@ -611,7 +627,7 @@ def q_emb_semdedup(sf_dir: str) -> ray.data.Dataset:
     (vec_id, centroid, keep) sorted-stable."""
     from graphscope_ray.stages.similarity import semdedup
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
 
     def shift(t: pa.Table) -> pa.Table:
@@ -633,7 +649,7 @@ def q_doc_ntile(sf_dir: str) -> ray.data.Dataset:
     the DuckDB ntile() window twin checks it end to end."""
     from graphscope_ray.stages.relational import global_ntile
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def keyed(t: pa.Table) -> pa.Table:

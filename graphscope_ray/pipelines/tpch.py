@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
 from graphscope_ray.stages.relational import dedup_first, grouped_agg, topk
 
 
@@ -25,7 +26,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary.
     Columns pruned at the read; revenue computed vectorized per batch;
     one groupby shuffle."""
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -70,14 +71,14 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10
     # predicate pushdown: the segment filter rides the parquet scan so
     # row groups whose stats exclude it never leave storage (GIE Scan
     # predicate, algebra.proto:234)
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
         filter=(pc.field("c_mktsegment") == segment),
     ).select_columns(["c_custkey"])
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -127,17 +128,17 @@ def q5_nation_revenue(sf_dir: str,
         cogroup_join,
     )
 
-    nation = ray.data.read_parquet(
+    nation = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas().rename(columns={"n_nationkey": "c_nationkey"})
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     # (c_custkey, n_name): nation is a per-batch pandas lookup, no shuffle
     cust_n = broadcast_lookup_join(cust, nation, on="c_nationkey",
                                    how="inner").select_columns(
                                        ["c_custkey", "n_name"])
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).rename_columns({"o_custkey": "c_custkey"})
     if cust.count() <= BROADCAST_LIMIT_ROWS:
@@ -146,7 +147,7 @@ def q5_nation_revenue(sf_dir: str,
     else:
         o_n = cogroup_join(orders, cust_n, on="c_custkey",
                            num_buckets=num_buckets)
-    li = ray.data.read_parquet(
+    li = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -174,7 +175,7 @@ def q5_nation_revenue(sf_dir: str,
 def q_dedup_orders(sf_dir: str) -> ray.data.Dataset:
     """First order per customer by (orderdate, orderkey) — GIE Dedup
     with deterministic tie-break."""
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -185,7 +186,7 @@ def q_events_window(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour windows per event_type: count + sum(value) —
     the streaming-shaped workload as a batch groupby (ray_guide:
     windows over an ordered log are group-bys on floor(ts))."""
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -209,7 +210,7 @@ def q_events_funnel(sf_dir: str) -> ray.data.Dataset:
     twin."""
     from graphscope_ray.stages.relational import event_funnel
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_type"])
     return event_funnel(ev, ["view", "click", "purchase"],
@@ -222,7 +223,7 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     ``groupby(user).map_groups`` over ts-sorted groups."""
     from graphscope_ray.stages.relational import bucketed_group_apply
 
-    ev = ray.data.read_parquet(
+    ev = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
     gap = np.timedelta64(gap_minutes * 60, "s")

@@ -30,6 +30,8 @@ import json
 import sys
 import time
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
+
 
 ALGOS = ("pagerank", "wcc", "cdlp", "bfs", "sssp", "triangles",
          "degree_centrality", "node2vec_walks", "louvain", "kcore",
@@ -92,7 +94,7 @@ def _read_edges(args) -> "ray.data.Dataset":
     if args.input.endswith(".csv"):
         ds = ray.data.read_csv(args.input).select_columns(cols)
     else:
-        ds = ray.data.read_parquet(args.input, columns=cols)
+        ds = _read_parquet(args.input, columns=cols)
 
     def norm(t: pa.Table) -> pa.Table:
         out = {"src": t.column(args.src).cast(pa.int64()),
@@ -123,7 +125,7 @@ def main(argv=None) -> dict:
         import pyarrow as pa
         import ray.data
 
-        verts = ray.data.read_parquet(
+        verts = _read_parquet(
             args.vertices, columns=[args.vid]
         ).map_batches(
             lambda t: pa.table({"vid": t.column(args.vid).cast(pa.int64())}),
@@ -211,7 +213,7 @@ def main(argv=None) -> dict:
             )
             if not args.features:
                 raise SystemExit("gnn_sage_mb needs --features parquet")
-            feats = ray.data.read_parquet(args.features)
+            feats = _read_parquet(args.features)
             fanouts = tuple(int(x) for x in args.fanouts.split(","))
             result, m = sage_minibatch_node_classification(
                 g, feats, hidden=args.hidden, fanouts=fanouts,

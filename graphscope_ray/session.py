@@ -34,6 +34,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from graphscope_ray.sources.readers import read_parquet_clean as _read_parquet
+
 
 def _as_dataset(data) -> ray.data.Dataset:
     """Accept a Dataset, a pandas DataFrame, or a parquet/CSV path."""
@@ -44,7 +46,7 @@ def _as_dataset(data) -> ray.data.Dataset:
     if isinstance(data, str):
         if data.endswith(".csv"):
             return ray.data.read_csv(data)
-        return ray.data.read_parquet(data)
+        return _read_parquet(data)
     raise TypeError(f"unsupported graph input: {type(data)!r}")
 
 

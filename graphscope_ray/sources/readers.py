@@ -14,6 +14,24 @@ import pyarrow as pa
 import ray.data
 
 
+def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop schema-level metadata from every block (zero-copy; the
+    stage fuses into the upstream read). Parquet files written by
+    pandas carry a ``pandas`` metadata dict that makes the block's
+    ``pa.Schema`` UNHASHABLE on pyarrow 16 — every downstream schema
+    unification then logs ``Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'`` and skips the fast
+    dedup path. Pinned in tests/test_empty_blocks.py."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow")
+
+
+def read_parquet_clean(*args, **kwargs) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with schema metadata stripped — the
+    default parquet entry for every pipeline in this repo."""
+    return strip_schema_metadata(ray.data.read_parquet(*args, **kwargs))
+
+
 def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
                        weight: str | None = None,
                        filter_expr=None,
@@ -31,8 +49,8 @@ def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
 
     fs, path = resolve_location(path, **(storage_options or {}))
     cols = [src, dst] + ([weight] if weight else [])
-    ds = ray.data.read_parquet(path, columns=cols, filter=filter_expr,
-                               filesystem=fs)
+    ds = read_parquet_clean(path, columns=cols, filter=filter_expr,
+                            filesystem=fs)
     ren = {src: "src", dst: "dst"}
     if weight:
         ren[weight] = "weight"
@@ -48,8 +66,8 @@ def read_table_parquet(path: str, columns: list[str] | None = None,
     from graphscope_ray.sources.location import resolve_location
 
     fs, path = resolve_location(path, **(storage_options or {}))
-    return ray.data.read_parquet(path, columns=columns,
-                                 filter=filter_expr, filesystem=fs)
+    return read_parquet_clean(path, columns=columns,
+                              filter=filter_expr, filesystem=fs)
 
 
 def read_edges_csv(path: str, src: str = "src", dst: str = "dst",

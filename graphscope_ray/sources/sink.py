@@ -114,4 +114,7 @@ def read_partitioned_parquet(out_dir: str, columns=None
         raise FileNotFoundError(f"no finished partitions under {out_dir}")
     # partitioning=None: the part=<k> dir name is placement metadata,
     # not a data column — don't let hive inference re-add it
-    return ray.data.read_parquet(files, columns=columns, partitioning=None)
+    from graphscope_ray.sources.readers import strip_schema_metadata
+
+    return strip_schema_metadata(
+        ray.data.read_parquet(files, columns=columns, partitioning=None))

@@ -133,3 +133,50 @@ def test_log_filter_is_narrow():
     assert f.filter(rec(real_divergence))     # kept
     assert f.filter(rec(real_pandas_divergence))  # kept
     assert f.filter(rec("unrelated warning"))
+
+
+def test_parquet_read_strips_unhashable_metadata(ray_session, tmp_path):
+    """pandas-written parquet carries a 'pandas' schema-metadata dict
+    that makes pa.Schema unhashable on pyarrow 16 — every downstream
+    schema unification then warns 'Failed to hash the schemas'.
+    read_parquet_clean must hand out hashable, metadata-free block
+    schemas."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphscope_ray.sources.readers import read_parquet_clean
+
+    p = str(tmp_path / "t.parquet")
+    pd.DataFrame({"a": [1, 2], "text": ["x", "y"]}).to_parquet(p)
+    # the raw read's file schema is unhashable (the warning's root)
+    import pyarrow.parquet as pq
+    try:
+        hash(pq.read_schema(p))
+        raw_hashable = True
+    except TypeError:
+        raw_hashable = False
+    assert not raw_hashable
+    ds = read_parquet_clean(p)
+    for ref in ds.materialize().to_arrow_refs():
+        import ray as _ray
+        sch = _ray.get(ref).schema
+        assert sch.metadata is None
+        hash(sch)   # must not raise
+
+
+def test_synth_pipeline_input_typed_empty(ray_session):
+    """Zero-row blocks through the synth-input producer and the eval
+    selector must come out ARROW-typed (string text), not object-dtype
+    pandas — the 'cannot call vectorize on size 0 inputs' class."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphscope_ray.pipelines.textproc import _synth_pipeline_input
+
+    out = _synth_pipeline_input(pd.DataFrame({"doc_id": [], "text": []}))
+    assert isinstance(out, pa.Table)
+    assert out.schema.field("text").type == pa.string()
+    assert out.num_rows == 0
+    full = _synth_pipeline_input(
+        pd.DataFrame({"doc_id": [2], "text": ["hello"]}))
+    assert "mail" in full["text"].iloc[0]
