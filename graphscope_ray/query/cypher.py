@@ -955,6 +955,15 @@ class CypherGraph:
             return patterns
         st = self._graph_stats()
         sel = self._conjunct_selectivity(conjuncts)
+        # vars pinned to a literal id can START an additional pattern
+        # (the executor attaches them as constant columns)
+        pinned_vars: set = set()
+        for c in conjuncts:
+            if isinstance(c, BinOp) and c.op == "=":
+                for a, b in ((c.left, c.right), (c.right, c.left)):
+                    if (isinstance(a, Var) and isinstance(b, Lit)
+                            and isinstance(b.value, int)):
+                        pinned_vars.add(a.var)
 
         def n_label(node) -> float:
             if node.label is not None and node.label in st["v"]:
@@ -1012,20 +1021,19 @@ class CypherGraph:
                     cands.append((reverse(pat), True))
                 for cand, rv in cands:
                     startable = (not bound
-                                 or cand.nodes[0].var in bound)
+                                 or cand.nodes[0].var in bound
+                                 or cand.nodes[0].var in pinned_vars)
                     if not startable:
                         continue
                     c = cost(cand, bound)
                     if best is None or c < best[0]:
                         best = (c, pos, idx, cand, rv)
             if best is None:
-                # no startable pattern (disconnected) — preserve the
-                # executor's existing source-order error behavior
-                chosen.extend(p for _, p in remaining)
-                order.extend(i for i, _ in remaining)
-                rev_flags.extend([False] * len(remaining))
-                ests.extend([float("inf")] * len(remaining))
-                break
+                # no startable pattern (disconnected) — fall back to
+                # SOURCE order entirely so the executor's existing
+                # behavior (including its error message) is preserved
+                self.last_plan = None
+                return patterns
             c, pos, idx, cand, rv = best
             remaining.pop(pos)
             chosen.append(cand)
@@ -1481,15 +1489,37 @@ class CypherGraph:
                         {c: t.column("vid")}), batch_format="pyarrow")
                 if binding is None:
                     binding = start
+                    bound.add(first.var)
                 else:
-                    # cartesian-free: require a shared variable later;
-                    # join once the pattern binds one. Simplest sound
-                    # rule: patterns after the first must START on a
-                    # bound variable.
-                    raise ValueError(
-                        "cypher: each additional pattern must start "
-                        "on an already-bound variable")
-                bound.add(first.var)
+                    # cartesian-free rule: patterns after the first
+                    # must START on a bound variable — EXCEPT when the
+                    # start is pinned to a literal id (`…, (b:L)` with
+                    # `WHERE b = 5`, or Gremlin mid-traversal V(id)):
+                    # a one-row side attaches as a constant column, no
+                    # cartesian blowup possible.
+                    pinned = None
+                    for c in conjuncts:
+                        if (isinstance(c, BinOp) and c.op == "="):
+                            a, b2 = c.left, c.right
+                            if (isinstance(a, Var) and a.var == first.var
+                                    and isinstance(b2, Lit)):
+                                pinned = b2.value
+                            elif (isinstance(b2, Var)
+                                    and b2.var == first.var
+                                    and isinstance(a, Lit)):
+                                pinned = a.value
+                    if pinned is None or not isinstance(pinned, int):
+                        raise ValueError(
+                            "cypher: each additional pattern must "
+                            "start on an already-bound variable (or "
+                            "one pinned to a literal id)")
+                    binding = binding.map_batches(
+                        lambda t, c=first.var, v=int(pinned):
+                        t.append_column(c, pa.array(
+                            np.full(t.num_rows, v, np.int64))),
+                        batch_format="pyarrow")
+                    bound.add(first.var)
+                    binding = bind_node(binding, first, first.var)
             lcol = first.var
             for rel, rnode in zip(pat.rels, pat.nodes[1:]):
                 binding = hop(binding, rel, lcol, rnode, bound)

@@ -27,7 +27,14 @@ element to an ``as_``-tagged one — cycle/anti filters),
 property), ``union(other)``, and the existential neighbor filters
 ``whereOut/ whereNotOut/ whereIn/ whereNotIn/ whereBoth/
 whereNotBoth(*types)`` (Gremlin ``where(out('T'))`` /
-``where(__.not_(out('T')))`` — SEMI/ANTI joins).
+``where(__.not_(out('T')))`` — SEMI/ANTI joins), and the round-5 step
+breadth: ``choose(key, P, then, otherwise)`` (CASE projection),
+``coalesce_values(*props, default=…)`` (first non-null),
+``project_(alias=spec, …)`` (``"~id"`` / ``"prop"`` / ``"@tag"`` /
+``"@tag.prop"``), ``localCount(*types, direction=…)`` (per-element
+neighbor count including zero — ``local(out().count())``), and
+mid-traversal ``V_(id[, label])`` (jump to a concrete vertex; the
+unrestricted cartesian ``V()`` restart is deliberately unsupported).
 """
 
 from __future__ import annotations
@@ -39,8 +46,10 @@ import ray.data
 from graphscope_ray.query.cypher import (
     Agg,
     BinOp,
+    CaseExpr,
     CypherGraph,
     InOp,
+    IsNull,
     Lit,
     NodePat,
     PathPat,
@@ -93,6 +102,7 @@ class Traversal:
         self._g = graph
         self._nodes = [NodePat("v0", label, {})]
         self._rels: list = []
+        self._patterns: list = []       # completed chains (V_() jumps)
         self._conjuncts: list = []
         self._optionals: list = []      # PathPat left-outer hops
         self._aliases: dict = {}        # as_() name -> node var
@@ -106,6 +116,7 @@ class Traversal:
         t._g = self._g
         t._nodes = list(self._nodes)
         t._rels = list(self._rels)
+        t._patterns = list(self._patterns)
         t._conjuncts = list(self._conjuncts)
         t._optionals = list(self._optionals)
         t._aliases = dict(self._aliases)
@@ -370,6 +381,96 @@ class Traversal:
     def optionalBoth(self, rtype: str | None = None) -> "Traversal":
         return self._optional_hop(rtype, "both")
 
+    # ---- mid-traversal V (jump to a concrete vertex)
+    def V_(self, vid: int, label: str | None = None) -> "Traversal":
+        """Gremlin mid-traversal ``V(id)``: jump to the concrete
+        vertex ``vid`` and keep traversing from it. The executor
+        attaches the pinned id as a constant column (no cartesian
+        product — the unrestricted ``V()`` restart is deliberately
+        unsupported; anchor with an id)."""
+        t = self._clone()
+        t._patterns = t._patterns + [PathPat(t._nodes, t._rels)]
+        var = f"m{len(t._path_vars)}"
+        t._nodes = [NodePat(var, label, {})]
+        t._rels = []
+        t._conjuncts.append(BinOp("=", Var(var), Lit(int(vid))))
+        t._current = var
+        t._path_vars.append(var)
+        return t
+
+    # ---- choose / coalesce / project / local (GIE step breadth)
+    def choose(self, key: str, pred: "P", then, otherwise
+               ) -> "Traversal":
+        """``choose(values(key).is(pred), constant(then),
+        constant(otherwise))`` flattened: per element, project
+        ``then`` when the property satisfies ``pred``, else
+        ``otherwise`` — columns (id, choice)."""
+        t = self._clone()
+        item = Prop(t._cur, key)
+        if pred.op == "in":
+            cond = InOp(item, pred.value)
+        else:
+            cond = BinOp(pred.op, item, Lit(pred.value))
+        t._tail["items"] = [
+            RetItem(Var(t._cur), "id"),
+            RetItem(CaseExpr([(cond, Lit(then))], Lit(otherwise)),
+                    "choice")]
+        return t
+
+    def coalesce_values(self, *props: str, default=None) -> "Traversal":
+        """``coalesce(values(p1), values(p2), …, constant(default))``:
+        per element, the first non-null property (else the constant)
+        — columns (id, value)."""
+        t = self._clone()
+        whens = [(IsNull(Prop(t._cur, p), neg=True), Prop(t._cur, p))
+                 for p in props]
+        t._tail["items"] = [
+            RetItem(Var(t._cur), "id"),
+            RetItem(CaseExpr(whens, Lit(default)), "value")]
+        return t
+
+    def project_(self, **specs) -> "Traversal":
+        """``project('a','b').by(…)`` flattened to keywords: value
+        ``"~id"`` → the current element's id, ``"@tag"`` → the element
+        tagged by ``as_``, ``"@tag.prop"`` → that element's property,
+        any other string → the current element's property."""
+        t = self._clone()
+        items = []
+        for alias, spec in specs.items():
+            if spec == "~id":
+                items.append(RetItem(Var(t._cur), alias))
+            elif spec.startswith("@"):
+                ref = spec[1:]
+                if "." in ref:
+                    tag, prop = ref.split(".", 1)
+                else:
+                    tag, prop = ref, None
+                if tag not in t._aliases:
+                    raise KeyError(f"traversal: no step labeled {tag!r}")
+                v = t._aliases[tag]
+                items.append(RetItem(
+                    Var(v) if prop is None else Prop(v, prop), alias))
+            else:
+                items.append(RetItem(Prop(t._cur, spec), alias))
+        t._tail["items"] = items
+        return t
+
+    def localCount(self, *rtypes: str, direction: str = "out"
+                   ) -> "Traversal":
+        """``local(out('T').count())``: per-element neighbor count
+        INCLUDING zero (a plain groupCount after a mandatory hop drops
+        zero-degree elements) — columns (id, n). Lowered as a
+        left-outer hop + null-skipping count."""
+        pre = self._cur
+        t = self._optional_hop(self._rt(rtypes), direction)
+        ov = t._cur
+        t._current = pre
+        t._path_vars.pop()
+        t._tail["items"] = [
+            RetItem(Var(pre), "id"),
+            RetItem(Agg("count", Var(ov)), "n")]
+        return t
+
     # ---- terminal projections
     def values(self, *props: str) -> "Traversal":
         t = self._clone()
@@ -474,7 +575,7 @@ class Traversal:
         for c in self._conjuncts:
             where = c if where is None else BinOp("and", where, c)
         return Query(
-            patterns=[PathPat(self._nodes, self._rels)],
+            patterns=self._patterns + [PathPat(self._nodes, self._rels)],
             where=where,
             distinct=self._tail["distinct"],
             items=items,

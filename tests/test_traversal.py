@@ -214,3 +214,87 @@ def test_union(g):
     assert got == want
     with pytest.raises(ValueError, match="incompatible"):
         young.union(g.V("Person").values("name"))
+
+
+class TestStepBreadthR5:
+    """Round-5 step breadth: choose / coalesce / project / local /
+    mid-traversal V(id)."""
+
+    def _g(self):
+        import ray.data
+        verts = pd.DataFrame({"vid": [1, 2, 3, 4],
+                              "size": [10.0, None, 60.0, 5.0],
+                              "alt": [7.0, 8.0, None, None]})
+        edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4],
+                              "weight": [1, 5, 2]})
+        from graphscope_ray.query.cypher import CypherGraph
+        return (CypherGraph(num_buckets=4)
+                .add_vertices("V", ray.data.from_pandas(verts))
+                .add_edges("E", ray.data.from_pandas(edges)))
+
+    def test_choose(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").choose("size", P.gte(50), "big", "small")
+               .toDataset().to_pandas().sort_values("id"))
+        got = dict(zip(out["id"], out["choice"]))
+        # null size (vid 2) fails the predicate -> otherwise branch
+        assert got == {1: "small", 2: "small", 3: "big", 4: "small"}
+
+    def test_coalesce_values(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").coalesce_values("size", "alt", default=-1.0)
+               .toDataset().to_pandas().sort_values("id"))
+        got = dict(zip(out["id"], out["value"]))
+        assert got == {1: 10.0, 2: 8.0, 3: 60.0, 4: 5.0}
+
+    def test_coalesce_default_branch(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").coalesce_values("alt", default=-1.0)
+               .toDataset().to_pandas().sort_values("id"))
+        got = dict(zip(out["id"], out["value"]))
+        assert got[3] == -1.0 and got[4] == -1.0 and got[1] == 7.0
+
+    def test_project(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").as_("a").out("E")
+               .project_(nbr="~id", nsize="size", anchor="@a",
+                         asize="@a.size")
+               .toDataset().to_pandas().sort_values("nbr"))
+        assert list(out.columns) == ["nbr", "nsize", "anchor", "asize"]
+        row = out[out["nbr"] == 2].iloc[0]
+        assert row["anchor"] == 1 and row["asize"] == 10.0
+
+    def test_local_count_includes_zero(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").localCount("E", direction="out")
+               .toDataset().to_pandas().sort_values("id"))
+        got = dict(zip(out["id"], out["n"]))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+    def test_mid_traversal_V(self, ray_session):
+        g = traversal_source(self._g())
+        out = (g.V("V").has("size", P.gte(50)).as_("a")
+               .V_(1, "V").out("E")
+               .project_(big="@a", jumped="~id")
+               .toDataset().to_pandas())
+        # one source row (vid 3, size 60); jump to 1, out -> 2
+        assert len(out) == 1
+        assert out.iloc[0]["big"] == 3 and out.iloc[0]["jumped"] == 2
+
+    def test_mid_traversal_V_needs_id(self, ray_session):
+        from graphscope_ray.query.cypher import CypherGraph
+        import ray.data
+        g = self._g()
+        with pytest.raises(ValueError, match="pinned|bound"):
+            # a second pattern with an UNpinned fresh start must still
+            # raise the cartesian-free error
+            g.query("MATCH (a:V), (b:V) RETURN a AS a, b AS b")
+
+    def test_pinned_second_pattern_cypher(self, ray_session):
+        g = self._g()
+        out = (g.query("MATCH (a:V)-[:E]->(b:V), (c:V) "
+                       "WHERE c = 4 AND a = 1 "
+                       "RETURN a AS a, b AS b, c AS c")
+               .to_pandas())
+        assert len(out) == 1
+        assert tuple(out.iloc[0]) == (1, 2, 4)
