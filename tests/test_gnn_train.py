@@ -408,3 +408,125 @@ def test_minibatch_checkpoint_resume_bitexact(tmp_path):
             fanouts=(2, 2), batch_size=4, epochs=4, seed=99,
             ckpt_dir=ck)
     g.call_all("gnn_free")
+
+
+class TestDataParallelMinibatch:
+    """Synchronous data-parallel minibatch SAGE (r5): fixed seed-chunk
+    gradient partials + chunk-ordered reduce."""
+
+    def test_one_chunk_equals_sequential_trajectory(self):
+        """dp_chunk >= batch_size → one chunk per step: the dp reduce
+        degenerates to the monolithic kernel up to the deferred
+        weight-decay add — parameters must agree to float-assoc
+        tolerance with the sequential-actor trainer."""
+        from graphscope_ray.pipelines.gnn_train import train_sage_minibatch
+        X, y = _features(N, 4), _labels(N)
+        g = _pool(2)
+        seq, _ = train_sage_minibatch(
+            g, _feature_ds(X, y), hidden=6, num_classes=2,
+            fanouts=(3, 2), batch_size=4, epochs=2, lr=0.2,
+            weight_decay=1e-3, seed=13)
+        g.call_all("gnn_free")
+        g2 = _pool(2)
+        dp, m = train_sage_minibatch(
+            g2, _feature_ds(X, y), hidden=6, num_classes=2,
+            fanouts=(3, 2), batch_size=4, epochs=2, lr=0.2,
+            weight_decay=1e-3, seed=13, data_parallel=True,
+            dp_chunk=64)
+        g2.call_all("gnn_free")
+        assert m["data_parallel"] is True
+        for k in ("W1", "b1", "W2", "b2"):
+            np.testing.assert_allclose(dp[k], seq[k], rtol=1e-12,
+                                       atol=1e-13)
+
+    def test_chunked_result_independent_of_chunk_launch(self):
+        """Same dp_chunk, two runs → bit-identical params (the chunk
+        grid, not scheduling, defines the reduce)."""
+        from graphscope_ray.pipelines.gnn_train import train_sage_minibatch
+        X, y = _features(N, 4), _labels(N)
+        outs = []
+        for _ in range(2):
+            g = _pool(3)
+            p, _ = train_sage_minibatch(
+                g, _feature_ds(X, y), hidden=6, num_classes=2,
+                fanouts=(3, 2), batch_size=6, epochs=2, lr=0.2,
+                weight_decay=1e-3, seed=13, data_parallel=True,
+                dp_chunk=2)
+            g.call_all("gnn_free")
+            outs.append(p)
+        for k in ("W1", "b1", "W2", "b2"):
+            assert np.array_equal(outs[0][k], outs[1][k]), k
+
+    def test_chunked_matches_sequential_replica(self):
+        """dp with small chunks vs a driver-side replica that applies
+        the SAME chunk decomposition and reduce — replica-exact."""
+        from graphscope_ray.functions.gnn import sage_minibatch_step
+        from graphscope_ray.functions.hashing import hash64_ints
+        from graphscope_ray.pipelines.gnn_train import (
+            _chunk_subgraph,
+            _gather_rows,
+            _sample_arcs,
+            _step_seed,
+            train_sage_minibatch,
+        )
+        X, y = _features(N, 4), _labels(N)
+        hidden, classes, fanouts = 6, 2, (3, 2)
+        batch, epochs, lr, wd, seed = 4, 2, 0.2, 1e-3, 13
+        dp_chunk = 2
+        g = _pool(2)
+        got, _ = train_sage_minibatch(
+            g, _feature_ds(X, y), hidden=hidden, num_classes=classes,
+            fanouts=fanouts, batch_size=batch, epochs=epochs, lr=lr,
+            weight_decay=wd, seed=seed, data_parallel=True,
+            dp_chunk=dp_chunk)
+        g.call_all("gnn_free")
+        # replica: same sampling waves via the pool, same chunk reduce
+        g = _pool(2)
+        from graphscope_ray.pipelines.gnn_train import (
+            init_params,
+            load_vertex_features,
+        )
+        f_dim, _, _ = load_vertex_features(g, _feature_ds(X, y))
+        labeled = np.sort(np.concatenate(
+            [np.asarray(a, np.int64)
+             for a in g.call_all("gnn_labeled_vids")]))
+        params = init_params(seed, [2 * f_dim, hidden])
+        p2 = init_params(seed + 1, [2 * hidden, classes])
+        params["W2"], params["b2"] = p2["W1"], p2["b1"]
+        step_no = 0
+        for ep in range(epochs):
+            with np.errstate(over="ignore"):
+                shuf = hash64_ints(labeled) ^ np.uint64(
+                    _step_seed(seed, ep, 0, 3))
+            order = np.argsort(shuf, kind="mergesort")
+            for lo in range(0, len(labeled), batch):
+                vb = np.sort(labeled[order[lo:lo + batch]])
+                s1 = _step_seed(seed, ep, step_no, 0)
+                s2 = _step_seed(seed, ep, step_no, 1)
+                arcs1 = _sample_arcs(g.shards, vb, fanouts[0], s1)
+                v1 = (np.union1d(vb, arcs1[:, 1])
+                      if len(arcs1) else vb)
+                arcs2 = _sample_arcs(g.shards, v1, fanouts[1], s2)
+                v2 = (np.union1d(v1, arcs2[:, 1])
+                      if len(arcs2) else v1)
+                X2, y2 = _gather_rows(g.shards, v2)
+                yb = y2[np.searchsorted(v2, vb)]
+                B = len(vb)
+                gsum = {k: np.zeros_like(v) for k, v in params.items()}
+                for clo in range(0, B, dp_chunk):
+                    chunk = vb[clo:clo + dp_chunk]
+                    a1, v1c, a2, v2c, X2c, ybc = _chunk_subgraph(
+                        chunk, arcs1, arcs2, v2, X2, yb, clo)
+                    grads, _, _ = sage_minibatch_step(
+                        params, X2c, chunk, v1c, v2c, a1, a2, ybc,
+                        0.0)
+                    for k in gsum:
+                        gsum[k] += grads[k] * (len(chunk) / B)
+                gsum["W1"] = gsum["W1"] + wd * params["W1"]
+                gsum["W2"] = gsum["W2"] + wd * params["W2"]
+                for k in params:
+                    params[k] = params[k] - lr * gsum[k]
+                step_no += 1
+        g.call_all("gnn_free")
+        for k in ("W1", "b1", "W2", "b2"):
+            assert np.array_equal(got[k], params[k]), k
