@@ -68,8 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_wcc": sf_graph.q_part_wcc,
         "part_cdlp": sf_graph.q_part_cdlp,
         "part_triangles": sf_graph.q_part_triangles,
-        "part_bfs": sf_graph.q_part_bfs,
-        "part_sssp": sf_graph.q_part_sssp,
         # Cypher query-language frontend over the part graph (r4)
         "cypher_parts": sf_graph.q_cypher_parts,
         "cypher_shortest": sf_graph.q_cypher_shortest,
@@ -85,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unrolled base-then-warm PageRank
         "part_wcc_incr": sf_graph.q_part_wcc_incr,
         "part_pagerank_incr": sf_graph.q_part_pagerank_incr,
-        "lpa_u2i": sf_graph.q_lpa_u2i,
         "part_ppr": sf_graph.q_part_ppr,
         "part_scc": sf_graph.q_part_scc,
         # string-oid WCC through the session relabel path with the
@@ -101,7 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_revenue": tpch.q5_nation_revenue,
         "dedup_orders": tpch.q_dedup_orders,
         "events_window": tpch.q_events_window,
-        "events_sessions": tpch.q_events_sessions,
         "events_funnel": tpch.q_events_funnel,
         # text / dedup / similarity / multimodal
         "doc_dedup": textproc.q_doc_dedup,
@@ -146,6 +142,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin in the same order (r4).
         "doc_bm25": textproc.q_doc_bm25,
         # --- positions 51+ ---------------------------------------------
+        # r5 rotation: four entries with 3-4 recorded green rounds
+        # (part_bfs, part_sssp, lpa_u2i, events_sessions) moved to
+        # the tail in exchange for the four new r5 gates
+        # (gremlin_parts, cypher_write, part_wcc_incr,
+        # part_pagerank_incr) — their twins keep pinning exactness.
+        "part_bfs": sf_graph.q_part_bfs,
+        "part_sssp": sf_graph.q_part_sssp,
+        "lpa_u2i": sf_graph.q_lpa_u2i,
+        "events_sessions": tpch.q_events_sessions,
         # The driver sweep records exactly 50 rows in dict order; the
         # tail holds entries whose exactness is already pinned against
         # networkx/pandas/DuckDB oracles in pytest or was recorded in a
