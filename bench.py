@@ -234,6 +234,11 @@ def run_queries() -> dict:
         "doc_gopher": textproc.q_doc_gopher,
         "doc_bm25": textproc.q_doc_bm25,
         "doc_bloom_new": textproc.q_doc_bloom_new,
+        # round-5 gates
+        "gremlin_parts": sf_graph.q_gremlin_parts,
+        "cypher_write": sf_graph.q_cypher_write,
+        "part_wcc_incr": sf_graph.q_part_wcc_incr,
+        "part_pagerank_incr": sf_graph.q_part_pagerank_incr,
     }
     out = {}
     for name, fn in picks.items():

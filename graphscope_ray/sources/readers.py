@@ -26,10 +26,31 @@ def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
                           batch_format="pyarrow")
 
 
-def read_parquet_clean(*args, **kwargs) -> ray.data.Dataset:
+def read_parquet_clean(path, *args, **kwargs) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with schema metadata stripped — the
-    default parquet entry for every pipeline in this repo."""
-    return strip_schema_metadata(ray.data.read_parquet(*args, **kwargs))
+    default parquet entry for every pipeline in this repo.
+
+    When the first file's footer is readable driver-side, the cleaned
+    (pruned, metadata-free) schema is passed INTO the read, so even
+    blocks built inside the read operator (e.g. under SplitBlocks)
+    never carry the unhashable metadata; the zero-copy strip stage
+    stays as the fallback for unreadable-here filesystems."""
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            first = path[0] if isinstance(path, (list, tuple)) else path
+            fs = kwargs.get("filesystem")
+            sch = (pq.read_schema(first, filesystem=fs) if fs
+                   else pq.read_schema(first)).remove_metadata()
+            cols = kwargs.get("columns")
+            if cols:
+                sch = pa.schema([sch.field(c) for c in cols])
+            kwargs["schema"] = sch
+        except Exception:
+            pass   # directory/remote path — the strip stage covers it
+    return strip_schema_metadata(
+        ray.data.read_parquet(path, *args, **kwargs))
 
 
 def read_edges_parquet(path: str, src: str = "src", dst: str = "dst",
