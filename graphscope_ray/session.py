@@ -315,6 +315,36 @@ class Session:
         return Graph(session=self, directed=directed,
                      oid_hasher=oid_hasher)
 
+    def interactive(self, graph: "Graph",
+                    vlabels: "tuple[str, ...] | None" = None,
+                    elabels: "tuple[str, ...] | None" = None
+                    ) -> "InteractiveQuery":
+        """``graphscope.interactive(sess, graph)`` analogue
+        (python/graphscope/interactive/query.py): a Cypher/Gremlin
+        endpoint over the SAME tables the analytical graph was built
+        from. ``vlabels``/``elabels`` name the vertex/edge specs in
+        declaration order (defaults: ``V``/``E``, indexed when there
+        are several). Integer-id graphs only — relabelled string-oid
+        graphs query through the analytical surface instead."""
+        from graphscope_ray.query.cypher import CypherGraph
+
+        if graph._needs_relabel:
+            raise ValueError(
+                "interactive() needs integer vertex ids (the Cypher "
+                "catalog keys vertices by int64; string-oid graphs "
+                "are relabelled only inside the analytical engine)")
+        cg = CypherGraph(num_buckets=self.num_partitions)
+        nv, ne = len(graph._vertex_specs), len(graph._edge_specs)
+        for i, (ds, vid) in enumerate(graph._vertex_specs):
+            name = (vlabels[i] if vlabels
+                    else ("V" if nv == 1 else f"V{i}"))
+            cg.add_vertices(name, ds, vid_col=vid)
+        for i, (ds, s, d, _w) in enumerate(graph._edge_specs):
+            name = (elabels[i] if elabels
+                    else ("E" if ne == 1 else f"E{i}"))
+            cg.add_edges(name, ds, src=s, dst=d)
+        return InteractiveQuery(cg)
+
     def close(self) -> None:
         for g in self._pools.values():
             for s in g.shards:
@@ -327,6 +357,23 @@ class Session:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class InteractiveQuery:
+    """The reference ``InteractiveQuery`` surface: ``execute(cypher)``
+    (reads return a Ray Dataset; writes mutate the catalog and return
+    the counter summary) and ``traversal()`` (the Gremlin ``g``)."""
+
+    def __init__(self, cypher_graph):
+        self._cg = cypher_graph
+
+    def execute(self, cypher: str):
+        return self._cg.query(cypher)
+
+    def traversal(self):
+        from graphscope_ray.query.traversal import traversal_source
+
+        return traversal_source(self._cg)
 
 
 def session(num_partitions: int = 8, ckpt_dir: str | None = None,

@@ -383,3 +383,44 @@ def test_nx_compat_assortativity_with_attrs():
     gotn = gnx.numeric_assortativity_coefficient(G, "size")
     wantn = nx.numeric_assortativity_coefficient(H, "size")
     assert abs(gotn - wantn) < 1e-9
+
+
+class TestInteractive:
+    """sess.interactive(graph) — the reference InteractiveQuery bridge
+    from the analytical Graph to the Cypher/Gremlin frontends."""
+
+    def test_execute_read_and_write(self, ray_session):
+        import graphscope_ray.session as gss
+        verts = pd.DataFrame({"vid": [1, 2, 3], "size": [5, 6, 7]})
+        edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+        with gss.session(num_partitions=2) as sess:
+            g = (sess.g(directed=True)
+                 .add_vertices(verts).add_edges(edges))
+            iq = sess.interactive(g)
+            out = (iq.execute("MATCH (a:V)-[:E]->(b:V) "
+                              "RETURN a AS a, b AS b")
+                   .to_pandas().sort_values("a").reset_index(drop=True))
+            assert list(map(tuple, out.to_numpy())) == [(1, 2), (2, 3)]
+            s = iq.execute("MATCH (a:V) WHERE a = 3 DETACH DELETE a")
+            assert s.nodes_deleted[0] == 1
+            left = iq.execute("MATCH (a:V) RETURN a AS a").to_pandas()
+            assert set(left["a"]) == {1, 2}
+
+    def test_traversal_source(self, ray_session):
+        import graphscope_ray.session as gss
+        verts = pd.DataFrame({"vid": [1, 2, 3], "size": [5, 6, 7]})
+        edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+        with gss.session(num_partitions=2) as sess:
+            g = (sess.g(directed=True)
+                 .add_vertices(verts).add_edges(edges))
+            tr = sess.interactive(g).traversal()
+            n = tr.V("V").out("E").count().toDataset().to_pandas()
+            assert int(n.iloc[0, 0]) == 2
+
+    def test_string_oid_refused(self, ray_session):
+        import graphscope_ray.session as gss
+        edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+        with gss.session(num_partitions=2) as sess:
+            g = sess.g(directed=True).add_edges(edges)
+            with pytest.raises(ValueError, match="integer"):
+                sess.interactive(g)
