@@ -61,6 +61,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="rewrite finished output partitions")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=0)
+    # Ingress-style incremental recompute (pagerank/wcc): --input is
+    # the FULL (delta'd) edge table; --warm-from is the previous
+    # fixpoint — a (vid, value) parquet, or a CheckpointManager job
+    # directory given as  <ckpt_dir>::<job>  (state_from_checkpoint)
+    p.add_argument("--warm-from", default=None,
+                   help="previous-state parquet or <ckpt_dir>::<job>")
+    p.add_argument("--delta", default=None,
+                   help="added-edge parquet (wcc frontier seeding)")
     # algorithm knobs
     p.add_argument("--alpha", type=float, default=0.85)
     p.add_argument("--max-iter", type=int, default=100)
@@ -104,6 +112,20 @@ def _read_edges(args) -> "ray.data.Dataset":
         return pa.table(out)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _warm_state(spec: str):
+    """Previous-fixpoint source for --warm-from: a (vid, value)
+    parquet path, or ``<ckpt_dir>::<job>`` → the newest complete
+    CheckpointManager superstep."""
+    if "::" in spec:
+        from graphscope_ray.pipelines.incremental import (
+            state_from_checkpoint,
+        )
+
+        ckpt_dir, job = spec.split("::", 1)
+        return state_from_checkpoint(ckpt_dir, job)
+    return _read_parquet(spec)
 
 
 def main(argv=None) -> dict:
@@ -162,16 +184,41 @@ def main(argv=None) -> dict:
                                      in g.build_phases.items()})
         t1 = time.perf_counter()
         if args.algo == "pagerank":
-            result, m = algorithms.pagerank(
-                g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
-                ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
+            if args.warm_from:
+                from graphscope_ray.pipelines.incremental import (
+                    pagerank_incremental,
+                )
+                result, m = pagerank_incremental(
+                    g, _warm_state(args.warm_from), alpha=args.alpha,
+                    max_iter=args.max_iter, tol=args.tol)
+                metrics["incremental"] = True
+            else:
+                result, m = algorithms.pagerank(
+                    g, alpha=args.alpha, max_iter=args.max_iter,
+                    tol=args.tol, ckpt_dir=args.ckpt_dir,
+                    ckpt_every=args.ckpt_every)
             metrics.update(rounds=m["rounds"],
                            edges_per_sec=round(
                                g.n_edges * m["rounds"]
                                / max(m["seconds"], 1e-9), 1))
         elif args.algo == "wcc":
-            result, m = algorithms.wcc(g, ckpt_dir=args.ckpt_dir,
-                                       ckpt_every=args.ckpt_every)
+            if args.warm_from:
+                if not args.delta:
+                    raise SystemExit(
+                        "incremental wcc needs --delta (the added "
+                        "edges seed the frontier)")
+                from graphscope_ray.pipelines.incremental import (
+                    wcc_incremental,
+                )
+                delta = _read_parquet(
+                    args.delta, columns=[args.src, args.dst]
+                ).rename_columns({args.src: "src", args.dst: "dst"})
+                result, m = wcc_incremental(
+                    g, _warm_state(args.warm_from), delta)
+                metrics["incremental"] = True
+            else:
+                result, m = algorithms.wcc(g, ckpt_dir=args.ckpt_dir,
+                                           ckpt_every=args.ckpt_every)
             metrics.update(rounds=m["rounds"])
         elif args.algo == "cdlp":
             result, m = algorithms.cdlp(g, max_round=args.max_iter

@@ -156,3 +156,55 @@ def test_cli_gnn_sage_mb(tmp_path):
     got = pd.read_parquet(out)
     assert sorted(got["vid"]) == list(range(n))
     assert set(got["pred"]) <= {0, 1}
+
+
+def test_cli_incremental_wcc_and_pagerank(tmp_path):
+    """--warm-from/--delta: the nightly-job protocol — base run writes
+    its state, the delta'd rerun warm-starts and matches a cold full
+    run exactly (wcc) / to 1e-9 (pagerank)."""
+    base = pd.DataFrame({"src": [0, 1, 3, 4], "dst": [1, 2, 4, 5]})
+    delta = pd.DataFrame({"src": [2, 5], "dst": [3, 6]})
+    full = pd.concat([base, delta], ignore_index=True)
+    bpath = str(tmp_path / "base.parquet"); base.to_parquet(bpath)
+    dpath = str(tmp_path / "delta.parquet"); delta.to_parquet(dpath)
+    fpath = str(tmp_path / "full.parquet"); full.to_parquet(fpath)
+    # base run (undirected wcc), state saved as plain parquet output
+    out0 = str(tmp_path / "wcc0")
+    main(["--algo", "wcc", "--input", bpath, "--output", out0,
+          "--partitions", "2"])
+    prev = read_partitioned_parquet(out0).to_pandas()
+    ppath = str(tmp_path / "prev.parquet")
+    prev[["vid", "component"]].to_parquet(ppath)
+    # incremental rerun on the full table
+    out1 = str(tmp_path / "wcc1")
+    m = main(["--algo", "wcc", "--input", fpath, "--output", out1,
+              "--partitions", "2", "--warm-from", ppath,
+              "--delta", dpath])
+    assert m["incremental"] is True
+    got = (read_partitioned_parquet(out1).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    out2 = str(tmp_path / "wcc2")
+    main(["--algo", "wcc", "--input", fpath, "--output", out2,
+          "--partitions", "2"])
+    cold = (read_partitioned_parquet(out2).to_pandas()
+            .sort_values("vid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, cold)
+    # incremental pagerank from the cold ranks converges instantly-ish
+    out3 = str(tmp_path / "pr0")
+    main(["--algo", "pagerank", "--input", fpath, "--output", out3,
+          "--partitions", "2", "--tol", "1e-12"])
+    prevpr = read_partitioned_parquet(out3).to_pandas()
+    prpath = str(tmp_path / "prevpr.parquet")
+    prevpr[["vid", "pagerank"]].to_parquet(prpath)
+    out4 = str(tmp_path / "pr1")
+    m = main(["--algo", "pagerank", "--input", fpath, "--output", out4,
+              "--partitions", "2", "--tol", "1e-12",
+              "--warm-from", prpath])
+    # the cold run stops at max_iter=100 still shy of tol=1e-12; the
+    # warm run CONTINUES the decay from there (≈50 rounds to the
+    # tolerance instead of ~160 from scratch)
+    assert m["incremental"] is True and m["rounds"] < 100
+    a = (read_partitioned_parquet(out4).to_pandas()
+         .sort_values("vid")["pagerank"].to_numpy())
+    b = prevpr.sort_values("vid")["pagerank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-7, rtol=0)
