@@ -1290,8 +1290,16 @@ class CypherGraph:
             return cogroup_join(b, lab, on=col,
                                 num_buckets=self.num_buckets)
 
-        def hop(b, rel, lcol, rnode, bound):
-            """One relationship hop from bound column `lcol`."""
+        def hop(b, rel, lcol, rnode, bound, allow_push=False):
+            """One relationship hop from bound column `lcol`.
+
+            ``allow_push``: WHERE conjuncts that reference ONLY this
+            relationship variable filter the ARC TABLE before the join
+            (edge-predicate pushdown — conjunction commutes with the
+            inner join), so a hop guarded by ``e.weight >= k`` joins
+            the pruned arcs, not the full table. Mandatory-pattern
+            hops only: on OPTIONAL hops a WHERE over the optional var
+            must see the null rows the left join produces."""
             rcol = rnode.var
             fresh = rcol not in bound
             tgt = rcol if fresh else f"_tmp{tmp[0]}"
@@ -1300,6 +1308,34 @@ class CypherGraph:
             eprops = eprops_of.get(rel.var, [])
             if rel.max_hops == 1:
                 arcs = self._edge_arcs(rel, lcol, tgt, eprops)
+                if allow_push and eprops:
+                    def bare_vars(e, out):
+                        if isinstance(e, Var):
+                            out.add(e.var)
+                        elif isinstance(e, (list, tuple)):
+                            for x in e:
+                                bare_vars(x, out)
+                        else:
+                            for f in getattr(e, "__dataclass_fields__",
+                                             {}):
+                                bare_vars(getattr(e, f), out)
+
+                    push = []
+                    for c in list(pending):
+                        vs: set = set()
+                        ps: list = []
+                        _expr_vars(c, vs, ps)
+                        bv: set = set()
+                        bare_vars(c, bv)
+                        if (vs == {rel.var} and not bv
+                                and not isinstance(c, PatternPred)):
+                            pending.remove(c)
+                            push.append(c)
+                    if push:
+                        pred = push[0]
+                        for c in push[1:]:
+                            pred = BinOp("and", pred, c)
+                        arcs = filter_ds(arcs, pred)
                 b = cogroup_join(b, arcs, on=lcol,
                                  num_buckets=self.num_buckets)
             else:
@@ -1522,7 +1558,8 @@ class CypherGraph:
                     binding = bind_node(binding, first, first.var)
             lcol = first.var
             for rel, rnode in zip(pat.rels, pat.nodes[1:]):
-                binding = hop(binding, rel, lcol, rnode, bound)
+                binding = hop(binding, rel, lcol, rnode, bound,
+                              allow_push=True)
                 lcol = rnode.var
             binding = flush_filters(binding)
 
