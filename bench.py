@@ -37,6 +37,14 @@ N_REPOS = int(os.environ.get("GRAFT_BENCH_REPOS", "8000"))
 SHARDS = os.environ.get("GRAFT_SHARDS")
 
 
+def _rpc(*args, **kwargs):
+    """Metadata-stripped parquet read (lazy import — bench's module
+    top stays stdlib-only so `--scaling` subprocesses start fast)."""
+    from graphscope_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(*args, **kwargs)
+
+
 def _init_ray():
     import logging
 
@@ -95,7 +103,7 @@ def headline() -> dict:
 
     d = _corpus_dir()
     # warm the page cache so we measure compute + shuffle, not cold disk
-    ray.data.read_parquet(d).count()
+    _rpc(d).count()
     # warm the worker pool: process spawn cost scales with num_cpus and
     # would otherwise be billed to the first timed stage
 
@@ -109,7 +117,7 @@ def headline() -> dict:
     # rate), not the cpu count; override via GRAFT_SHARDS
     P = int(SHARDS) if SHARDS else max(8, min(32, N_REPOS * 65 // 2_500_000))
     t0 = time.perf_counter()
-    corpus = ray.data.read_parquet(d, columns=["repo", "path", "content"])
+    corpus = _rpc(d, columns=["repo", "path", "content"])
     n_rows = with_sha256(corpus).count()  # ingest + invariant column
     t_ingest = time.perf_counter()
     graph, vmap = build_repo_graph(
@@ -155,11 +163,9 @@ def _q_span_dedup(sf_dir: str):
     """Stress shape for paragraph_dedup: the sf documents are one-line
     word streams, so sep=' ' explodes EVERY token as a span — maximal
     span rows per byte of corpus (worst case for the three shuffles)."""
-    import ray.data
-
     from graphscope_ray.stages.dedup import paragraph_dedup
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     return paragraph_dedup(docs, sep=" ")
 
@@ -167,11 +173,9 @@ def _q_span_dedup(sf_dir: str):
 def _q_decontam(sf_dir: str):
     """Benchmark-decontamination timing: blocklist from the first 100
     docs (the 'eval set'), one streaming overlap pass over the corpus."""
-    import ray.data
-
     from graphscope_ray.stages.textprep import decontaminate
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _rpc(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     bench = docs.limit(100)
     return decontaminate(docs, bench, n=8)
@@ -180,11 +184,9 @@ def _q_decontam(sf_dir: str):
 def _q_kmeans(sf_dir: str):
     """Spherical k-means over the embeddings table: 5 Lloyd passes,
     k=16 — per-pass cost is the streaming partial-sum scan."""
-    import ray.data
-
     from graphscope_ray.stages.similarity import kmeans
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rpc(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     assigned, _, _ = kmeans(emb, k=16, iters=5, seed=42)
     return assigned
@@ -269,7 +271,7 @@ def big_superstep_rate() -> dict:
     try:
         d = _corpus_dir()
         P = int(SHARDS) if SHARDS else 16
-        corpus = ray.data.read_parquet(d, columns=["repo", "path", "content"])
+        corpus = _rpc(d, columns=["repo", "path", "content"])
         t0 = time.perf_counter()
         graph, _ = build_repo_graph(
             corpus, num_partitions=P, directed=False, cap_per_key=64
