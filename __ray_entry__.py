@@ -103,9 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup": textproc.q_doc_dedup,
         "doc_stats": textproc.q_doc_stats,
         "doc_repetition": textproc.q_doc_repetition,
-        "doc_lang": textproc.q_doc_lang,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
+        # r5: end-to-end near-dup resolution converted to an exact
+        # md5-interchange twin (LSH -> Jaccard -> WCC -> keeper)
+        "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
@@ -147,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the tail in exchange for the four new r5 gates
         # (gremlin_parts, cypher_write, part_wcc_incr,
         # part_pagerank_incr) — their twins keep pinning exactness.
+        "doc_lang": textproc.q_doc_lang,
         "part_bfs": sf_graph.q_part_bfs,
         "part_sssp": sf_graph.q_part_sssp,
         "lpa_u2i": sf_graph.q_lpa_u2i,
@@ -188,7 +191,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # invariance pinned in tests/test_stages.py)
         "ann_pq_topk": textproc.q_ann_pq_topk,
         "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
-        "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
         "emb_kmeans": textproc.q_emb_kmeans,
         "emb_pca": textproc.q_emb_pca,
         "doc_dsir": textproc.q_doc_dsir,
@@ -213,6 +215,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ----------------------------------------------------------- oracle SQL
+
+# shared md5-interchange MinHash+LSH CTE chain (doc_minhash_pairs and
+# the doc_dedup_clusters twin both consume `shingles` and `cand`)
+_MINHASH_CTES = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text), '\w+')) + 1))
+           AS i
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+           AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+short AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS shingle
+  FROM toks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT * FROM grams UNION ALL SELECT * FROM short)),
+hs AS (SELECT doc_id, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
+       FROM shingles),
+mh AS (
+  SELECT hs.doc_id, p.p,
+         min((hs.h * (2 * p.p + 1) + p.p * 2654435769)
+             % CAST('18446744073709551616' AS HUGEINT)) AS mn
+  FROM hs CROSS JOIN (SELECT unnest(range(64)) AS p) p
+  GROUP BY hs.doc_id, p.p),
+bands AS (
+  SELECT doc_id, p // 2 AS band,
+         sum(mn) % CAST('18446744073709551616' AS HUGEINT) AS sig
+  FROM mh GROUP BY doc_id, p // 2),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, sig ORDER BY doc_id)
+          <= 200),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+"""
 
 _GRAPH_CTES = """
 edges AS MATERIALIZED (
@@ -1289,44 +1334,35 @@ WHERE list_cosine_similarity(
       >= 0.4""",
         # embedding_neardup_lsh: rows-only (numpy hyperplane projections
         # have no faithful SQL twin)
-        "doc_minhash_pairs": r"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
-         unnest(range(1, len(regexp_extract_all(lower(text), '\w+')) + 1))
-           AS i
-  FROM documents),
-grams AS (
-  SELECT doc_id,
-         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
-           AS shingle
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
-short AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS shingle
-  FROM toks GROUP BY doc_id HAVING count(*) BETWEEN 1 AND 2),
-shingles AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (SELECT * FROM grams UNION ALL SELECT * FROM short)),
-hs AS (SELECT doc_id, CAST(md5_number_lower(shingle) AS HUGEINT) AS h
-       FROM shingles),
-mh AS (
-  SELECT hs.doc_id, p.p,
-         min((hs.h * (2 * p.p + 1) + p.p * 2654435769)
-             % CAST('18446744073709551616' AS HUGEINT)) AS mn
-  FROM hs CROSS JOIN (SELECT unnest(range(64)) AS p) p
-  GROUP BY hs.doc_id, p.p),
-bands AS (
-  SELECT doc_id, p // 2 AS band,
-         sum(mn) % CAST('18446744073709551616' AS HUGEINT) AS sig
-  FROM mh GROUP BY doc_id, p // 2),
-capped AS (
-  SELECT * FROM bands
-  QUALIFY row_number() OVER (PARTITION BY band, sig ORDER BY doc_id)
-          <= 200)
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM capped x JOIN capped y
-  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id""",
+        "doc_minhash_pairs": f"WITH {_MINHASH_CTES.strip()}\n"
+        "SELECT a, b FROM cand",
+        # end-to-end near-dup resolution: md5 MinHash candidates (the
+        # doc_minhash_pairs CTEs) → exact string-shingle Jaccard ≥ 0.5
+        # → recursive-CTE WCC over the verified dup pairs → min-member
+        # keeper — mirroring stages/dedup.neardup_clusters(hash_fn=md5)
+        "doc_dedup_clusters": f"WITH RECURSIVE {_MINHASH_CTES.strip()},\n"
+        """ssz AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b),
+dup AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN ssz za ON za.doc_id = c.a
+  JOIN ssz zb ON zb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE COALESCE(i.ni, 0)
+        / CAST(za.ns + zb.ns - COALESCE(i.ni, 0) AS DOUBLE) >= 0.5),
+dupped AS (SELECT a AS src, b AS dst FROM dup
+           UNION ALL SELECT b, a FROM dup),
+reach(vid, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT d.dst, r.comp FROM reach r JOIN dupped d ON d.src = r.vid)
+SELECT vid AS doc_id, min(comp) AS cluster_id,
+       vid = min(comp) AS keep
+FROM reach GROUP BY vid""",
         "doc_simhash": r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS tok

@@ -125,13 +125,17 @@ def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:
 def q_doc_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """End-to-end near-dup resolution (LSH → distributed Jaccard verify
     → WCC over the dup-pair graph): (doc_id, cluster_id, keep) with one
-    deterministic keeper (min doc_id) per near-dup component. Validity
-    invariants (one keeper per cluster, cluster = min member, pairwise
-    threshold met inside clusters) pinned in pytest."""
+    deterministic keeper (min doc_id) per near-dup component. The gate
+    runs the md5-interchange MinHash kernel so the whole chain has an
+    exact DuckDB twin (candidates ≡ the doc_minhash_pairs twin, exact
+    string-shingle Jaccard ≥ 0.5, recursive-CTE WCC, min-member
+    keeper); the sip throughput kernel stays pinned in pytest along
+    with the validity invariants (one keeper per cluster, cluster =
+    min member, pairwise threshold met inside clusters)."""
     from graphscope_ray.stages.dedup import neardup_clusters
 
     return neardup_clusters(_docs(sf_dir), threshold=0.5, bands=32,
-                            num_partitions=4)
+                            num_partitions=4, hash_fn="md5")
 
 
 def q_doc_simhash(sf_dir: str) -> ray.data.Dataset:

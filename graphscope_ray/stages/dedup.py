@@ -513,6 +513,7 @@ def neardup_clusters(
     threshold: float = 0.7,
     num_partitions: int = 4,
     num_buckets: int = 32,
+    hash_fn: str = "sip",
 ) -> ray.data.Dataset:
     """End-to-end near-duplicate resolution — the canonical training-
     data dedup pipeline: MinHash+LSH candidates → distributed exact-
@@ -534,7 +535,8 @@ def neardup_clusters(
     from graphscope_ray.stages.relational import bucketed_group_apply
 
     cand = minhash_lsh_pairs(
-        docs, text_col, id_col, shingle_k, num_perm, bands)
+        docs, text_col, id_col, shingle_k, num_perm, bands,
+        hash_fn=hash_fn)
     dup = verify_jaccard_pairs(
         cand, docs, text_col, id_col, shingle_k, threshold, num_buckets
     ).materialize()  # small: verified duplicate pairs only
