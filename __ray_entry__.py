@@ -103,11 +103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup": textproc.q_doc_dedup,
         "doc_stats": textproc.q_doc_stats,
         "doc_repetition": textproc.q_doc_repetition,
-        "doc_fingerprint": textproc.q_doc_fingerprint,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
         # r5: end-to-end near-dup resolution converted to an exact
         # md5-interchange twin (LSH -> Jaccard -> WCC -> keeper)
         "doc_dedup_clusters": textproc.q_doc_dedup_clusters,
+        # r5: the distributed Jaccard verify, now with an exact
+        # candidates+values twin (previously rows-only)
+        "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
@@ -150,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (gremlin_parts, cypher_write, part_wcc_incr,
         # part_pagerank_incr) — their twins keep pinning exactness.
         "doc_lang": textproc.q_doc_lang,
+        "doc_fingerprint": textproc.q_doc_fingerprint,
         "part_bfs": sf_graph.q_part_bfs,
         "part_sssp": sf_graph.q_part_sssp,
         "lpa_u2i": sf_graph.q_lpa_u2i,
@@ -186,7 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sampling_path": sf_graph.q_part_sampling_path,
         "part_betweenness": sf_graph.q_part_betweenness,
         "part_louvain": sf_graph.q_part_louvain,
-        "doc_jaccard_verify": textproc.q_doc_jaccard_verify,
         # IVF-PQ compression half — rows-only (ADC parity + partition
         # invariance pinned in tests/test_stages.py)
         "ann_pq_topk": textproc.q_ann_pq_topk,
@@ -1336,6 +1338,25 @@ WHERE list_cosine_similarity(
         # have no faithful SQL twin)
         "doc_minhash_pairs": f"WITH {_MINHASH_CTES.strip()}\n"
         "SELECT a, b FROM cand",
+        # LSH candidates + exact string-shingle Jaccard ≥ 0.5 (5dp) —
+        # the distributed verify's twin (r5, previously rows-only)
+        "doc_jaccard_verify": f"WITH {_MINHASH_CTES.strip()},\n"
+        """ssz AS (SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c JOIN shingles x ON x.doc_id = c.a
+  JOIN shingles y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b)
+SELECT c.a, c.b,
+       printf('%.5f', COALESCE(i.ni, 0)
+              / CAST(za.ns + zb.ns - COALESCE(i.ni, 0) AS DOUBLE))
+         AS jaccard
+FROM cand c
+JOIN ssz za ON za.doc_id = c.a
+JOIN ssz zb ON zb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE COALESCE(i.ni, 0)
+      / CAST(za.ns + zb.ns - COALESCE(i.ni, 0) AS DOUBLE) >= 0.5""",
         # end-to-end near-dup resolution: md5 MinHash candidates (the
         # doc_minhash_pairs CTEs) → exact string-shingle Jaccard ≥ 0.5
         # → recursive-CTE WCC over the verified dup pairs → min-member

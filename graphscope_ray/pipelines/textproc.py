@@ -108,11 +108,14 @@ def q_doc_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 def q_doc_jaccard_verify(sf_dir: str) -> ray.data.Dataset:
     """MinHash-LSH candidates verified by DISTRIBUTED exact n-gram
     Jaccard (stages/dedup.verify_jaccard_pairs — co-grouped shingle
-    exchange, no driver-side text dict): (a, b, jaccard 5dp)."""
+    exchange, no driver-side text dict): (a, b, jaccard 5dp). The gate
+    runs the md5-interchange candidate kernel so the DuckDB twin
+    reproduces candidates AND the exact string-shingle Jaccard values
+    (r5 — previously rows-only); the sip kernel stays pytest-pinned."""
     from graphscope_ray.stages.dedup import verify_jaccard_pairs
 
     pairs = minhash_lsh_pairs(_docs(sf_dir), num_perm=64, bands=32,
-                              concurrency=4)
+                              concurrency=4, hash_fn="md5")
     out = verify_jaccard_pairs(pairs, _docs(sf_dir), threshold=0.5)
 
     def fmt(b: pd.DataFrame) -> pd.DataFrame:
