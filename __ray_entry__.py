@@ -96,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_top_orders": tpch.q3_top_orders,
         "q5_nation_revenue": tpch.q5_nation_revenue,
-        "dedup_orders": tpch.q_dedup_orders,
         "events_window": tpch.q_events_window,
         "events_funnel": tpch.q_events_funnel,
         # text / dedup / similarity / multimodal
@@ -113,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": textproc.q_doc_simhash,
         "ann_topk": textproc.q_ann_topk,
         "embedding_neardup": textproc.q_embedding_neardup,
+        # r5: hyperplane-LSH near-dup converted to an exact twin
+        # (literal seeded planes + in-bucket cosine)
+        "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
         "multimodal_meta": textproc.q_multimodal_meta,
         # round-4 rotation: the corpus-prep exact twins (all verified
         # locally in rounds 2-3 via tools/check_oracle past the 50-row
@@ -152,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (gremlin_parts, cypher_write, part_wcc_incr,
         # part_pagerank_incr) — their twins keep pinning exactness.
         "doc_lang": textproc.q_doc_lang,
+        "dedup_orders": tpch.q_dedup_orders,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "part_bfs": sf_graph.q_part_bfs,
         "part_sssp": sf_graph.q_part_sssp,
@@ -192,7 +195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF-PQ compression half — rows-only (ADC parity + partition
         # invariance pinned in tests/test_stages.py)
         "ann_pq_topk": textproc.q_ann_pq_topk,
-        "embedding_neardup_lsh": textproc.q_embedding_neardup_lsh,
         "emb_kmeans": textproc.q_emb_kmeans,
         "emb_pca": textproc.q_emb_pca,
         "doc_dsir": textproc.q_doc_dsir,
@@ -217,6 +219,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ----------------------------------------------------------- oracle SQL
+
+def _lsh_planes_values() -> str:
+    """The engine's seeded hyperplanes (np default_rng(42), 64×12) as
+    SQL VALUES rows — repr() gives shortest-round-trip decimals, so
+    DuckDB parses back the identical doubles."""
+    import numpy as np
+
+    P = np.random.default_rng(42).standard_normal((64, 12))
+    return ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in P[:, j]))
+        for j in range(12))
+
 
 # shared md5-interchange MinHash+LSH CTE chain (doc_minhash_pairs and
 # the doc_dedup_clusters twin both consume `shingles` and `cand`)
@@ -1334,8 +1349,26 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(
         CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
       >= 0.4""",
-        # embedding_neardup_lsh: rows-only (numpy hyperplane projections
-        # have no faithful SQL twin)
+        # hyperplane-LSH near-dup (r5, previously rows-only): the
+        # engine's seeded planes ride as 64-double literals; bucket =
+        # Σ (v·plane_j > 0) << j over the id-shifted augmented table,
+        # in-bucket exact cosine ≥ 0.9
+        "embedding_neardup_lsh": "WITH planes(j, v) AS (VALUES\n"
+        + _lsh_planes_values() + "),\n"
+        + """aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+codes AS (
+  SELECT b.vec_id, b.e,
+         CAST(sum(CASE WHEN list_dot_product(b.e, p.v) > 0
+                       THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+  FROM aug b CROSS JOIN planes p GROUP BY b.vec_id, b.e)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       printf('%.5f', list_cosine_similarity(x.e, y.e)) AS cosine
+FROM codes x JOIN codes y
+  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.e, y.e) >= 0.9""",
         "doc_minhash_pairs": f"WITH {_MINHASH_CTES.strip()}\n"
         "SELECT a, b FROM cand",
         # LSH candidates + exact string-shingle Jaccard ≥ 0.5 (5dp) —

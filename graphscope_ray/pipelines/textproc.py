@@ -234,7 +234,19 @@ def q_embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
             "embedding": t.column("embedding")})
 
     both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
-    return embedding_neardup_pairs(both, threshold=0.9)
+    out = embedding_neardup_pairs(both, threshold=0.9)
+
+    # canonical (min, max) pair order + 5dp cosine so the DuckDB twin
+    # (literal seeded hyperplanes + list_cosine_similarity) hash-matches
+    # (r5 — previously rows-only)
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": np.minimum(a, bb), "b": np.maximum(a, bb),
+            "cosine": _fx(b["cosine"].to_numpy(np.float64), 5)})
+
+    return out.map_batches(canon, batch_format="pandas")
 
 
 def q_multimodal_meta(sf_dir: str) -> ray.data.Dataset:
