@@ -100,7 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": tpch.q_events_funnel,
         # text / dedup / similarity / multimodal
         "doc_dedup": textproc.q_doc_dedup,
-        "doc_stats": textproc.q_doc_stats,
+        # r5: DSIR converted to an exact md5-feature twin
+        "doc_dsir": textproc.q_doc_dsir,
         "doc_repetition": textproc.q_doc_repetition,
         "doc_minhash_pairs": textproc.q_doc_minhash_pairs,
         # r5: end-to-end near-dup resolution converted to an exact
@@ -154,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (gremlin_parts, cypher_write, part_wcc_incr,
         # part_pagerank_incr) — their twins keep pinning exactness.
         "doc_lang": textproc.q_doc_lang,
+        "doc_stats": textproc.q_doc_stats,
         "dedup_orders": tpch.q_dedup_orders,
         "doc_fingerprint": textproc.q_doc_fingerprint,
         "part_bfs": sf_graph.q_part_bfs,
@@ -197,7 +199,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": textproc.q_ann_pq_topk,
         "emb_kmeans": textproc.q_emb_kmeans,
         "emb_pca": textproc.q_emb_pca,
-        "doc_dsir": textproc.q_doc_dsir,
         # rows-only but merge-sequence-EXACT in pytest
         "doc_bpe_merges": textproc.q_doc_bpe_merges,
         # SemDeDup (k-means + within-cluster cosine dedup) over the
@@ -1371,6 +1372,42 @@ FROM codes x JOIN codes y
 WHERE list_cosine_similarity(x.e, y.e) >= 0.9""",
         "doc_minhash_pairs": f"WITH {_MINHASH_CTES.strip()}\n"
         "SELECT a, b FROM cand",
+        # DSIR (Xie et al. 2023) with the md5 feature kernel (r5,
+        # previously rows-only): uni = md5(token), bi = md5('t1 t2'),
+        # buckets mod 65536; add-one-smoothed target (doc_id%97=0) and
+        # raw distributions, per-doc Σ log-ratio, 5dp
+        "doc_dsir": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS tok,
+         unnest(range(1, len(regexp_extract_all(lower(text), '\w+')) + 1))
+           AS i
+  FROM documents),
+uni AS (SELECT doc_id,
+               CAST(md5_number_lower(tok) AS HUGEINT) % 65536 AS b
+        FROM toks),
+big AS (
+  SELECT doc_id, CAST(md5_number_lower(sh) AS HUGEINT) % 65536 AS b
+  FROM (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS sh
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        QUALIFY lead(tok, 1) OVER w IS NOT NULL)),
+feats AS (SELECT doc_id, b FROM uni UNION ALL SELECT doc_id, b FROM big),
+tcnt AS (SELECT b, count(*) AS c FROM feats WHERE doc_id % 97 = 0
+         GROUP BY b),
+rcnt AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+tt AS (SELECT COALESCE(sum(c), 0) AS s FROM tcnt),
+tr AS (SELECT COALESCE(sum(c), 0) AS s FROM rcnt),
+scores AS (
+  SELECT f.doc_id,
+         sum(ln((COALESCE(t.c, 0) + 1.0)
+                / ((SELECT s FROM tt) + 65536.0))
+             - ln((r.c + 1.0) / ((SELECT s FROM tr) + 65536.0))) AS lw
+  FROM feats f
+  JOIN rcnt r ON r.b = f.b
+  LEFT JOIN tcnt t ON t.b = f.b
+  GROUP BY f.doc_id)
+SELECT d.doc_id, printf('%.5f', COALESCE(s.lw, 0.0)) AS dsir_logw
+FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id""",
         # LSH candidates + exact string-shingle Jaccard ≥ 0.5 (5dp) —
         # the distributed verify's twin (r5, previously rows-only)
         "doc_jaccard_verify": f"WITH {_MINHASH_CTES.strip()},\n"

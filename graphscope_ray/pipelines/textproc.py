@@ -552,9 +552,12 @@ def q_doc_dsir(sf_dir: str) -> ray.data.Dataset:
     doc_id % 97 == 0 target set (stages/dsir: hashed-n-gram bucket
     distributions fitted in one streaming pass each, broadcast
     log-ratio scoring): (doc_id, dsir_logw 5dp). Hash-bucket features
-    have no SQL twin (rows-only gate); replica exactness, partition
-    invariance and planted-topic selection are pinned in pytest
-    (tests/test_dsir.py)."""
+    (r5) the gate runs the md5-interchange feature kernel so the
+    DuckDB twin reproduces bucket ids, smoothed distributions and
+    log-ratio scores exactly (previously rows-only); the sip
+    throughput kernel stays pytest-pinned (replica exactness,
+    partition invariance, planted-topic selection --
+    tests/test_dsir.py)."""
     from graphscope_ray.stages.dsir import dsir_log_weights, fit_hashed_ngram_dist
 
     docs = _docs(sf_dir)
@@ -563,9 +566,9 @@ def q_doc_dsir(sf_dir: str) -> ray.data.Dataset:
             t.column("doc_id").to_numpy(zero_copy_only=False) % 97
             == 0)),
         batch_format="pyarrow")
-    pt = fit_hashed_ngram_dist(target)
-    pr = fit_hashed_ngram_dist(docs)
-    out = dsir_log_weights(docs, pt, pr)
+    pt = fit_hashed_ngram_dist(target, hash_fn="md5")
+    pr = fit_hashed_ngram_dist(docs, hash_fn="md5")
+    out = dsir_log_weights(docs, pt, pr, hash_fn="md5")
 
     def fmt(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -50,15 +50,53 @@ def _doc_bucket_matrix(texts: pd.Series, n_buckets: int):
     return (uni % np.uint64(n_buckets), us), (bi % np.uint64(n_buckets), bs)
 
 
+def _doc_bucket_matrix_md5(texts: pd.Series, n_buckets: int):
+    """md5-interchange feature kernel: uni = md5_lower64(token) mod B,
+    bi = md5_lower64('t1 t2') mod B over full doc-local 2-windows —
+    every bucket id reproducible in DuckDB (``md5_number_lower`` on
+    the same lower-\\w+ token stream), which gives DSIR an exact SQL
+    twin. Same return shape as :func:`_doc_bucket_matrix`."""
+    from graphscope_ray.functions.text import TOKEN_RE, _md5_lower64
+
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    lengths = toks.str.len().to_numpy(np.int64)
+    flat = pd.Series(toks.explode().dropna().to_numpy(object))
+    n = len(flat)
+    B = np.uint64(n_buckets)
+    us = np.concatenate(([0], np.cumsum(lengths)))
+    if n:
+        uh = _md5_lower64(flat.to_numpy(object))
+        ends = np.repeat(np.cumsum(lengths), lengths)
+        parts = flat.str.cat(flat.shift(-1), sep=" ")
+        full = np.arange(n, dtype=np.int64) + 2 <= ends
+        bh = _md5_lower64(parts.to_numpy(object)[full])
+    else:
+        uh = np.empty(0, np.uint64)
+        bh = np.empty(0, np.uint64)
+    blens = np.maximum(lengths - 1, 0)
+    bs = np.concatenate(([0], np.cumsum(blens)))
+    return (uh % B, us), (bh % B, bs)
+
+
+def _bucket_counts_md5(texts: pd.Series, n_buckets: int) -> np.ndarray:
+    (ub, _), (bb, _) = _doc_bucket_matrix_md5(texts, n_buckets)
+    h = np.concatenate([ub, bb]).astype(np.int64)
+    return np.bincount(h, minlength=n_buckets)
+
+
 def fit_hashed_ngram_dist(
     ds: ray.data.Dataset,
     text_col: str = "text",
     n_buckets: int = 65536,
+    hash_fn: str = "sip",
 ) -> np.ndarray:
-    """Smoothed bucket probability vector of a corpus (add-one)."""
+    """Smoothed bucket probability vector of a corpus (add-one).
+    ``hash_fn="md5"`` uses the DuckDB-reproducible feature kernel."""
+    counts = (_bucket_counts_md5 if hash_fn == "md5"
+              else _bucket_counts)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"c": [_bucket_counts(b[text_col], n_buckets)]})
+        return pd.DataFrame({"c": [counts(b[text_col], n_buckets)]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     tot = np.zeros(n_buckets, np.int64)
@@ -74,14 +112,18 @@ def dsir_log_weights(
     p_raw: "np.ndarray | ray.ObjectRef",
     text_col: str = "text",
     out_col: str = "dsir_logw",
+    hash_fn: str = "sip",
 ) -> ray.data.Dataset:
     """Append ``out_col`` = Σ_features (log p_target − log p_raw) over
     the doc's hashed n-gram features — the DSIR importance log-weight.
-    The log-ratio vector broadcasts once per actor."""
+    The log-ratio vector broadcasts once per actor. ``hash_fn`` must
+    match the one the distributions were fitted with."""
     tref = p_target if isinstance(p_target, ray.ObjectRef) \
         else ray.put(np.asarray(p_target, np.float64))
     rref = p_raw if isinstance(p_raw, ray.ObjectRef) \
         else ray.put(np.asarray(p_raw, np.float64))
+    feats = (_doc_bucket_matrix_md5 if hash_fn == "md5"
+             else _doc_bucket_matrix)
 
     class Scorer:
         def __init__(self):
@@ -89,8 +131,7 @@ def dsir_log_weights(
             self.n_buckets = len(self.ratio)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            (ub, us), (bb, bs) = _doc_bucket_matrix(b[text_col],
-                                                    self.n_buckets)
+            (ub, us), (bb, bs) = feats(b[text_col], self.n_buckets)
             lw = np.zeros(len(b), np.float64)
             for ids, starts in ((ub, us), (bb, bs)):
                 vals = self.ratio[ids.astype(np.int64)]
