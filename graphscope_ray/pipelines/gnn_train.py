@@ -434,12 +434,16 @@ def train_sage_minibatch(
                 # math scales with cores instead of one actor.
                 B = len(vb)
                 futs = []
+                # one ray.put per STEP: passing the dict positionally
+                # would re-pickle the whole model into the store once
+                # per chunk task
+                pref = ray.put(params)
                 for clo in range(0, B, dp_chunk):
                     chunk = vb[clo:clo + dp_chunk]
                     a1, v1c, a2, v2c, X2c, ybc = _chunk_subgraph(
                         chunk, arcs1, arcs2, v2, X2, yb, clo)
                     futs.append(_sage_grad_chunk.remote(
-                        params, X2c, chunk, v1c, v2c, a1, a2, ybc))
+                        pref, X2c, chunk, v1c, v2c, a1, a2, ybc))
                 g = {k: np.zeros_like(v) for k, v in params.items()}
                 for (grads, ls, cor, nbc) in ray.get(futs):
                     scale = nbc / B

@@ -93,13 +93,15 @@ _TOKEN_RE = re.compile(r"""
     | (?P<punct><=|>=|<>|\.\.|->|<-|[()\[\]{},:.\-<>=+*/%|])
     )""", re.VERBOSE)
 
+# NOTE: the write-clause words (CREATE/MERGE/SET/DELETE/DETACH) are
+# deliberately NOT keywords — they stay ordinary name tokens so read
+# queries can keep using them as property/alias/variable names
+# (`RETURN n.set`); query/writes.py recognizes them positionally.
 _KEYWORDS = {"MATCH", "WHERE", "RETURN", "WITH", "ORDER", "BY",
              "LIMIT", "SKIP", "AS", "DISTINCT", "AND", "OR", "NOT",
              "ASC", "DESC", "IN", "TRUE", "FALSE", "NULL",
              "OPTIONAL", "UNWIND", "STARTS", "ENDS", "CONTAINS", "IS",
-             "CASE", "WHEN", "THEN", "ELSE", "END",
-             # write clauses (query/writes.py executes these)
-             "CREATE", "MERGE", "SET", "DELETE", "DETACH"}
+             "CASE", "WHEN", "THEN", "ELSE", "END"}
 
 
 def _tokenize(src: str) -> list[tuple[str, object]]:
@@ -1556,6 +1558,19 @@ class CypherGraph:
                         batch_format="pyarrow")
                     bound.add(first.var)
                     binding = bind_node(binding, first, first.var)
+                    if first.label is None:
+                        # bind_node is a no-op for unlabeled nodes —
+                        # verify the pinned vertex actually exists, or
+                        # every row would pair with a phantom binding
+                        import pyarrow.compute as _pc
+
+                        hit = self._vertex_ds(None).map_batches(
+                            lambda t, v=int(pinned): t.filter(
+                                _pc.equal(t.column("vid"),
+                                          pa.scalar(v, pa.int64()))),
+                            batch_format="pyarrow").count()
+                        if hit == 0:
+                            binding = binding.limit(0)
             lcol = first.var
             for rel, rnode in zip(pat.rels, pat.nodes[1:]):
                 binding = hop(binding, rel, lcol, rnode, bound,

@@ -196,9 +196,13 @@ class Traversal:
                              "an optional hop (null keys cannot drive "
                              "an inner join)")
         t = self._clone()
+        # name by the GLOBAL element count (len(_path_vars)), not the
+        # current chain's length — after a V_() jump resets the chain,
+        # chain-local indices would collide with pre-jump variables
+        # and silently turn fresh hops into equality joins
         if isinstance(times, tuple):
             lo, hi = times
-            i = len(t._nodes)
+            i = len(t._path_vars)
             t._rels.append(RelPat(f"e{i}", rtype, direction, {},
                                   int(lo), int(hi)))
             t._nodes.append(NodePat(f"v{i}", None, {}))
@@ -206,7 +210,7 @@ class Traversal:
             t._path_vars.append(f"v{i}")
             return t
         for _ in range(times):
-            i = len(t._nodes)
+            i = len(t._path_vars)
             t._rels.append(RelPat(f"e{i}", rtype, direction, {}))
             t._nodes.append(NodePat(f"v{i}", None, {}))
             t._current = f"v{i}"
@@ -361,7 +365,7 @@ class Traversal:
             raise ValueError("traversal: optional hops cannot chain "
                              "off another optional hop")
         t = self._clone()
-        i = len(t._nodes) + len(t._optionals)
+        i = len(t._path_vars)   # globally unique across V_() jumps
         new = NodePat(f"o{i}", None, {})
         t._optionals.append(PathPat(
             [NodePat(t._current, None, {}), new],

@@ -33,6 +33,14 @@ Supported subset (documented contract, tests/test_cypher_writes.py):
   delete their matched arcs; vertex vars delete catalog rows — plain
   DELETE raises if incident edges remain (openCypher contract),
   DETACH DELETE removes incident edges from every edge table first.
+  Two documented deviations from Neo4j: (1) edge identity is
+  ``(src, dst)`` — the catalog has no relationship ids — so DELETE r
+  removes EVERY parallel relationship between the matched endpoint
+  pairs, not only the rows matching WHERE; (2) the matched delete-key
+  set (endpoint pairs / vids) is collected on the driver and
+  broadcast for the anti-join (``modify_*``'s small-side contract) —
+  a delete matching a corpus-scale fraction of the graph should
+  rebuild the table instead.
 """
 
 from __future__ import annotations
@@ -84,7 +92,16 @@ class DeleteStmt:
 
 
 class _WriteParser(_Parser):
-    """Reuses the read grammar's pattern/expression sub-parsers."""
+    """Reuses the read grammar's pattern/expression sub-parsers. The
+    write words are ordinary NAME tokens (so read queries can use them
+    as identifiers) — recognized here positionally, case-insensitive."""
+
+    def accept_word(self, w: str) -> bool:
+        t = self.peek()
+        if t[0] == "name" and t[1].upper() == w:
+            self.i += 1
+            return True
+        return False
 
     def parse_write(self):
         match, where = [], None
@@ -94,12 +111,9 @@ class _WriteParser(_Parser):
                 match.append(self.pattern())
             if self.accept("kw", "WHERE"):
                 where = self.expr()
-        t = self.peek()
-        if t == ("kw", "CREATE"):
-            self.next()
+        if self.accept_word("CREATE"):
             return self._create(match, where)
-        if t == ("kw", "MERGE"):
-            self.next()
+        if self.accept_word("MERGE"):
             if match:
                 raise ValueError("cypher: MERGE after MATCH is not "
                                  "supported (standalone MERGE only)")
@@ -109,8 +123,7 @@ class _WriteParser(_Parser):
                                  "node pattern")
             self.expect("eof")
             return MergeStmt(pat.nodes[0])
-        if t == ("kw", "SET"):
-            self.next()
+        if self.accept_word("SET"):
             assigns = [self._assign()]
             while self.accept("punct", ","):
                 assigns.append(self._assign())
@@ -118,8 +131,8 @@ class _WriteParser(_Parser):
             if not match:
                 raise ValueError("cypher: SET needs a MATCH clause")
             return SetStmt(match, where, assigns)
-        detach = self.accept("kw", "DETACH")
-        if self.accept("kw", "DELETE"):
+        detach = self.accept_word("DETACH")
+        if self.accept_word("DELETE"):
             targets = [self.expect("name")[1]]
             while self.accept("punct", ","):
                 targets.append(self.expect("name")[1])
@@ -127,7 +140,8 @@ class _WriteParser(_Parser):
             if not match:
                 raise ValueError("cypher: DELETE needs a MATCH clause")
             return DeleteStmt(match, where, targets, detach)
-        raise ValueError(f"cypher: expected a write clause, got {t}")
+        raise ValueError(
+            f"cypher: expected a write clause, got {self.peek()}")
 
     def _assign(self):
         v = self.expect("name")[1]
@@ -167,11 +181,31 @@ class _WriteParser(_Parser):
 
 
 def parse_write(src: str):
-    """Parse ``src`` as a write statement, or return None when it
-    contains no write keyword (a read query)."""
-    if not any(t == ("kw", k) for k in _WRITE_KWS for t in _tokenize(src)):
+    """Parse ``src`` as a write statement, or return None for a read.
+
+    Dispatch: a statement starting with CREATE/MERGE is always a
+    write; otherwise the READ grammar gets first try — so reads using
+    `set`/`delete`/… as property or alias names keep parsing — and
+    only a read-parse failure falls through to the write parser. When
+    both parsers fail, the write error is raised if the statement
+    mentions a write word, else the read error."""
+    from graphscope_ray.query.cypher import parse_cypher
+
+    toks = _tokenize(src)
+    first = toks[0] if toks else ("eof", None)
+    if first[0] == "name" and first[1].upper() in ("CREATE", "MERGE"):
+        return _WriteParser(src).parse_write()
+    try:
+        parse_cypher(src)
         return None
-    return _WriteParser(src).parse_write()
+    except ValueError as read_err:
+        try:
+            return _WriteParser(src).parse_write()
+        except ValueError as write_err:
+            has_write_word = any(
+                t[0] == "name" and t[1].upper() in _WRITE_KWS
+                for t in toks)
+            raise (write_err if has_write_word else read_err) from None
 
 
 # ------------------------------------------------------------ execution
@@ -231,11 +265,19 @@ def _typed_rows(ds: ray.data.Dataset, rows: pd.DataFrame,
     return pa.table(cols)
 
 
+def _invalidate(graph) -> None:
+    """Every catalog mutation resets the id cache AND the planner's
+    cardinality statistics (stale counts would steer join ordering
+    against a graph that no longer exists)."""
+    graph._vid_cache = {}
+    graph._stats = None
+
+
 def _append_vertices(graph, label: str, rows: pd.DataFrame) -> None:
     ds, vid = graph._v[label]
     add = ray.data.from_arrow(_typed_rows(ds, rows, f"CREATE (:{label})"))
     graph._v[label] = (ds.union(add), vid)
-    graph._vid_cache = {}
+    _invalidate(graph)
 
 
 def _append_edges(graph, rtype: str, rows_ds: ray.data.Dataset) -> None:
@@ -262,6 +304,7 @@ def _append_edges(graph, rtype: str, rows_ds: ray.data.Dataset) -> None:
 
     graph._e[rtype] = (ds.union(rows_ds.map_batches(
         pad, batch_format="pandas")), s, d)
+    _invalidate(graph)
 
 
 def execute_write(graph, stmt) -> pd.DataFrame:
@@ -327,7 +370,11 @@ def _exec_create(graph, stmt: CreateStmt) -> pd.DataFrame:
                     df[k] = v
                 return df
 
-            pairs = pairs.map_batches(lits, batch_format="pandas")
+            # materialize: without this the appended side is a lazy
+            # match pipeline that re-executes its joins on EVERY later
+            # consumer of the edge table
+            pairs = pairs.map_batches(
+                lits, batch_format="pandas").materialize()
             n_new = pairs.count()
             s, d = graph._e[rtype][1], graph._e[rtype][2]
             ren = {c: n for c, n in zip(["src", "dst"], [s, d])
@@ -422,12 +469,28 @@ def _exec_set(graph, stmt: SetStmt) -> pd.DataFrame:
 
         def overwrite(df: pd.DataFrame, prop=prop) -> pd.DataFrame:
             m = df["_newval"].notna().to_numpy()
-            vals = df[prop].to_numpy().copy()
+            vals = df[prop].to_numpy()
             nv = df["_newval"].to_numpy()
-            vals[m] = nv[m]
+            sel = nv[m]
+            # the left join NaN-pads unmatched rows, so _newval is
+            # float64 even for integer expressions — keep an integer
+            # column integer when every assigned value is integral,
+            # but PROMOTE to float when not (Neo4j semantics:
+            # SET p.x = p.x / 2 stores 1.5, never a silent truncate)
+            out = vals.copy()
+            if (m.any() and vals.dtype != object
+                    and np.issubdtype(vals.dtype, np.integer)):
+                arr = np.asarray(sel, dtype=np.float64)
+                if np.all(np.isfinite(arr)) \
+                        and np.all(arr == np.floor(arr)):
+                    out[m] = arr.astype(vals.dtype)
+                else:
+                    out = vals.astype(np.float64)
+                    out[m] = arr
+            elif m.any():
+                out[m] = sel
             df = df.drop(columns=["_newval"])
-            df[prop] = vals.astype(df[prop].dtype, copy=False) \
-                if df[prop].dtype != object else vals
+            df[prop] = out
             return df
 
         # materialize: every later statement and the final read-back
@@ -437,7 +500,7 @@ def _exec_set(graph, stmt: SetStmt) -> pd.DataFrame:
             joined.map_batches(overwrite,
                                batch_format="pandas").materialize(),
             vid_col)
-        graph._vid_cache = {}
+        _invalidate(graph)
         props_set += n_upd
     return _summary(properties_set=props_set)
 
@@ -463,6 +526,13 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
     for tgt in stmt.targets:
         if tgt in rel_of:
             rel, lv, rv = rel_of[tgt]
+            if rel.max_hops != 1:
+                # openCypher rejects DELETE on var-length bindings;
+                # deleting the endpoints' direct arc would silently
+                # corrupt the graph
+                raise ValueError(
+                    "cypher: cannot DELETE a variable-length "
+                    "relationship binding")
             rtype = rel.rtype
             if rtype is None and len(graph._e) == 1:
                 rtype = next(iter(graph._e))
@@ -497,6 +567,7 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
                 out = out.rename_columns({"src": s, "dst": d})
             out = out.materialize()
             graph._e[rtype] = (out, s, d)
+            _invalidate(graph)
             rels_deleted += before - out.count()
         elif tgt in label_of:
             label = label_of[tgt]
@@ -533,7 +604,7 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
                 broadcast_semi_join(ds, dead, on=vid_col,
                                     anti=True).materialize(),
                 vid_col)
-            graph._vid_cache = {}
+            _invalidate(graph)
             nodes_deleted += len(dead)
         else:
             raise ValueError(f"cypher: DELETE target {tgt!r} is not "

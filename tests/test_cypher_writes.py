@@ -202,3 +202,58 @@ class TestComposition:
         got = out[["part", "size", "partners", "wsum"]].astype(np.int64)
         expd = exp[["part", "size", "partners", "wsum"]].astype(np.int64)
         pd.testing.assert_frame_equal(got, expd)
+
+
+class TestReviewFixesR5:
+    """Regressions for the round-5 review findings."""
+
+    def test_write_words_usable_as_identifiers(self, ray_session):
+        import ray.data
+        verts = pd.DataFrame({"vid": [1, 2], "set": [10, 20],
+                              "delete": [1, 2]})
+        g = (CypherGraph(num_buckets=2)
+             .add_vertices("V", ray.data.from_pandas(verts)))
+        out = (g.query("MATCH (n:V) RETURN n AS vid, n.set AS s, "
+                       "n.delete AS d").to_pandas().sort_values("vid"))
+        assert list(out["s"]) == [10, 20]
+        assert list(out["d"]) == [1, 2]
+        # alias named 'merge' also fine
+        out2 = g.query("MATCH (n:V) RETURN n.set AS merge").to_pandas()
+        assert set(out2["merge"]) == {10, 20}
+
+    def test_delete_varlength_binding_raises(self, ray_session):
+        g = _graph()
+        with pytest.raises(ValueError, match="variable-length"):
+            g.query("MATCH (a:V)-[r:E*2..2]->(b:V) DELETE r")
+
+    def test_set_promotes_int_column_to_float(self, ray_session):
+        g = _graph()
+        g.query("MATCH (v:V) WHERE v = 2 SET v.size = v.size / 4")
+        v = _vdf(g)
+        assert v.loc[v.vid == 2, "size"].iloc[0] == 12.5
+        # untouched rows keep their values
+        assert v.loc[v.vid == 1, "size"].iloc[0] == 10
+
+    def test_set_integral_values_keep_int_column(self, ray_session):
+        import numpy as np
+        g = _graph()
+        g.query("MATCH (v:V) WHERE v.size >= 50 SET v.size = v.size + 100")
+        raw = g._v["V"][0].to_pandas()
+        assert np.issubdtype(raw["size"].dtype, np.integer)
+
+    def test_stats_invalidated_by_writes(self, ray_session):
+        g = _graph()
+        g.query("MATCH (a:V) RETURN a AS a, count(*) AS n")
+        g._graph_stats()          # populate
+        before = g._graph_stats()["v"]["V"]
+        g.query("CREATE (x:V {vid: 99, size: 1})")
+        after = g._graph_stats()["v"]["V"]
+        assert after == before + 1
+
+    def test_pinned_nonexistent_unlabeled_vertex_binds_nothing(
+            self, ray_session):
+        g = _graph()
+        out = g.query("MATCH (a:V)-[:E]->(b:V), (c) "
+                      "WHERE c = 424242 "
+                      "RETURN a AS a, c AS c").to_pandas()
+        assert len(out) == 0

@@ -298,3 +298,24 @@ class TestStepBreadthR5:
                .to_pandas())
         assert len(out) == 1
         assert tuple(out.iloc[0]) == (1, 2, 4)
+
+
+def test_v_jump_then_hop_binds_fresh_variable(ray_session):
+    """Review fix: a hop AFTER a V_() jump must bind a NEW variable —
+    chain-local naming used to collide with pre-jump vars and silently
+    become an equality join."""
+    import ray.data
+    verts = pd.DataFrame({"vid": [1, 2, 3, 4, 5]})
+    edges = pd.DataFrame({"src": [1, 5], "dst": [2, 4]})
+    from graphscope_ray.query.cypher import CypherGraph
+    cg = (CypherGraph(num_buckets=2)
+          .add_vertices("V", ray.data.from_pandas(verts))
+          .add_edges("E", ray.data.from_pandas(edges)))
+    g = traversal_source(cg)
+    tr = g.V("V").hasId(1).out("E").V_(5, "V").out("E")
+    q = tr._to_query()
+    allvars = [n.var for p in q.patterns for n in p.nodes]
+    assert len(allvars) == len(set(allvars)), allvars
+    out = tr.toDataset().to_pandas()
+    # pre-jump anchored to 1 (1->2), jump to 5, out -> 4
+    assert len(out) == 1 and out.iloc[0, 0] == 4
