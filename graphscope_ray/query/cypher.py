@@ -1053,10 +1053,10 @@ class CypherGraph:
             if label not in self._v:
                 raise KeyError(f"cypher: unknown vertex label {label!r}")
             ds, vid = self._v[label]
-            return ds.map_batches(
+            return self._seed(ds.map_batches(
                 lambda t, vid=vid: pa.table(
                     {"vid": t.column(vid).cast(pa.int64())}),
-                batch_format="pyarrow")
+                batch_format="pyarrow"), {"vid": pa.int64()})
         # unlabeled: union of all labels' ids + edge endpoints
         parts = [self._vertex_ds(lb) for lb in self._v]
         for rtype in self._e:
@@ -1072,7 +1072,17 @@ class CypherGraph:
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
-        return dedup_first(out, ["vid"])
+        return self._seed(dedup_first(out, ["vid"]), {"vid": pa.int64()})
+
+    @staticmethod
+    def _seed(ds: ray.data.Dataset, fields: dict) -> ray.data.Dataset:
+        """Union a typed zero-row block into ``ds`` so its schema
+        survives even when every mapped block comes out empty (Ray
+        drops empty map outputs; a table emptied by DELETE-all would
+        otherwise present no schema and break the co-group planner)."""
+        seed = ray.data.from_arrow(pa.table(
+            {k: pa.nulls(0, t) for k, t in fields.items()}))
+        return seed.union(ds)
 
     def _edge_arcs(self, rel: RelPat, left: str, right: str,
                    eprops: list[str]) -> ray.data.Dataset:
@@ -1119,7 +1129,13 @@ class CypherGraph:
         out = arcs_of(rtypes[0])
         for rt in rtypes[1:]:
             out = out.union(arcs_of(rt))
-        return out
+        from graphscope_ray.stages.relational import _arrow_fields
+
+        efields = _arrow_fields(self._e[rtypes[0]][0])
+        seed_fields = {left: pa.int64(), right: pa.int64()}
+        for p in eprops:
+            seed_fields[f"{rel.var}__{p}"] = efields[p]
+        return self._seed(out, seed_fields)
 
     # -- execution
     def query(self, src: str):

@@ -265,6 +265,14 @@ def _typed_rows(ds: ray.data.Dataset, rows: pd.DataFrame,
     return pa.table(cols)
 
 
+def _empty_like(fields: dict) -> ray.data.Dataset:
+    """Zero-row Dataset with the given Arrow fields — a table emptied
+    by DELETE must keep its schema or every later read against it
+    dies with 'dataset has no schema' (wide-seed stress finding)."""
+    return ray.data.from_arrow(
+        pa.table({k: pa.nulls(0, typ) for k, typ in fields.items()}))
+
+
 def _invalidate(graph) -> None:
     """Every catalog mutation resets the id cache AND the planner's
     cardinality statistics (stale counts would steer join ordering
@@ -459,6 +467,11 @@ def _exec_set(graph, stmt: SetStmt) -> pd.DataFrame:
                              "labeled node variable")
         ds, vid_col = graph._v[label]
         n_upd = upd.count()
+        if n_upd == 0:
+            # empty match: nothing to set — a fully-empty update
+            # Dataset can carry no schema, which the co-group join
+            # rightly refuses (wide-seed stress finding, r5)
+            continue
         keyed = upd.map_batches(
             lambda t, c=vid_col: pa.table(
                 {c: t.column("vid").cast(pa.int64()),
@@ -557,6 +570,8 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
                     pdf.rename(columns={"a": "dst", "b": "src"}),
                 ], ignore_index=True)
             ds, s, d = graph._e[rtype]
+            from graphscope_ray.stages.relational import _arrow_fields
+            fields_before = _arrow_fields(ds)
             before = ds.count()
             upd = ray.data.from_pandas(
                 dead[["src", "dst"]].drop_duplicates())
@@ -566,9 +581,12 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
             if (s, d) != ("src", "dst"):
                 out = out.rename_columns({"src": s, "dst": d})
             out = out.materialize()
+            n_after = out.count()
+            if n_after == 0:
+                out = _empty_like(fields_before)
             graph._e[rtype] = (out, s, d)
             _invalidate(graph)
-            rels_deleted += before - out.count()
+            rels_deleted += before - n_after
         elif tgt in label_of:
             label = label_of[tgt]
             if label is None or label not in graph._v:
@@ -594,16 +612,25 @@ def _exec_delete(graph, stmt: DeleteStmt) -> pd.DataFrame:
                         f":{rtype} relationship(s) still attached "
                         "(use DETACH DELETE)")
                 if n_inc:
+                    from graphscope_ray.stages.relational import (
+                        _arrow_fields,
+                    )
+                    efields = _arrow_fields(eds)
                     kept = broadcast_semi_join(
                         broadcast_semi_join(eds, dead, on=s, anti=True),
                         dead, on=d, anti=True).materialize()
+                    if kept.count() == 0:
+                        kept = _empty_like(efields)
                     graph._e[rtype] = (kept, s, d)
                     rels_deleted += n_inc
             ds, vid_col = graph._v[label]
-            graph._v[label] = (
-                broadcast_semi_join(ds, dead, on=vid_col,
-                                    anti=True).materialize(),
-                vid_col)
+            from graphscope_ray.stages.relational import _arrow_fields
+            vfields = _arrow_fields(ds)
+            kept_v = broadcast_semi_join(ds, dead, on=vid_col,
+                                         anti=True).materialize()
+            if kept_v.count() == 0:
+                kept_v = _empty_like(vfields)
+            graph._v[label] = (kept_v, vid_col)
             _invalidate(graph)
             nodes_deleted += len(dead)
         else:

@@ -257,3 +257,37 @@ class TestReviewFixesR5:
                       "WHERE c = 424242 "
                       "RETURN a AS a, c AS c").to_pandas()
         assert len(out) == 0
+
+    def test_set_with_empty_match_is_noop(self, ray_session):
+        """Wide-seed stress finding: a SET whose WHERE matches nothing
+        must be a no-op, not a schema-less-dataset crash."""
+        g = _graph()
+        s = g.query("MATCH (v:V) WHERE v.size >= 10000 "
+                    "SET v.size = v.size + 1")
+        assert s.properties_set[0] == 0
+        v = _vdf(g)
+        assert v.set_index("vid")["size"].to_dict() == {
+            1: 10, 2: 50, 3: 60, 4: 5}
+
+    def test_delete_all_edges_then_query(self, ray_session):
+        """Stress finding: a DELETE that empties an edge table must
+        leave a TYPED empty behind — later matches over it plan and
+        return zero rows instead of dying with 'dataset has no
+        schema' (Ray drops empty map outputs)."""
+        g = _graph()
+        s = g.query("MATCH (a:V)-[r:E]->(b:V) WHERE r.weight >= 0 "
+                    "DELETE r")
+        assert s.relationships_deleted[0] == 3
+        out = g.query("MATCH (a:V)-[e:E]->(b:V) "
+                      "RETURN a AS a, e.weight AS w").to_pandas()
+        assert len(out) == 0
+        # a MATCH-CREATE over the empty table is a no-op, not a crash
+        s2 = g.query("MATCH (a:V)-[:E]->(b:V) "
+                     "CREATE (a)-[:E {weight: 1}]->(b)")
+        assert s2.relationships_created[0] == 0
+        # and the table can be repopulated via standalone CREATE
+        g.query("CREATE (x:V {vid: 7}), (y:V {vid: 8}), "
+                "(x)-[:E {weight: 2}]->(y)")
+        out2 = g.query("MATCH (a:V)-[e:E]->(b:V) RETURN a AS a, "
+                       "b AS b, e.weight AS w").to_pandas()
+        assert list(map(tuple, out2.to_numpy())) == [(7, 8, 2)]
